@@ -1,0 +1,79 @@
+"""Label / group-identity semantics (reference labels.go, series.go).
+
+The reference's GROUP BY key is a canonical serialization of a sorted
+subset of label key:value pairs (labels.go:54-73): keys sorted
+case-sensitively (byte order), missing keys silently skipped, joined as
+"k1:v1,k2:v2". A series' UID is the ID over ALL its keys (series.go:40-42).
+
+Two surfaces here:
+  * plain-Python versions for tests and driver-side prep;
+  * Spark Column builders so the same identity is computable relationally
+    (prunable, codegen'd) from either first-class columns or a
+    map<string,string> dims column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["label_id", "label_id_cols", "label_id_map", "distinct_groups"]
+
+
+def label_id(labels: dict[str, str], keys: list[str] | None = None) -> str:
+    """Canonical "k:v,k:v" identity over sorted (case-sensitive) keys.
+
+    keys=None -> all keys (Series.UID, series.go:40-42). Missing keys are
+    skipped (labels.go:61-66). Python's sorted() on str is codepoint order,
+    matching Go's sort.Strings byte order for the label strings in scope.
+    """
+    use = sorted(labels.keys()) if keys is None else sorted(keys)
+    return ",".join(f"{k}:{labels[k]}" for k in use if k in labels)
+
+
+def label_id_cols(keys: list[str]) -> Column:
+    """label_id over first-class string columns (keys must exist).
+
+    NULL column values serialize as a skipped pair to mirror the
+    reference's missing-key skip: concat_ws drops nulls.
+    """
+    use = sorted(keys)
+    parts = [
+        F.when(F.col(k).isNotNull(), F.concat(F.lit(k + ":"), F.col(k)))
+        for k in use
+    ]
+    return F.concat_ws(",", *parts)
+
+
+def label_id_map(dims_col: str | Column, keys: list[str] | None = None) -> Column:
+    """label_id over a map<string,string> column.
+
+    keys=None serializes every entry (sorted by key); otherwise the given
+    subset, skipping keys absent from the map.
+    """
+    m = F.col(dims_col) if isinstance(dims_col, str) else dims_col
+    if keys is None:
+        entries = F.array_sort(F.map_entries(m))
+        pairs = F.transform(entries, lambda e: F.concat_ws(":", e.key, e.value))
+        return F.array_join(pairs, ",")
+    use = sorted(keys)
+    parts = [
+        F.when(
+            F.element_at(m, F.lit(k)).isNotNull(),
+            F.concat(F.lit(k + ":"), F.element_at(m, F.lit(k))),
+        )
+        for k in use
+    ]
+    return F.concat_ws(",", *parts)
+
+
+def distinct_groups(df, keys: list[str]):
+    """indexLabelValues' distinct-combination side (group.go:76-104).
+
+    Empty keys -> every series its own group (group.go:84-89): caller
+    should group by the series key instead; here we return distinct over
+    all rows' series_key if present.
+    """
+    if not keys:
+        return df.select("series_key").distinct()
+    return df.select(*sorted(keys)).distinct()
