@@ -1,0 +1,84 @@
+"""L1 — tumbling-window retention tiers (1m / 1h / 1d).
+
+Turn streams are bucketed per conversation with date_trunc (equivalent to
+epoch-aligned tumbling F.window for these tiers, but cheaper — no struct,
+and the bucket column stays an orderable TimestampType that partial
+aggregation, partition pruning, and the DuckDB oracle all understand).
+
+All aggregates here are algebraic (count/sum/min/max) so Catalyst emits a
+partial HashAggregate before the shuffle and a final one after — the
+map-side combine is what makes this hold at 10^12 turns: shuffle volume is
+O(convs x buckets), not O(turns). Hierarchical re-aggregation (1m -> 1h ->
+1d) re-reads the finer tier instead of the raw table, shrinking input by
+the bucket fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["TIERS", "rollup_transcripts", "rollup_from_finer", "rollup_all_tiers"]
+
+# tier -> (date_trunc unit, bucket seconds, finer tier for re-agg)
+TIERS: dict[str, tuple[str, int, str | None]] = {
+    "1m": ("minute", 60, None),
+    "1h": ("hour", 3600, "1m"),
+    "1d": ("day", 86400, "1h"),
+}
+
+
+def _bucket(unit: str, col: str = "ts") -> F.Column:
+    return F.date_trunc(unit, F.col(col)).alias("bucket_ts")
+
+
+def rollup_transcripts(df: DataFrame, tier: str, ts_col: str = "ts") -> DataFrame:
+    """Raw turns -> one row per (conv_id, bucket): the continuous aggregate.
+
+    Output: conv_id, bucket_ts, turn_cnt, tool_cnt, turns_per_sec,
+    first_ts, last_ts. turn_cnt is the series the muse search runs over
+    (FIXTURES.md §F2).
+    """
+    unit, secs, _ = TIERS[tier]
+    return (
+        df.groupBy("conv_id", _bucket(unit, ts_col))
+        .agg(
+            F.count(F.lit(1)).alias("turn_cnt"),
+            F.count(F.when(F.col("role") == "tool", 1)).alias("tool_cnt"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .withColumn("turns_per_sec", F.col("turn_cnt") / F.lit(float(secs)))
+    )
+
+
+def rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one (1m->1h, 1h->1d).
+
+    count/sum/min/max compose exactly across tiers; turns_per_sec is
+    recomputed from the summed count.
+    """
+    unit, secs, _ = TIERS[tier]
+    return (
+        finer.groupBy("conv_id", _bucket(unit, "bucket_ts"))
+        .agg(
+            F.sum("turn_cnt").alias("turn_cnt"),
+            F.sum("tool_cnt").alias("tool_cnt"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .withColumn("turns_per_sec", F.col("turn_cnt") / F.lit(float(secs)))
+    )
+
+
+def rollup_all_tiers(df: DataFrame) -> dict[str, DataFrame]:
+    """All three tiers, hierarchically: raw->1m, 1m->1h, 1h->1d.
+
+    Callers should persist (or .cache) the 1m result before deriving the
+    coarser tiers so the raw table is scanned once.
+    """
+    tiers: dict[str, DataFrame] = {}
+    tiers["1m"] = rollup_transcripts(df, "1m")
+    tiers["1h"] = rollup_from_finer(tiers["1m"], "1h")
+    tiers["1d"] = rollup_from_finer(tiers["1h"], "1d")
+    return tiers

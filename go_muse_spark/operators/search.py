@@ -1,0 +1,206 @@
+"""L4 — muse similarity search as a Spark-first grouped operator.
+
+Reference capability (muse.go / muse_batch.go): given one reference series
+and a table of labeled equal-length series, z-normalize everything,
+cross-correlate via FFT, keep the best (largest-|score|) lag per series,
+reduce to the best series per group key, then apply maxLag / threshold /
+sign post-filters and a global top-K by |score|.
+
+Spark shape (SURVEY.md §3, §4):
+  * the prepared reference spectrum (numpy complex128) is computed once on
+    the driver and broadcast — the reference's "precompute ref FFT once"
+    optimization (muse.go:39) done the cluster way;
+  * scoring is a grouped-map pandas UDF over (group_key [, salt]): one 2-D
+    rfft per Arrow batch scores a whole matrix of candidates — a
+    vectorization the reference lacks;
+  * per-group best-of is a two-level reduce: local argmax inside each
+    salted partition, then a tiny relational max_by merge — mirroring the
+    reference's per-group max -> global heap (muse.go:86-90) and killing
+    hot-group skew (one group with millions of members still parallelizes
+    across SALT partitions);
+  * maxLag/threshold/sign are a post-filter, NOT a search window
+    (results.go:46-52 — preserved deliberately), and top-K is
+    orderBy(|score| desc).limit(K), which Spark executes as
+    TakeOrderedAndProject: a bounded per-partition heap + merge, exactly
+    the reference's Results heap (results.go:62-68) distributed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_muse_spark import kernels as K
+from go_muse_spark.labels import label_id_cols
+
+__all__ = ["SearchParams", "muse_search", "score_series", "apply_result_filters", "top_k", "mean_abs_score"]
+
+SIGN_ANY, SIGN_POS, SIGN_NEG = "any", "pos", "neg"
+
+
+@dataclass
+class SearchParams:
+    """Knobs of the reference's NewResults + score mode (results.go:29-43).
+
+    mode="abs"    -> Batch.Run semantics: score = |cc| clamped <=1
+                     (muse_batch.go:74-77).
+    mode="signed" -> Muse.Run semantics: signed cc clamped to [-1,1]
+                     (muse.go:73-76).
+    max_lag None  -> no lag filter. n_salt partitions the scoring of each
+    group; raise it for skewed/huge groups.
+    """
+
+    top_n: int = 20
+    max_lag: int | None = 10
+    threshold: float = 0.0
+    sign: str = SIGN_ANY
+    mode: str = "abs"
+    n_salt: int = 8
+
+
+def score_series(
+    df: DataFrame,
+    ref_values: np.ndarray,
+    group_by: list[str] | None,
+    mode: str = "abs",
+    n_salt: int = 8,
+    series_key: str = "conv_id",
+    values_col: str = "values",
+) -> DataFrame:
+    """Score every series and reduce to the best per group.
+
+    df must carry `series_key` (string identity), `values_col`
+    (array<double>, all equal length == len(ref_values) — the reference's
+    group.go:45-51 invariant, enforced inside the kernel), and any label
+    columns named in group_by.
+
+    group_by=None/[] reproduces indexLabelValues' "no labels => every
+    series its own group" (group.go:84-89).
+
+    Returns (group_key, series_key, lag, score) — one row per group.
+    """
+    spark = df.sparkSession
+    spec = K.prepare_ref(np.asarray(ref_values, dtype=np.float64))
+    bc = spark.sparkContext.broadcast((spec.x_spec, spec.n, spec.ref_n))
+    signed = mode == "signed"
+
+    if group_by:
+        keyed = df.withColumn("group_key", label_id_cols(group_by))
+    else:
+        keyed = df.withColumn("group_key", F.col(series_key))
+
+    # salt so one hot group still spreads over n_salt tasks
+    keyed = keyed.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(series_key)), F.lit(n_salt))
+    )
+
+    out_schema = "group_key string, series_key string, lag long, score double"
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x_spec, n, ref_n = bc.value
+        local_spec = K.RefSpectrum(x_spec, n, ref_n)
+        # deterministic candidate order => deterministic first-max tie-break
+        pdf = pdf.sort_values("__sk", kind="mergesort")
+        y = np.stack(pdf["__vals"].to_numpy())
+        lags, scores = K.batch_xcorr(local_spec, y)
+        scores = K.clamp_signed(scores) if signed else K.clamp_abs(scores)
+        i = int(np.argmax(np.abs(scores)))  # first max wins (xcorr.go:39-50)
+        return pd.DataFrame(
+            {
+                "group_key": [pdf["group_key"].iloc[0]],
+                "series_key": [pdf["__sk"].iloc[i]],
+                "lag": [int(lags[i])],
+                "score": [float(scores[i])],
+            }
+        )
+
+    local_best = (
+        keyed.select(
+            "group_key",
+            "_salt",
+            F.col(series_key).alias("__sk"),
+            F.col(values_col).alias("__vals"),
+        )
+        .groupBy("group_key", "_salt")
+        .applyInPandas(score_group, out_schema)
+    )
+
+    # second-level reduce: best salted-partition winner per group.
+    # max_by on (|score|, series_key desc? no —) we break exact ties by the
+    # LOWEST series_key for determinism (reference is map-order, i.e.
+    # unspecified); struct comparison is lexicographic so negate the key
+    # via a descending-safe trick: order on (abs_score, -hash) is wrong for
+    # strings — use min_by over (neg abs, key).
+    merged = (
+        local_best.withColumn("_abs", F.abs("score"))
+        .groupBy("group_key")
+        .agg(
+            F.expr(
+                "min_by(struct(series_key, lag, score), struct(-_abs, series_key))"
+            ).alias("best")
+        )
+        .select(
+            "group_key",
+            F.col("best.series_key").alias("series_key"),
+            F.col("best.lag").alias("lag"),
+            F.col("best.score").alias("score"),
+        )
+    )
+    return merged
+
+
+def apply_result_filters(
+    scored: DataFrame,
+    max_lag: int | None = None,
+    threshold: float = 0.0,
+    sign: str = SIGN_ANY,
+) -> DataFrame:
+    """Results.passed (results.go:46-52): |lag|<=maxLag AND |score|>=thr
+    AND sign matches. All three are post-filters on the best-lag result."""
+    out = scored
+    if max_lag is not None:
+        out = out.filter(F.abs(F.col("lag")) <= F.lit(int(max_lag)))
+    if threshold:
+        out = out.filter(F.abs(F.col("score")) >= F.lit(float(threshold)))
+    if sign == SIGN_POS:
+        out = out.filter(F.col("score") >= 0)
+    elif sign == SIGN_NEG:
+        out = out.filter(F.col("score") < 0)
+    return out
+
+
+def top_k(scored: DataFrame, k: int) -> DataFrame:
+    """Global top-K by |score| desc (Results heap, results.go:55-87).
+    Spark executes orderBy+limit as TakeOrderedAndProject — a bounded
+    per-partition heap + driver merge, the distributed twin of the
+    reference's size-K min-heap. group_key tie-break for determinism."""
+    return scored.orderBy(
+        F.abs(F.col("score")).desc(), F.col("group_key")
+    ).limit(int(k))
+
+
+def mean_abs_score(scored: DataFrame) -> float:
+    """Results.Fetch's mean |score| companion value (results.go:83-86)."""
+    row = scored.agg(F.avg(F.abs(F.col("score"))).alias("m")).collect()[0]
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def muse_search(
+    df: DataFrame,
+    ref_values: np.ndarray,
+    group_by: list[str] | None = None,
+    params: SearchParams | None = None,
+    series_key: str = "conv_id",
+    values_col: str = "values",
+) -> DataFrame:
+    """Full Batch.Run equivalent: score -> reduce -> filter -> top-K."""
+    p = params or SearchParams()
+    scored = score_series(
+        df, ref_values, group_by, p.mode, p.n_salt, series_key, values_col
+    )
+    passed = apply_result_filters(scored, p.max_lag, p.threshold, p.sign)
+    return top_k(passed, p.top_n)

@@ -1,0 +1,10 @@
+import pytest
+
+from go_muse_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(cpus=4, app="go-muse-spark-tests", shuffle_partitions=4)
+    yield s
+    s.stop()

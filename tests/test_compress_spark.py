@@ -1,0 +1,60 @@
+"""M4 — Spark-side chunk encode/decode round trip + search-over-chunks."""
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.compress import decode_chunks, encode_chunks
+from go_muse_spark.operators.gapfill import aligned_vectors, gap_fill
+from go_muse_spark.operators.rollup import rollup_transcripts
+from go_muse_spark.operators.search import SearchParams, muse_search
+
+from tests.test_pipeline import CANDS, EXPECT, REF, transcripts_for_tier
+
+
+def test_chunk_roundtrip_spark(spark):
+    tx = transcripts_for_tier(spark, "1m")
+    filled = gap_fill(
+        rollup_transcripts(tx, "1m"), "1m", ("turn_cnt",), "zero", align="global"
+    )
+    chunks = encode_chunks(filled, "1m", "turn_cnt", chunk_size=5)
+    decoded = decode_chunks(chunks, "turn_cnt")
+
+    a = sorted(
+        (r["conv_id"], r["bucket_ts"], float(r["turn_cnt"]))
+        for r in filled.select("conv_id", "bucket_ts", "turn_cnt").collect()
+    )
+    b = sorted(
+        (r["conv_id"], r["bucket_ts"], r["turn_cnt"]) for r in decoded.collect()
+    )
+    assert a == b
+
+    # compression: chunk bytes well under raw 16 B/point
+    stats = chunks.agg(
+        F.sum(F.length("ts_bytes") + F.length("val_bytes")).alias("bytes"),
+        F.sum("n_points").alias("pts"),
+    ).collect()[0]
+    assert stats["bytes"] < stats["pts"] * 16
+
+
+def test_search_over_decoded_chunks(spark):
+    # L4 decode-on-read path: chunks -> vectors -> muse parity still holds
+    tx = transcripts_for_tier(spark, "1m")
+    filled = gap_fill(
+        rollup_transcripts(tx, "1m"), "1m", ("turn_cnt",), "zero", align="global"
+    )
+    chunks = encode_chunks(filled, "1m", "turn_cnt", chunk_size=4)
+    decoded = decode_chunks(chunks, "turn_cnt")
+    series = aligned_vectors(decoded, "turn_cnt")
+    res = muse_search(
+        series,
+        np.array(REF, dtype=float),
+        group_by=None,
+        params=SearchParams(top_n=20, max_lag=10, mode="abs", n_salt=2),
+        series_key="conv_id",
+    )
+    got = {r["group_key"]: (r["lag"], r["score"]) for r in res.collect()}
+    for name, (lag, score) in EXPECT.items():
+        assert got[name][0] == lag, name
+        assert abs(got[name][1] - score) < 1e-3, name
