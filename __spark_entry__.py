@@ -1,38 +1,440 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an engine operator from SURVEY.md §2 run over
+the driver-provided parquet fixtures; ``oracle_sql()`` holds the matching
+DuckDB SQL. Column names and float rounding are aligned on both sides so
+the driver's order-insensitive value-hash comparison is meaningful.
+
+The `events` table is adapted into the engine's transcript contract
+(sources/events.py): user -> conversation, event -> turn. Muse FFT search
+queries are not SQL-expressible; they appear without an oracle entry
+(rows-only check), with their numeric parity covered by the golden tests
+in tests/ (reference muse_test.go / muse_batch_test.go values).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.compress import decode_chunks, encode_chunks
+from go_muse_spark.operators.gapfill import gap_fill
+from go_muse_spark.operators.rollup import (
+    rollup_all_tiers,
+    rollup_from_finer,
+    rollup_transcripts,
+)
+from go_muse_spark.operators.search import (
+    SearchParams,
+    muse_search_rollup,
+    series_bounds,
+)
+from go_muse_spark.sources.events import events_as_transcripts, load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+_STOPWORDS = ("the", "a", "of", "in", "and")
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_transcripts(load_table(spark, sf_dir, "events"))
+
+
+def _rollup_out(df: DataFrame) -> DataFrame:
+    """Stable output shape shared with the oracle SQL."""
+    return df.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        "turn_cnt",
+        "tool_cnt",
+        F.round("value_sum", 3).alias("value_sum"),
+        "first_ts",
+        "last_ts",
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT cast(user_id AS varchar) AS user_id,
+       date_trunc('{unit}', ts) AS bucket_ts,
+       count(*) AS turn_cnt,
+       count(*) FILTER (WHERE event_type = 'tool') AS tool_cnt,
+       round(sum(value), 3) AS value_sum,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY 1, 2
+"""
+
+_GAPFILL_ZERO_ORACLE = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts, count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM r GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM b
+)
+SELECT s.user_id, s.bucket_ts,
+       coalesce(r.turn_cnt, 0) AS turn_cnt,
+       r.turn_cnt IS NULL AS filled
+FROM spine s LEFT JOIN r USING (user_id, bucket_ts)
+"""
+
+
+def _gapfill_zero_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    filled = gap_fill(rolled, "1h", ("turn_cnt",), mode="zero", align="conv")
+    return filled.select(
+        F.col("conv_id").alias("user_id"), "bucket_ts", "turn_cnt", "filled"
+    )
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_rollup_1m(spark, sf_dir):
+    rolled = rollup_transcripts(
+        _tx(spark, sf_dir), "1m", sum_cols={"value_sum": "value"}
+    )
+    return _rollup_out(rolled)
+
+
+def q_rollup_1h(spark, sf_dir):
+    # hierarchical path: raw -> 1m -> 1h (oracle aggregates raw directly,
+    # proving tier re-aggregation composes exactly)
+    fine = rollup_transcripts(_tx(spark, sf_dir), "1m", sum_cols={"value_sum": "value"})
+    return _rollup_out(rollup_from_finer(fine, "1h", ("value_sum",)))
+
+
+def q_rollup_1d(spark, sf_dir):
+    tiers = rollup_all_tiers(_tx(spark, sf_dir), sum_cols={"value_sum": "value"})
+    return _rollup_out(tiers["1d"])
+
+
+def q_gapfill_ffill_1h(spark, sf_dir):
+    rolled = rollup_transcripts(
+        _tx(spark, sf_dir), "1h", sum_cols={"value_sum": "value"}
+    ).withColumn("value_avg", F.col("value_sum") / F.col("turn_cnt"))
+    filled = gap_fill(rolled, "1h", ("value_avg",), mode="ffill", align="conv")
+    return filled.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.round("value_avg", 6).alias("value_avg"),
+        "filled",
+    )
+
+
+def q_chunks_roundtrip_1h(spark, sf_dir):
+    """encode -> decode must reproduce the dense rollup exactly; the oracle
+    is the plain gap-filled rollup SQL (no codec on the DuckDB side)."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    filled = gap_fill(rolled, "1h", ("turn_cnt",), mode="zero", align="conv")
+    chunks = encode_chunks(filled, "1h", "turn_cnt", chunk_size=256)
+    decoded = decode_chunks(chunks, "turn_cnt")
+    return decoded.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.col("turn_cnt").cast("long").alias("turn_cnt"),
+    )
+
+
+def q_distinct_label_groups(spark, sf_dir):
+    """indexLabelValues (group.go:76-104): distinct label-value combos with
+    canonical sorted-key identity (labels.go:54-73)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type"), F.col("user_id").cast("string").alias("user_id")
+        )
+        .distinct()
+        .withColumn(
+            "group_id",
+            F.concat(
+                F.lit("event_type:"),
+                F.col("event_type"),
+                F.lit(",user_id:"),
+                F.col("user_id"),
+            ),
+        )
+    )
+
+
+def q_filter_label_values(spark, sf_dir):
+    """FilterByLabelValues (group.go:60-71): conjunctive label equality."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") % 10 == 3)
+    ).select("event_id", "ts", F.col("user_id").cast("string").alias("user_id"),
+             "event_type", "value")
+
+
+def q_topk_abs_score(spark, sf_dir):
+    """Results top-K semantics (results.go:55-87): order by |score| desc,
+    bounded K; deterministic tie-break on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_id", F.round(F.col("value") - 150.0, 6).alias("score")
+    )
+    return scored.orderBy(
+        F.abs(F.col("score")).desc(), F.col("event_id")
+    ).limit(50)
+
+
+def q_results_filter(spark, sf_dir):
+    """Results.passed (results.go:46-52): |lag|<=maxLag AND |score|>=thr
+    AND sign filter, on relational columns."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        (F.col("event_id") % 21 - 10).cast("long").alias("lag"),
+        F.round((F.col("value") - 150.0) / 150.0, 6).alias("score"),
+    )
+    return t.filter(
+        (F.abs(F.col("lag")) <= 5)
+        & (F.abs(F.col("score")) >= 0.1)
+        & (F.col("score") >= 0)
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content; keeper = min doc_id (the
+    Group.Add uniqueness rule, group.go:39-41, as a relational dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_id")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"round(size(filter(split(text, ' '), x -> x in ({stop_list})))"
+            " / size(split(text, ' ')), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "round(size(array_distinct(split(text, ' ')))"
+            " / size(split(text, ' ')), 6)"
+        ).alias("uniq_ratio"),
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-K against the vec_id=0 embedding; JVM-side
+    zip_with/aggregate fold, no Python in the loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot / (norm(F.col("embedding")) * norm(F.col("q_emb"))), 6
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(20)
+
+
+def q_muse_topk_1h(spark, sf_dir):
+    """Flagship: which users' hourly activity waveform best matches a
+    reference burst. Sparse long-form scoring (score_rollup): rollup rows
+    go straight into the grouped kernel — no spine explode, no array
+    materialization, one shuffle. Not SQL-expressible (FFT) -> no oracle;
+    numeric parity is covered by the golden tier tests."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    lo, hi, n = series_bounds(rolled, 3600)
+    ref = np.zeros(n)
+    pos = n // 4
+    ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+    return muse_search_rollup(
+        rolled,
+        ref,
+        3600,
+        group_by=None,
+        params=SearchParams(top_n=10, max_lag=n, threshold=0.0, mode="abs", n_salt=4),
+        series_cols=("conv_id",),
+        bounds=(lo, hi, n),
+    )
+
+
+def q_muse_grouped_1h(spark, sf_dir):
+    """Grouped Batch.Run over (event_type) labels: best user per event
+    type. No oracle (FFT)."""
+    ev = load_table(spark, sf_dir, "events")
+    tx = events_as_transcripts(ev).withColumn("event_type", F.col("role"))
+    rolled = tx.groupBy(
+        "conv_id", "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    lo, hi, n = series_bounds(rolled, 3600)
+    ref = np.zeros(n)
+    ref[n // 3 : n // 3 + 4] = [2.0, 5.0, 5.0, 2.0]
+    return muse_search_rollup(
+        rolled,
+        ref,
+        3600,
+        group_by=["event_type"],
+        params=SearchParams(top_n=10, max_lag=n, mode="abs", n_salt=4),
+        series_cols=("conv_id", "event_type"),
+        bounds=(lo, hi, n),
+    )
+
+
+# ----------------------------------------------------------- the contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_muse_topk_1h(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "gapfill_zero_1h": _gapfill_zero_1h,
+        "gapfill_ffill_1h": q_gapfill_ffill_1h,
+        "chunks_roundtrip_1h": q_chunks_roundtrip_1h,
+        "distinct_label_groups": q_distinct_label_groups,
+        "filter_label_values": q_filter_label_values,
+        "topk_abs_score": q_topk_abs_score,
+        "results_filter": q_results_filter,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "cosine_topk": q_cosine_topk,
+        "muse_topk_1h": q_muse_topk_1h,
+        "muse_grouped_1h": q_muse_grouped_1h,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return {
+        "rollup_1m": _ROLLUP_ORACLE.format(unit="minute"),
+        "rollup_1h": _ROLLUP_ORACLE.format(unit="hour"),
+        "rollup_1d": _ROLLUP_ORACLE.format(unit="day"),
+        "gapfill_zero_1h": _GAPFILL_ZERO_ORACLE,
+        "gapfill_ffill_1h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         sum(value) / count(*) AS value_avg
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM r GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM b
+)
+SELECT s.user_id, s.bucket_ts,
+       round(last_value(r.value_avg IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_avg,
+       r.value_avg IS NULL AS filled
+FROM spine s LEFT JOIN r USING (user_id, bucket_ts)
+""",
+        "chunks_roundtrip_1h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts, count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM r GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM b
+)
+SELECT s.user_id, s.bucket_ts, coalesce(r.turn_cnt, 0) AS turn_cnt
+FROM spine s LEFT JOIN r USING (user_id, bucket_ts)
+""",
+        "distinct_label_groups": """
+SELECT DISTINCT event_type, cast(user_id AS varchar) AS user_id,
+       'event_type:' || event_type || ',user_id:' || cast(user_id AS varchar)
+         AS group_id
+FROM events
+""",
+        "filter_label_values": """
+SELECT event_id, ts, cast(user_id AS varchar) AS user_id, event_type, value
+FROM events WHERE event_type = 'click' AND user_id % 10 = 3
+""",
+        "topk_abs_score": """
+SELECT event_id, round(value - 150.0, 6) AS score
+FROM events ORDER BY abs(round(value - 150.0, 6)) DESC, event_id LIMIT 50
+""",
+        "results_filter": """
+SELECT event_id,
+       cast(event_id % 21 - 10 AS bigint) AS lag,
+       round((value - 150.0) / 150.0, 6) AS score
+FROM events
+WHERE abs(event_id % 21 - 10) <= 5
+  AND abs(round((value - 150.0) / 150.0, 6)) >= 0.1
+  AND round((value - 150.0) / 150.0, 6) >= 0
+""",
+        "dedup_exact": """
+SELECT text, count(*) AS n_dups, min(doc_id) AS keeper_id
+FROM documents GROUP BY text
+""",
+        "token_stats": """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+        "quality_score": f"""
+SELECT doc_id,
+       round(len(list_filter(string_split(text, ' '),
+                 x -> x IN ({stop_list})))
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round(len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')), 6) AS uniq_ratio
+FROM documents
+""",
+        "cosine_topk": """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding, q.q_emb)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id LIMIT 20
+""",
+    }

@@ -32,14 +32,21 @@ def _bucket(unit: str, col: str = "ts") -> F.Column:
     return F.date_trunc(unit, F.col(col)).alias("bucket_ts")
 
 
-def rollup_transcripts(df: DataFrame, tier: str, ts_col: str = "ts") -> DataFrame:
+def rollup_transcripts(
+    df: DataFrame,
+    tier: str,
+    ts_col: str = "ts",
+    sum_cols: dict[str, str] | None = None,
+) -> DataFrame:
     """Raw turns -> one row per (conv_id, bucket): the continuous aggregate.
 
     Output: conv_id, bucket_ts, turn_cnt, tool_cnt, turns_per_sec,
-    first_ts, last_ts. turn_cnt is the series the muse search runs over
-    (FIXTURES.md §F2).
+    first_ts, last_ts [+ one summed column per sum_cols entry
+    (out_name -> source column)]. turn_cnt is the series the muse search
+    runs over (FIXTURES.md §F2).
     """
     unit, secs, _ = TIERS[tier]
+    extra = [F.sum(src).alias(out) for out, src in (sum_cols or {}).items()]
     return (
         df.groupBy("conv_id", _bucket(unit, ts_col))
         .agg(
@@ -47,18 +54,23 @@ def rollup_transcripts(df: DataFrame, tier: str, ts_col: str = "ts") -> DataFram
             F.count(F.when(F.col("role") == "tool", 1)).alias("tool_cnt"),
             F.min(ts_col).alias("first_ts"),
             F.max(ts_col).alias("last_ts"),
+            *extra,
         )
         .withColumn("turns_per_sec", F.col("turn_cnt") / F.lit(float(secs)))
     )
 
 
-def rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
+def rollup_from_finer(
+    finer: DataFrame, tier: str, sum_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Re-aggregate a finer tier into a coarser one (1m->1h, 1h->1d).
 
     count/sum/min/max compose exactly across tiers; turns_per_sec is
-    recomputed from the summed count.
+    recomputed from the summed count. sum_cols names already-summed extra
+    columns in the finer tier (they re-sum).
     """
     unit, secs, _ = TIERS[tier]
+    extra = [F.sum(c).alias(c) for c in sum_cols]
     return (
         finer.groupBy("conv_id", _bucket(unit, "bucket_ts"))
         .agg(
@@ -66,19 +78,23 @@ def rollup_from_finer(finer: DataFrame, tier: str) -> DataFrame:
             F.sum("tool_cnt").alias("tool_cnt"),
             F.min("first_ts").alias("first_ts"),
             F.max("last_ts").alias("last_ts"),
+            *extra,
         )
         .withColumn("turns_per_sec", F.col("turn_cnt") / F.lit(float(secs)))
     )
 
 
-def rollup_all_tiers(df: DataFrame) -> dict[str, DataFrame]:
+def rollup_all_tiers(
+    df: DataFrame, sum_cols: dict[str, str] | None = None
+) -> dict[str, DataFrame]:
     """All three tiers, hierarchically: raw->1m, 1m->1h, 1h->1d.
 
     Callers should persist (or .cache) the 1m result before deriving the
     coarser tiers so the raw table is scanned once.
     """
+    extra = tuple((sum_cols or {}).keys())
     tiers: dict[str, DataFrame] = {}
-    tiers["1m"] = rollup_transcripts(df, "1m")
-    tiers["1h"] = rollup_from_finer(tiers["1m"], "1h")
-    tiers["1d"] = rollup_from_finer(tiers["1h"], "1d")
+    tiers["1m"] = rollup_transcripts(df, "1m", sum_cols=sum_cols)
+    tiers["1h"] = rollup_from_finer(tiers["1m"], "1h", extra)
+    tiers["1d"] = rollup_from_finer(tiers["1h"], "1d", extra)
     return tiers

@@ -37,7 +37,17 @@ from pyspark.sql import functions as F
 from go_muse_spark import kernels as K
 from go_muse_spark.labels import label_id_cols
 
-__all__ = ["SearchParams", "muse_search", "score_series", "apply_result_filters", "top_k", "mean_abs_score"]
+__all__ = [
+    "SearchParams",
+    "muse_search",
+    "muse_search_rollup",
+    "score_series",
+    "score_rollup",
+    "series_bounds",
+    "apply_result_filters",
+    "top_k",
+    "mean_abs_score",
+]
 
 SIGN_ANY, SIGN_POS, SIGN_NEG = "any", "pos", "neg"
 
@@ -151,6 +161,129 @@ def score_series(
         )
     )
     return merged
+
+
+def series_bounds(rolled: DataFrame, tier_secs: int, bucket_col: str = "bucket_ts"):
+    """Global [lo, hi] bucket range and aligned series length n (one tiny agg)."""
+    row = rolled.agg(
+        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    n = int((hi - lo).total_seconds() // tier_secs) + 1
+    return lo, hi, n
+
+
+def score_rollup(
+    rolled: DataFrame,
+    ref_values: np.ndarray,
+    tier_secs: int,
+    group_by: list[str] | None = None,
+    mode: str = "abs",
+    n_salt: int = 8,
+    series_cols: tuple[str, ...] = ("conv_id",),
+    value_col: str = "turn_cnt",
+    bucket_col: str = "bucket_ts",
+    bounds=None,
+) -> DataFrame:
+    """Score directly off long-form rollup rows — the scale path.
+
+    Instead of materializing per-series arrays (spine explode + collect_list
+    = two extra shuffles and a wide row), sparse (series, bucket_idx, value)
+    rows flow straight into the grouped scoring UDF, which scatters them
+    into a dense zero-initialized matrix (gap-fill "zero" implicit) and runs
+    one batched rfft. Plan: scan -> partial agg (rollup upstream) ->
+    ONE shuffle on (group_key, salt) -> numpy. Equal length falls out of the
+    shared global [lo, hi] range; salting bounds the cost of hot groups.
+
+    group_by names label columns; None => per-series (group.go:84-89).
+    """
+    spark = rolled.sparkSession
+    if bounds is None:
+        lo, hi, n = series_bounds(rolled, tier_secs, bucket_col)
+    else:
+        lo, hi, n = bounds
+    ref = np.asarray(ref_values, dtype=np.float64)
+    if ref.size != n:
+        raise ValueError(
+            f"reference length {ref.size} != aligned series length {n}"
+        )
+    spec = K.prepare_ref(ref)
+    bc = spark.sparkContext.broadcast((spec.x_spec, spec.n, spec.ref_n))
+    signed = mode == "signed"
+
+    sk = F.concat_ws("|", *[F.col(c) for c in series_cols]).alias("__sk")
+    idx = (
+        (F.unix_timestamp(F.col(bucket_col)) - F.unix_timestamp(F.lit(lo)))
+        / F.lit(int(tier_secs))
+    ).cast("long").alias("__idx")
+    val = F.col(value_col).cast("double").alias("__val")
+    if group_by:
+        gk = label_id_cols(group_by).alias("group_key")
+    else:
+        gk = F.concat_ws("|", *[F.col(c) for c in series_cols]).alias("group_key")
+    keyed = rolled.select(gk, sk, idx, val).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("__sk")), F.lit(n_salt))
+    )
+
+    out_schema = "group_key string, series_key string, lag long, score double"
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x_spec, fft_n, ref_n = bc.value
+        local_spec = K.RefSpectrum(x_spec, fft_n, ref_n)
+        cats, codes = np.unique(pdf["__sk"].to_numpy(), return_inverse=True)
+        y = np.zeros((len(cats), ref_n), dtype=np.float64)
+        y[codes, pdf["__idx"].to_numpy(dtype=np.int64)] = pdf["__val"].to_numpy()
+        lags, scores = K.batch_xcorr(local_spec, y)
+        scores = K.clamp_signed(scores) if signed else K.clamp_abs(scores)
+        i = int(np.argmax(np.abs(scores)))  # np.unique sorts cats =>
+        # first-max tie-break lands on the lowest series_key, deterministic
+        return pd.DataFrame(
+            {
+                "group_key": [pdf["group_key"].iloc[0]],
+                "series_key": [cats[i]],
+                "lag": [int(lags[i])],
+                "score": [float(scores[i])],
+            }
+        )
+
+    local_best = keyed.groupBy("group_key", "_salt").applyInPandas(
+        score_group, out_schema
+    )
+    return (
+        local_best.withColumn("_abs", F.abs("score"))
+        .groupBy("group_key")
+        .agg(
+            F.expr(
+                "min_by(struct(series_key, lag, score), struct(-_abs, series_key))"
+            ).alias("best")
+        )
+        .select(
+            "group_key",
+            F.col("best.series_key").alias("series_key"),
+            F.col("best.lag").alias("lag"),
+            F.col("best.score").alias("score"),
+        )
+    )
+
+
+def muse_search_rollup(
+    rolled: DataFrame,
+    ref_values: np.ndarray,
+    tier_secs: int,
+    group_by: list[str] | None = None,
+    params: SearchParams | None = None,
+    series_cols: tuple[str, ...] = ("conv_id",),
+    value_col: str = "turn_cnt",
+    bounds=None,
+) -> DataFrame:
+    """Batch.Run equivalent over long-form rollup rows (the scale path)."""
+    p = params or SearchParams()
+    scored = score_rollup(
+        rolled, ref_values, tier_secs, group_by, p.mode, p.n_salt,
+        series_cols, value_col, bounds=bounds,
+    )
+    passed = apply_result_filters(scored, p.max_lag, p.threshold, p.sign)
+    return top_k(passed, p.top_n)
 
 
 def apply_result_filters(

@@ -1,0 +1,147 @@
+"""Continuous-aggregate pipeline: incremental MERGE of transcript deltas
+into the 1m/1h/1d tier tables + chunk tables, checkpointed and resumable.
+
+Semantics (SURVEY.md §7 L1/Ops; "late data" per §2b streaming row):
+a delta batch may contain turns landing in buckets that were already
+closed. Rather than trusting additive updates (which double-count on
+re-delivery), every affected (conv_id, bucket) aggregate is RECOMPUTED
+from the raw turn store and merged with replace-by-key semantics. Because
+the raw store itself is idempotent on (conv_id, turn_idx), re-running any
+delta — including a crashed, half-finished one — converges to the same
+tables: ingest is exactly-once at the batch level (run_id committed in
+the checkpoint log only after all tables land) and idempotent at the row
+level.
+
+Scale shape: the recompute is pruned two ways — partition pruning on the
+raw store's date partitions (affected dates only) and a broadcast
+semi-join on affected conv_ids. Cost per batch is O(delta + touched
+buckets), never O(history). Skewed hot conversations are bounded by the
+bucket grain: one conv contributes at most one row per bucket per tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.compress import encode_chunks
+from go_muse_spark.operators.gapfill import gap_fill
+from go_muse_spark.operators.rollup import TIERS, rollup_transcripts
+from go_muse_spark.sources.store import ParquetTableStore
+
+__all__ = ["ContinuousAggregates"]
+
+RAW = "transcripts_raw"
+
+
+def tier_table(tier: str) -> str:
+    return f"rollup_{tier}"
+
+
+class ContinuousAggregates:
+    def __init__(
+        self,
+        store: ParquetTableStore,
+        tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+        chunk_tiers: tuple[str, ...] = ("1h",),
+        chunk_size: int = 1024,
+    ) -> None:
+        self.store = store
+        self.tiers = tiers
+        self.chunk_tiers = chunk_tiers
+        self.chunk_size = chunk_size
+
+    # ------------------------------------------------------------- ingest
+
+    def ingest(self, delta: DataFrame, run_id: str) -> dict[str, int]:
+        """Merge one transcript delta batch. Returns rows-out per table.
+
+        Re-invoking with an already-committed run_id is a no-op; a crashed
+        run re-invoked with the same run_id redoes its writes and
+        converges byte-identically (replace-by-key + raw idempotence).
+        """
+        store = self.store
+        if store.is_committed(run_id, "_batch"):
+            return {}
+        metrics: dict[str, int] = {}
+        rows_in = delta.count()
+
+        # 1. raw store: idempotent on the (conv_id, turn_idx) natural key
+        metrics[RAW] = store.upsert(
+            delta, RAW, ["conv_id", "turn_idx"], F.to_date("ts")
+        )
+
+        # 2. affected minute buckets (the finest grain); coarser tiers are
+        #    supersets by truncation
+        affected = (
+            delta.select(
+                "conv_id", F.date_trunc("minute", "ts").alias("bucket_1m")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        affected_dates = [
+            r[0]
+            for r in affected.select(F.to_date("bucket_1m")).distinct().collect()
+        ]
+
+        # 3. recompute each tier for affected buckets from the raw store,
+        #    pruned by date partition + semi-join on affected keys
+        raw = store.read(RAW).filter(F.col("part").isin(affected_dates))
+        for tier in self.tiers:
+            unit, _, _ = TIERS[tier]
+            keys = (
+                affected.select(
+                    F.col("conv_id").alias("__c"),
+                    F.date_trunc(unit, "bucket_1m").alias("__b"),
+                )
+                .distinct()
+            )
+            scoped = raw.join(
+                F.broadcast(keys),
+                (raw["conv_id"] == keys["__c"])
+                & (F.date_trunc(unit, raw["ts"]) == keys["__b"]),
+                "left_semi",
+            )
+            rolled = rollup_transcripts(scoped, tier)
+            metrics[tier_table(tier)] = store.upsert(
+                rolled,
+                tier_table(tier),
+                ["conv_id", "bucket_ts"],
+                F.to_date("bucket_ts"),
+            )
+
+        # 4. chunk tables: re-encode affected conversations per chunk tier
+        convs = affected.select("conv_id").distinct()
+        for tier in self.chunk_tiers:
+            tier_rows = store.read(tier_table(tier)).join(
+                F.broadcast(convs), "conv_id", "left_semi"
+            )
+            filled = gap_fill(tier_rows, tier, ("turn_cnt",), "zero", "conv")
+            chunks = encode_chunks(filled, tier, "turn_cnt", self.chunk_size)
+            metrics[f"chunks_{tier}"] = store.upsert(
+                chunks,
+                f"chunks_{tier}",
+                ["conv_id", "tier", "chunk_start"],
+                F.to_date("chunk_start"),
+            )
+
+        # 5. commit: per-table checkpoint rows with watermark + row counts
+        wm = delta.agg(F.max("ts")).collect()[0][0]
+        seq = store.next_seq()
+        rows = [
+            (run_id, t, ",".join(str(d) for d in sorted(affected_dates)), wm,
+             rows_in, n, seq)
+            for t, n in metrics.items()
+        ]
+        rows.append((run_id, "_batch", "", wm, rows_in, rows_in, seq))
+        store.log_checkpoint(rows)
+        return metrics
+
+    # ------------------------------------------------------------- resume
+
+    def unprocessed(self, source: DataFrame) -> DataFrame:
+        """Rows of `source` newer than the committed watermark — the
+        resume path after a stop: ingest(unprocessed(src), new_run_id)."""
+        wm = self.store.watermark("_batch")
+        return source if wm is None else source.filter(F.col("ts") > F.lit(wm))

@@ -33,6 +33,12 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's byte-based coalescing can't see Python/pandas-UDF CPU cost
+        # and will collapse a small-but-compute-heavy stage (Gorilla encode,
+        # xcorr scoring) to 1-2 partitions. A low floor keeps those stages
+        # at full parallelism; at real scale partitions are big and this
+        # floor is a no-op.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,170 @@
+"""Keyed upsert storage for continuous aggregates (MERGE INTO abstraction).
+
+Two backends behind one interface:
+
+  * IcebergTableStore — real `MERGE INTO ... ON keys WHEN MATCHED UPDATE
+    WHEN NOT MATCHED INSERT` (requires the iceberg-spark runtime jar and a
+    configured catalog; detected at runtime). This is the production path
+    named by the north_rule.
+  * ParquetTableStore — sandbox fallback: date-partitioned parquet with
+    partition-scoped anti-join + union + DYNAMIC partition overwrite. Only
+    the partitions present in the delta are rewritten, so merge cost is
+    O(affected partitions), not O(table) — the same locality property an
+    Iceberg MERGE with partition pruning gives at 10^12-turn scale.
+
+Checkpoints: an append-only parquet log per store with one row per
+(run_id, table, partition) carrying watermark + row-count metrics —
+the per-partition lineage the north_rule asks for. `watermark(table)`
+drives incremental reads; `is_committed(run_id, table)` makes re-runs of
+an already-committed batch no-ops (crash-resume idempotence).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["ParquetTableStore", "iceberg_available", "IcebergTableStore"]
+
+CHECKPOINT_SCHEMA = (
+    "run_id string, table string, part string, watermark_ts timestamp, "
+    "rows_in long, rows_out long, seq long"
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is on the classpath + configured."""
+    try:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return bool(spark.conf.get("spark.sql.catalog.local", None))
+    except Exception:
+        return False
+
+
+class ParquetTableStore:
+    """Parquet-backed keyed store with MERGE-like upsert + checkpoint log."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ tables
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def upsert(
+        self,
+        delta: DataFrame,
+        table: str,
+        keys: list[str],
+        partition_expr: F.Column,
+        partition_name: str = "part",
+    ) -> int:
+        """Replace-by-key within affected partitions; insert the rest.
+
+        Equivalent Iceberg SQL:
+          MERGE INTO table t USING delta s ON <keys>
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        """
+        delta = delta.withColumn(partition_name, partition_expr)
+        if not self.exists(table):
+            out = delta
+        else:
+            existing = self.read(table)
+            affected = [
+                r[0]
+                for r in delta.select(partition_name).distinct().collect()
+            ]
+            old = existing.filter(F.col(partition_name).isin(affected))
+            keep = old.join(
+                delta.select(*keys).distinct(), keys, "left_anti"
+            )
+            out = keep.unionByName(delta)
+        # cut lineage before overwriting the path we just read
+        out = out.localCheckpoint(eager=True)
+        n = out.count()
+        (
+            out.write.partitionBy(partition_name)
+            .mode("overwrite" if self.exists(table) else "append")
+            .parquet(self.path(table))
+        )
+        return n
+
+    # -------------------------------------------------------- checkpoints
+
+    @property
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.root, "_checkpoints")
+
+    def checkpoints(self) -> DataFrame:
+        if not (os.path.isdir(self._ckpt_path) and os.listdir(self._ckpt_path)):
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.parquet(self._ckpt_path)
+
+    def log_checkpoint(self, rows: list[tuple]) -> None:
+        """rows: (run_id, table, part, watermark_ts, rows_in, rows_out, seq)."""
+        df = self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self._ckpt_path)
+
+    def watermark(self, table: str):
+        """Max committed watermark_ts for a table (None when empty)."""
+        row = (
+            self.checkpoints()
+            .filter(F.col("table") == table)
+            .agg(F.max("watermark_ts").alias("wm"))
+            .collect()[0]
+        )
+        return row["wm"]
+
+    def is_committed(self, run_id: str, table: str) -> bool:
+        return (
+            self.checkpoints()
+            .filter((F.col("run_id") == run_id) & (F.col("table") == table))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def next_seq(self) -> int:
+        row = self.checkpoints().agg(F.max("seq").alias("s")).collect()[0]
+        return (row["s"] or 0) + 1
+
+
+class IcebergTableStore:
+    """Thin MERGE INTO wrapper used when an Iceberg catalog is configured.
+
+    Not exercisable in this sandbox (no iceberg jar offline) — kept as the
+    documented production backend; ParquetTableStore mirrors its
+    semantics and carries the test coverage.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str) -> None:
+        if not iceberg_available(spark):
+            raise RuntimeError("Iceberg catalog not configured on this session")
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def upsert(self, delta: DataFrame, table: str, keys: list[str]) -> None:
+        fq = f"{self.catalog}.{self.namespace}.{table}"
+        delta.createOrReplaceTempView("_delta_src")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.spark.sql(
+            f"MERGE INTO {fq} t USING _delta_src s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
