@@ -32,11 +32,48 @@ from go_muse_spark.operators.search import (
     muse_search_rollup,
     series_bounds,
 )
+from go_muse_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dups,
+)
+from go_muse_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from go_muse_spark.functions import text as X
 from go_muse_spark.sources.events import events_as_transcripts, load_table
 
 SF0001 = "/root/testdata/sf0.001"
 
 _STOPWORDS = ("the", "a", "of", "in", "and")
+
+# language-ID marker sets (heuristic; deterministic in both dialects)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "a", "in"),
+    "es": ("el", "la", "los", "de", "que"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "de": ("der", "die", "das", "und", "ein"),
+}
+
+
+def _lang_counts(dialect: str) -> dict[str, str]:
+    toks = X.tokens(dialect)
+    flt = "filter" if dialect == "spark" else "list_filter"
+    size = "size" if dialect == "spark" else "len"
+    return {
+        lang: f"{size}({flt}({toks}, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in _LANG_MARKERS.items()
+    }
+
+
+def _langid_case(dialect: str) -> str:
+    c = _lang_counts(dialect)
+    return f"""CASE
+      WHEN {c['en']} > 0 AND {c['en']} >= greatest({c['es']}, {c['fr']}, {c['de']}) THEN 'en'
+      WHEN {c['es']} > 0 AND {c['es']} >= greatest({c['fr']}, {c['de']}) THEN 'es'
+      WHEN {c['fr']} > 0 AND {c['fr']} >= {c['de']} THEN 'fr'
+      WHEN {c['de']} > 0 THEN 'de'
+      ELSE 'unknown' END"""
 
 
 # --------------------------------------------------------------- helpers
@@ -208,9 +245,55 @@ def q_results_filter(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on content; keeper = min doc_id (the
     Group.Add uniqueness rule, group.go:39-41, as a relational dedup)."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands) candidates, verified by exact token-set
+    Jaccard >= 0.5. Oracle replays the identical arithmetic in DuckDB."""
+    return minhash_near_dups(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"), 16)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    return simhash_near_dups(
+        load_table(spark, sf_dir, "documents"), bits=16, max_hamming=3
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram shingle Jaccard >= 0.3, blocked by source."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.3
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial hash of the whole document (content address)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_id")
+    return docs.select(
+        "doc_id", F.expr(X.char_hash("spark", "text")).alias("fingerprint")
+    )
+
+
+def q_langid(spark, sf_dir):
+    """Marker-stopword language-ID heuristic (deterministic CASE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(_langid_case("spark")).alias("lang_pred")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN: cosine top-10 within the query's hyperplane-LSH
+    bucket (deterministic LCG planes, exact in both engines)."""
+    return ann_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, planes=4
     )
 
 
@@ -244,31 +327,7 @@ def q_quality_score(spark, sf_dir):
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-K against the vec_id=0 embedding; JVM-side
     zip_with/aggregate fold, no Python in the loop."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_emb")
-    )
-    dot = F.aggregate(
-        F.zip_with("embedding", "q_emb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                dot / (norm(F.col("embedding")) * norm(F.col("q_emb"))), 6
-            ).alias("cosine"),
-        )
-    )
-    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(20)
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), 0, 20)
 
 
 def q_muse_topk_1h(spark, sf_dir):
@@ -336,9 +395,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_abs_score": q_topk_abs_score,
         "results_filter": q_results_filter,
         "dedup_exact": q_dedup_exact,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "langid": q_langid,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "muse_topk_1h": q_muse_topk_1h,
         "muse_grouped_1h": q_muse_grouped_1h,
     }
@@ -426,6 +492,87 @@ SELECT doc_id,
        round(len(list_distinct(string_split(text, ' ')))
              / len(string_split(text, ' ')), 6) AS uniq_ratio
 FROM documents
+""",
+        "minhash_near_dups": f"""
+WITH hs AS MATERIALIZED (
+  SELECT doc_id, {X.shingle_hashes('duck', 3)} AS th FROM documents
+), sigs AS MATERIALIZED (
+  SELECT doc_id, {X.minhash_array('duck', 16, src='th')} AS sig FROM hs
+), banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, {X.band_hash('duck', 'sig', b, 4)} AS bh FROM sigs"
+      for b in range(4)
+  )}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), toks AS MATERIALIZED (
+  SELECT doc_id, list_distinct({X.shingles('duck', 3)}) AS toks FROM documents
+)
+SELECT doc_a, doc_b,
+       round({X.jaccard('duck', 'ta.toks', 'tb.toks')}, 6) AS jaccard
+FROM cands
+JOIN toks ta ON doc_a = ta.doc_id
+JOIN toks tb ON doc_b = tb.doc_id
+WHERE round({X.jaccard('duck', 'ta.toks', 'tb.toks')}, 6) >= 0.5
+""",
+        "simhash_fingerprints": f"""
+WITH hs AS MATERIALIZED (
+  SELECT doc_id, {X.shingle_hashes('duck', 3)} AS th FROM documents
+)
+SELECT doc_id, {X.simhash('duck', 16, src='th')} AS simhash FROM hs
+""",
+        "simhash_near_dups": f"""
+WITH hs AS MATERIALIZED (
+  SELECT doc_id, {X.shingle_hashes('duck', 3)} AS th FROM documents
+), fp AS MATERIALIZED (
+  SELECT doc_id, {X.simhash('duck', 16, src='th')} AS simhash FROM hs
+), banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {b} AS band, simhash & {((1 << 4) - 1) << (b * 4)} AS bh FROM fp"
+      for b in range(4)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "ngram_jaccard_pairs": f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, source AS blk,
+         list_distinct({X.shingles('duck', 3)}) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round({X.jaccard('duck', 'a.sh', 'b.sh')}, 6) AS jaccard
+FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE round({X.jaccard('duck', 'a.sh', 'b.sh')}, 6) >= 0.3
+""",
+        "doc_fingerprint": f"""
+SELECT doc_id, {X.char_hash('duck', 'text')} AS fingerprint FROM documents
+""",
+        "langid": f"""
+SELECT doc_id, {_langid_case('duck')} AS lang_pred FROM documents
+""",
+        "ann_lsh_topk": f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {X.hyperplane_bucket('duck', 'embedding', 4, 64)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT bucket AS q_bucket, embedding AS q_emb FROM b WHERE vec_id = 0
+)
+SELECT b.vec_id,
+       round(({X.dot_product('duck', 'b.embedding', 'q.q_emb', 64)})
+             / (sqrt({X.dot_product('duck', 'b.embedding', 'b.embedding', 64)})
+                * sqrt({X.dot_product('duck', 'q.q_emb', 'q.q_emb', 64)})), 6)
+         AS cosine
+FROM b, q
+WHERE b.vec_id <> 0 AND b.bucket = q.q_bucket
+ORDER BY cosine DESC, b.vec_id LIMIT 10
 """,
         "cosine_topk": """
 WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

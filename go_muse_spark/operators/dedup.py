@@ -1,0 +1,181 @@
+"""Deduplication operators over a documents table (doc_id, text, ...).
+
+The large-scale training-data-pipeline suite: exact, MinHash+LSH, SimHash,
+and n-gram Jaccard dedup. All hashing is the dual-dialect arithmetic from
+functions/text.py, so every operator here has a value-exact DuckDB oracle.
+
+Scale shapes (the part that matters at 10^12 docs):
+  * exact: one hash-aggregate on the content key — partial agg kills the
+    shuffle volume; for long texts group on sha2(text) instead.
+  * MinHash LSH: signatures are a narrow projection (k longs/doc);
+    candidate generation is groupBy(band_hash) — only docs sharing a band
+    bucket ever meet, so the pair space is output-sensitive, never O(n^2).
+    Verification joins signatures back (equi-join on doc_id).
+  * SimHash: one 64/16-bit fingerprint per doc; near-dup candidates via
+    band equality on fingerprint nibbles (hamming<=d within buckets).
+  * n-gram Jaccard: exact pairwise, but scoped by a blocking column
+    (e.g. source) — the honest brute-force baseline for the LSH paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_muse_spark.functions import text as X
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_near_dups",
+    "simhash_fingerprints",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
+    """One row per distinct content: keeper (min doc_id) + dup count."""
+    return docs.groupBy(content_col).agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_id")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
+    # materialize the shingle-hash array once; the k minhash slots then
+    # reference the column (the expression builders repeat their source
+    # textually, which would otherwise recompute the hashing k times)
+    hashed = docs.select(
+        "doc_id", F.expr(X.shingle_hashes("spark", 3)).alias("th")
+    )
+    return hashed.select(
+        "doc_id", F.expr(X.minhash_array("spark", k, src="th")).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
+    rows = k // bands
+    sigs = minhash_signatures(docs, k)
+    banded = None
+    for b in range(bands):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.expr(X.band_hash("spark", "sig", b, rows)).alias("bh"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame, threshold: float = 0.5, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH candidates verified with exact 3-gram-shingle-set Jaccard."""
+    cands = lsh_candidate_pairs(docs, k, bands)
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"array_distinct({X.shingles('spark', 3)})").alias("toks"),
+    )
+    j = X.jaccard("spark", "ta.toks", "tb.toks")
+    return (
+        cands.join(toks.alias("ta"), cands["doc_a"] == F.col("ta.doc_id"))
+        .join(toks.alias("tb"), cands["doc_b"] == F.col("tb.doc_id"))
+        .select(
+            "doc_a", "doc_b", F.round(F.expr(j), 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
+    hashed = docs.select(
+        "doc_id", F.expr(X.shingle_hashes("spark", 3)).alias("th")
+    )
+    return hashed.select(
+        "doc_id", F.expr(X.simhash("spark", bits, src="th")).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame, bits: int = 16, max_hamming: int = 2, bands: int = 4
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming, blocked on nibble bands
+    (a pair within hamming d shares >= bands-d of the bands; with d <
+    bands at least one band matches exactly — the pigeonhole trick)."""
+    fp = simhash_fingerprints(docs, bits)
+    width = bits // bands
+    banded = None
+    for b in range(bands):
+        part = fp.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            ((F.col("simhash").bitwiseAND(
+                F.lit(((1 << width) - 1) << (b * width))
+            ))).alias("bh"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, bb = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    block_col: str = "source",
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard pairs within a blocking column."""
+    sh = docs.select(
+        "doc_id",
+        F.col(block_col).alias("blk"),
+        F.expr(f"array_distinct({X.shingles('spark', n)})").alias("sh"),
+    )
+    j = X.jaccard("spark", "a.sh", "b.sh")
+    return (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(F.expr(j), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,101 @@
+"""Training-data ops: dedup family + similarity search semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dups,
+)
+from go_muse_spark.operators.similarity import ann_lsh_topk, cosine_topk, lsh_buckets
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+    far = "completely different words describing tables chairs spoons forks plates cups"
+    rows = [
+        (0, base, "a"),
+        (1, base, "a"),  # exact dup of 0
+        (2, near, "a"),  # near dup of 0 (one trailing word differs)
+        (3, far, "a"),
+        (4, "tiny", "b"),  # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    got = {r["text"]: (r["n_dups"], r["keeper_id"]) for r in exact_dedup(docs).collect()}
+    assert got[docs.collect()[0]["text"]] == (2, 0)
+    assert len(got) == 4  # 5 docs, one exact dup
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    assert sigs[0] != sigs[3]
+    # doc 4 has no shingles -> all-null signature
+    assert all(v is None for v in sigs[4])
+
+
+def test_minhash_near_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in minhash_near_dups(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_lsh_candidates_superset_of_dups(spark, docs):
+    cands = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in cands
+
+
+def test_simhash(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    assert 0 <= fp[0] < (1 << 16)
+    nd = {(r["doc_a"], r["doc_b"]): r["hamming"]
+          for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    assert nd[(0, 1)] == 0
+    assert (0, 3) not in nd
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs  # below threshold despite same block
+
+
+@pytest.fixture()
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(50, 64))
+    # vec 7 = scaled copy of vec 0 -> cosine 1.0
+    vecs[7] = vecs[0] * 2.5
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk(spark, emb):
+    top = cosine_topk(emb, 0, 5).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cosine"] == pytest.approx(1.0)
+    assert all(top[i]["cosine"] >= top[i + 1]["cosine"] for i in range(4))
+
+
+def test_ann_lsh_finds_scaled_copy(spark, emb):
+    # a scaled copy lands in the same hyperplane bucket by construction
+    buckets = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, 4).collect()}
+    assert buckets[0] == buckets[7]
+    top = ann_lsh_topk(emb, 0, k=3, planes=4).collect()
+    assert top and top[0]["vec_id"] == 7
