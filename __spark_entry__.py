@@ -174,8 +174,7 @@ def q_chunks_roundtrip_1h(spark, sf_dir):
     """encode -> decode must reproduce the dense rollup exactly; the oracle
     is the plain gap-filled rollup SQL (no codec on the DuckDB side)."""
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
-    filled = gap_fill(rolled, "1h", ("turn_cnt",), mode="zero", align="conv")
-    chunks = encode_chunks(filled, "1h", "turn_cnt", chunk_size=256)
+    chunks = encode_chunks(rolled, "1h", "turn_cnt", chunk_size=256, fill="zero")
     decoded = decode_chunks(chunks, "turn_cnt")
     return decoded.select(
         F.col("conv_id").alias("user_id"),

@@ -28,7 +28,6 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from go_muse_spark.operators.compress import encode_chunks  # noqa: E402
-from go_muse_spark.operators.gapfill import gap_fill  # noqa: E402
 from go_muse_spark.operators.rollup import rollup_all_tiers  # noqa: E402
 from go_muse_spark.session import get_spark  # noqa: E402
 from go_muse_spark.sources.transcripts import write_transcripts  # noqa: E402
@@ -56,8 +55,9 @@ def sf_frac(sf_dir: str) -> float:
 
 
 def corpus_path(frac: float) -> str:
-    """Deterministic transcript corpus sized ~proportionally to sf."""
-    n_convs = max(50, int(20_000 * frac))
+    """Deterministic transcript corpus sized ~proportionally to sf
+    (override with SPARK_GRAFT_CONVS for scaling runs)."""
+    n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", "0")) or max(50, int(20_000 * frac))
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     os.makedirs(cache, exist_ok=True)
     path = os.path.join(cache, f"tx_convs{n_convs}.parquet")
@@ -90,12 +90,18 @@ def main() -> None:
     t0 = time.time()
     tiers = rollup_all_tiers(tx)
     tiers["1m"] = tiers["1m"].persist()
+    tiers["1h"] = tiers["1h"].persist()
+    # fused gapfill+encode per tier, one action for all three tiers
+    chunked = None
     for tier in ("1m", "1h", "1d"):
-        filled = gap_fill(tiers[tier], tier, ("turn_cnt",), "zero", align="conv")
-        chunks = encode_chunks(filled, tier, "turn_cnt", chunk_size=1024)
-        noop_write(chunks)
+        chunks = encode_chunks(
+            tiers[tier], tier, "turn_cnt", chunk_size=1024, fill="zero"
+        )
+        chunked = chunks if chunked is None else chunked.unionByName(chunks)
+    noop_write(chunked)
     pipeline_wall = time.time() - t0
     tiers["1m"].unpersist()
+    tiers["1h"].unpersist()
 
     # ---------------- per-query timings on the driver fixtures
     # best-of-2 per query: the second run amortizes Python-worker spawn

@@ -43,11 +43,41 @@ def encode_chunks(
     tier: str,
     value_col: str = "turn_cnt",
     chunk_size: int = 1024,
+    fill: str | None = None,
+    tier_secs: int | None = None,
 ) -> DataFrame:
-    """Compress dense (conv_id, bucket_ts, value) rows into chunk rows."""
+    """Compress dense (conv_id, bucket_ts, value) rows into chunk rows.
+
+    fill=None expects already-dense input (gap_fill output). fill=
+    "zero"/"ffill"/"linear" fuses the gap fill into this same grouped
+    pass (reindex over the conv's bucket range inside the UDF) — one
+    shuffle + one Python stage instead of two joins + a shuffle, the
+    preferred shape for the ingest pipeline.
+    """
+    if fill is not None and tier_secs is None:
+        from go_muse_spark.operators.rollup import TIERS
+
+        tier_secs = TIERS[tier][1]
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_ts")
+        if fill is not None:
+            s = pdf.set_index("bucket_ts")[value_col]
+            idx = pd.date_range(
+                s.index.min(), s.index.max(), freq=pd.Timedelta(seconds=tier_secs)
+            )
+            s = s.reindex(idx)
+            if fill == "zero":
+                s = s.fillna(0.0)
+            elif fill == "ffill":
+                s = s.ffill()
+            elif fill == "linear":
+                s = s.interpolate(method="linear", limit_direction="both")
+            else:
+                raise ValueError(f"unknown fill {fill!r}")
+            pdf = pd.DataFrame(
+                {"conv_id": pdf["conv_id"].iloc[0], "bucket_ts": idx, value_col: s.to_numpy()}
+            )
         ts = pdf["bucket_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         vals = pdf[value_col].to_numpy(dtype=np.float64)
         conv = pdf["conv_id"].iloc[0]

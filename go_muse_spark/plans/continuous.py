@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_muse_spark.operators.compress import encode_chunks
-from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.rollup import TIERS, rollup_transcripts
 from go_muse_spark.sources.store import ParquetTableStore
 
@@ -117,8 +116,10 @@ class ContinuousAggregates:
             tier_rows = store.read(tier_table(tier)).join(
                 F.broadcast(convs), "conv_id", "left_semi"
             )
-            filled = gap_fill(tier_rows, tier, ("turn_cnt",), "zero", "conv")
-            chunks = encode_chunks(filled, tier, "turn_cnt", self.chunk_size)
+            # fused gapfill+encode: one shuffle + one Python stage
+            chunks = encode_chunks(
+                tier_rows, tier, "turn_cnt", self.chunk_size, fill="zero"
+            )
             metrics[f"chunks_{tier}"] = store.upsert(
                 chunks,
                 f"chunks_{tier}",

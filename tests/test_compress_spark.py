@@ -58,3 +58,23 @@ def test_search_over_decoded_chunks(spark):
     for name, (lag, score) in EXPECT.items():
         assert got[name][0] == lag, name
         assert abs(got[name][1] - score) < 1e-3, name
+
+
+def test_fused_fill_encode_equals_separate(spark):
+    """encode_chunks(fill='zero') == gap_fill + encode_chunks."""
+    tx = transcripts_for_tier(spark, "1m")
+    rolled = rollup_transcripts(tx, "1m")
+    sep = decode_chunks(
+        encode_chunks(
+            gap_fill(rolled, "1m", ("turn_cnt",), "zero", align="conv"),
+            "1m", "turn_cnt", chunk_size=7,
+        ),
+        "turn_cnt",
+    )
+    fused = decode_chunks(
+        encode_chunks(rolled, "1m", "turn_cnt", chunk_size=7, fill="zero"),
+        "turn_cnt",
+    )
+    a = sorted(map(tuple, sep.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b

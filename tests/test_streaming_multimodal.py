@@ -1,0 +1,117 @@
+"""Streaming foreachBatch ingest + multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.multimodal import (
+    decode_image_features,
+    frame_sample_plan,
+    with_content_hash,
+)
+from go_muse_spark.operators.rollup import rollup_all_tiers
+from go_muse_spark.plans.continuous import ContinuousAggregates, tier_table
+from go_muse_spark.sources.store import ParquetTableStore
+from go_muse_spark.sources.transcripts import generate_transcripts
+from go_muse_spark.streaming.ingest import stream_ingest, streaming_rollup_1m
+
+
+def test_stream_ingest_foreachbatch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = generate_transcripts(n_convs=20, seed=42, hot_turns=400).to_pandas()
+    static = spark.createDataFrame(pdf)
+    static.write.mode("overwrite").parquet(str(src / "p1"))
+
+    store = ParquetTableStore(spark, str(tmp_path / "store"))
+    ca = ContinuousAggregates(store, chunk_tiers=())
+    stream = (
+        spark.readStream.schema(static.schema).parquet(str(src / "p1"))
+    )
+    q = stream_ingest(stream, ca, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        map(
+            tuple,
+            store.read(tier_table("1m"))
+            .select("conv_id", "bucket_ts", "turn_cnt")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            rollup_all_tiers(static)["1m"]
+            .select("conv_id", "bucket_ts", "turn_cnt")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_streaming_rollup_memory_sink(spark, tmp_path):
+    src = tmp_path / "s2"
+    src.mkdir()
+    pdf = generate_transcripts(n_convs=10, seed=42, hot_turns=200).to_pandas()
+    static = spark.createDataFrame(pdf)
+    static.write.mode("overwrite").parquet(str(src / "p"))
+    stream = spark.readStream.schema(static.schema).parquet(str(src / "p"))
+    agg = streaming_rollup_1m(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("roll1m")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select sum(turn_cnt) from roll1m").collect()[0][0]
+    assert got == static.count()
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        ("m1", "image", bytes([1, 2, 3, 4]), (16, 12, "image/png", None)),
+        ("m2", "image", bytes([1, 2, 3, 4]), (16, 12, "image/png", None)),
+        ("m3", "video", bytes([9, 9]), (8, 8, "video/mp4", 3500)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, mime:string, duration_ms:int>",
+    )
+
+
+def test_content_hash_dedup(spark, media):
+    hashed = with_content_hash(media)
+    dups = hashed.groupBy("content_hash").count().filter("count > 1").collect()
+    assert len(dups) == 1 and dups[0]["count"] == 2  # m1 == m2
+
+
+def test_decode_stub_raises_without_fake(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_image_features(media.filter("kind = 'image'")).collect()
+
+
+def test_fake_decode_deterministic_features(spark, media):
+    out = {
+        r["media_id"]: r["features"]
+        for r in decode_image_features(
+            media.filter("kind = 'image'"), n_features=7, fake=True
+        ).collect()
+    }
+    assert len(out["m1"]) == 7
+    assert out["m1"] == out["m2"]  # same payload -> same features
+    assert all(0.0 <= v <= 1.0 for v in out["m1"])
+
+
+def test_frame_sample_plan(spark, media):
+    rows = frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["frame_idx"], r["frame_ts_ms"]) for r in rows] == [
+        (0, 0),
+        (1, 1000),
+        (2, 2000),
+    ]
