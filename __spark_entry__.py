@@ -41,6 +41,7 @@ from go_muse_spark.operators.dedup import (
 )
 from go_muse_spark.operators.similarity import ann_lsh_topk, cosine_topk
 from go_muse_spark.functions import text as X
+from go_muse_spark.session import ship_package
 from go_muse_spark.sources.events import events_as_transcripts, load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -376,12 +377,30 @@ def q_muse_grouped_1h(spark, sf_dir):
 # ----------------------------------------------------------- the contract
 
 
+def _shipped(fn):
+    """Ship the package zip to executors before running (the driver owns
+    the SparkSession, so --py-files may not have been passed)."""
+
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    ship_package(spark)
     return q_muse_topk_1h(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _shipped(fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,

@@ -60,9 +60,9 @@ def corpus_path(frac: float) -> str:
     n_convs = int(os.environ.get("SPARK_GRAFT_CONVS", "0")) or max(50, int(20_000 * frac))
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"tx_convs{n_convs}.parquet")
+    path = os.path.join(cache, f"tx_convs{n_convs}_d64.parquet")
     if not os.path.exists(path):
-        write_transcripts(path, n_convs=n_convs, seed=42)
+        write_transcripts(path, n_files=64, n_convs=n_convs, seed=42)
     return path
 
 

@@ -38,6 +38,32 @@ CHUNK_SCHEMA = (
 )
 
 
+def _dense_fill(
+    ts: np.ndarray, vals: np.ndarray, step_us: int, fill: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Densify one conv's (sorted) sparse buckets over [min, max]."""
+    lo, hi = int(ts[0]), int(ts[-1])
+    n = (hi - lo) // step_us + 1
+    if n == len(ts):  # already dense
+        return ts, vals
+    dense_ts = lo + np.arange(n, dtype=np.int64) * step_us
+    idx = (ts - lo) // step_us
+    if fill == "zero":
+        out = np.zeros(n, dtype=np.float64)
+        out[idx] = vals
+    elif fill == "ffill":
+        # index of the most recent present bucket at each dense position
+        present = np.zeros(n, dtype=np.int64)
+        present[idx] = 1
+        src = np.cumsum(present) - 1
+        out = vals[src]
+    elif fill == "linear":
+        out = np.interp(dense_ts, ts, vals)  # interior lerp, edge clamp
+    else:
+        raise ValueError(f"unknown fill {fill!r}")
+    return dense_ts, out
+
+
 def encode_chunks(
     filled: DataFrame,
     tier: str,
@@ -45,71 +71,70 @@ def encode_chunks(
     chunk_size: int = 1024,
     fill: str | None = None,
     tier_secs: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """Compress dense (conv_id, bucket_ts, value) rows into chunk rows.
+    """Compress (conv_id, bucket_ts, value) rows into chunk rows.
 
-    fill=None expects already-dense input (gap_fill output). fill=
-    "zero"/"ffill"/"linear" fuses the gap fill into this same grouped
-    pass (reindex over the conv's bucket range inside the UDF) — one
-    shuffle + one Python stage instead of two joins + a shuffle, the
-    preferred shape for the ingest pipeline.
+    fill=None expects already-dense input (gap_fill output); fill=
+    "zero"/"ffill"/"linear" densifies inside the same pass (numpy
+    scatter/accumulate/interp — fused gap fill, no spine join).
+
+    Shape: repartition by conv_id + sortWithinPartitions + ONE
+    mapInPandas over whole partitions. Groups are sliced with numpy
+    boundary arithmetic instead of per-group pandas frames — per-group
+    overhead is ~microseconds, which matters when millions of small
+    conversations each contribute a handful of buckets (the grouped-map
+    alternative costs ~ms per group in Arrow/pandas machinery alone).
     """
     if fill is not None and tier_secs is None:
         from go_muse_spark.operators.rollup import TIERS
 
         tier_secs = TIERS[tier][1]
+    step_us = (tier_secs or 0) * 1_000_000
+    spark = filled.sparkSession
+    n_part = parallelism or spark.sparkContext.defaultParallelism
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_ts")
-        if fill is not None:
-            s = pdf.set_index("bucket_ts")[value_col]
-            idx = pd.date_range(
-                s.index.min(), s.index.max(), freq=pd.Timedelta(seconds=tier_secs)
-            )
-            s = s.reindex(idx)
-            if fill == "zero":
-                s = s.fillna(0.0)
-            elif fill == "ffill":
-                s = s.ffill()
-            elif fill == "linear":
-                s = s.interpolate(method="linear", limit_direction="both")
-            else:
-                raise ValueError(f"unknown fill {fill!r}")
-            pdf = pd.DataFrame(
-                {"conv_id": pdf["conv_id"].iloc[0], "bucket_ts": idx, value_col: s.to_numpy()}
-            )
-        ts = pdf["bucket_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
-        conv = pdf["conv_id"].iloc[0]
-        rows = []
-        for lo in range(0, len(ts), chunk_size):
-            hi = min(lo + chunk_size, len(ts))
-            rows.append(
-                (
-                    conv,
-                    tier,
-                    pdf["bucket_ts"].iloc[lo],
-                    hi - lo,
-                    encode_timestamps(ts[lo:hi]),
-                    encode_floats(vals[lo:hi]),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "conv_id",
-                "tier",
-                "chunk_start",
-                "n_points",
-                "ts_bytes",
-                "val_bytes",
-            ],
+    def op(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        convs = pdf["conv_id"].to_numpy()
+        ts_all = pdf["bucket_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vals_all = pdf[value_col].to_numpy(dtype=np.float64)
+        change = np.flatnonzero(convs[1:] != convs[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(convs)]))
+        out_conv, out_start, out_n, out_tb, out_vb = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            ts, vals = ts_all[s:e], vals_all[s:e]
+            if fill is not None:
+                ts, vals = _dense_fill(ts, vals, step_us, fill)
+            for lo in range(0, len(ts), chunk_size):
+                hi = min(lo + chunk_size, len(ts))
+                out_conv.append(convs[s])
+                out_start.append(ts[lo])
+                out_n.append(hi - lo)
+                out_tb.append(encode_timestamps(ts[lo:hi]))
+                out_vb.append(encode_floats(vals[lo:hi]))
+        if not out_conv:
+            return
+        yield pd.DataFrame(
+            {
+                "conv_id": out_conv,
+                "tier": tier,
+                "chunk_start": pd.to_datetime(np.asarray(out_start, dtype="datetime64[us]")),
+                "n_points": np.asarray(out_n, dtype=np.int32),
+                "ts_bytes": out_tb,
+                "val_bytes": out_vb,
+            }
         )
 
     return (
         filled.select("conv_id", "bucket_ts", value_col)
-        .groupBy("conv_id")
-        .applyInPandas(encode, CHUNK_SCHEMA)
+        .repartition(n_part, "conv_id")
+        .sortWithinPartitions("conv_id", "bucket_ts")
+        .mapInPandas(op, CHUNK_SCHEMA)
     )
 
 

@@ -11,9 +11,49 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "DEFAULT_CPUS"]
+__all__ = ["get_spark", "ship_package", "DEFAULT_CPUS"]
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_PKG_ZIP: str | None = None
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _package_zip() -> str:
+    """Zip this package once per process (the --py-files artifact)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        fd, zpath = tempfile.mkstemp(prefix="go_muse_spark_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+        _PKG_ZIP = zpath
+    return _PKG_ZIP
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make go_muse_spark importable on executor Python workers.
+
+    Cluster deployment uses ``spark-submit --py-files go_muse_spark.zip``;
+    this is the programmatic equivalent (sc.addPyFile) so the engine works
+    no matter what cwd/PYTHONPATH the driver was launched with — UDF
+    closures are pickled by reference and workers must import the module.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    sc.addPyFile(_package_zip())
+    _SHIPPED_CONTEXTS.add(id(sc))
 
 
 def get_spark(
@@ -46,9 +86,14 @@ def get_spark(
         .config("spark.driver.memory", driver_mem or os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # local single-file fixtures: split scans finer so the read side
+        # parallelizes (at cluster scale files are plentiful and this only
+        # caps per-task input)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark

@@ -23,6 +23,8 @@ schema and invariants are identical.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -112,8 +114,24 @@ def generate_transcripts(
     )
 
 
-def write_transcripts(path: str, **kwargs) -> str:
-    """Generate and write the corpus as a parquet file; returns the path."""
+def write_transcripts(path: str, n_files: int = 1, **kwargs) -> str:
+    """Generate and write the corpus as parquet; returns the path.
+
+    n_files > 1 writes a directory of part files (row-sliced) so a local
+    Spark scan parallelizes the way a many-file cluster dataset would —
+    a single 40 MB file is otherwise one scan task regardless of cores.
+    """
     table = generate_transcripts(**kwargs)
-    pq.write_table(table, path, row_group_size=1_000_000)
+    if n_files <= 1:
+        pq.write_table(table, path, row_group_size=1_000_000)
+        return path
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    step = (n + n_files - 1) // n_files
+    for i, lo in enumerate(range(0, n, step)):
+        pq.write_table(
+            table.slice(lo, step),
+            os.path.join(path, f"part-{i:05d}.parquet"),
+            row_group_size=200_000,
+        )
     return path
