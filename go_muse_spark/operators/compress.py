@@ -30,7 +30,7 @@ from go_muse_spark.functions.codecs import (
     encode_timestamps,
 )
 
-__all__ = ["encode_chunks", "decode_chunks", "CHUNK_SCHEMA"]
+__all__ = ["encode_chunks", "encode_tiers_fused", "decode_chunks", "CHUNK_SCHEMA"]
 
 CHUNK_SCHEMA = (
     "conv_id string, tier string, chunk_start timestamp, n_points int, "
@@ -132,6 +132,88 @@ def encode_chunks(
 
     return (
         filled.select("conv_id", "bucket_ts", value_col)
+        .repartition(n_part, "conv_id")
+        .sortWithinPartitions("conv_id", "bucket_ts")
+        .mapInPandas(op, CHUNK_SCHEMA)
+    )
+
+
+def encode_tiers_fused(
+    rollup_1m: DataFrame,
+    value_col: str = "turn_cnt",
+    chunk_size: int = 1024,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """All three retention tiers in ONE pass over the 1m continuous
+    aggregate: zero-gap-fill the sparse 1m rollup to a dense spine,
+    hierarchically re-aggregate 1m -> 1h -> 1d with ``np.add.reduceat``,
+    and Gorilla/DoD-encode every tier's chunks — a single shuffle
+    (repartition by conv_id) and a single mapInPandas stage for the whole
+    L2+L3 pipeline, versus 2 groupBy shuffles + 3 repartition shuffles +
+    3 Python stages for the unfused per-tier path.
+
+    Equivalent to ``encode_chunks(tier, fill="zero")`` per tier (count/sum
+    aggregates compose exactly across tiers; the zero-filled dense 1m
+    series sums hour-by-hour to the sparse 1h rollup because filled
+    minutes contribute 0) — asserted by tests/test_compress_spark.py.
+
+    Scale note (10^12 turns): input is the already-shuffled 1m aggregate
+    (O(convs x buckets) rows, not O(turns)); the only data movement here
+    is one hash exchange on conv_id. Hot conversations emit many uniform
+    chunk rows, so downstream stays balanced.
+    """
+    hour_us = 3_600 * 1_000_000
+    day_us = 86_400 * 1_000_000
+    spark = rollup_1m.sparkSession
+    n_part = parallelism or spark.sparkContext.defaultParallelism
+
+    def _coarsen(ts: np.ndarray, vals: np.ndarray, step_us: int):
+        """Dense finer series -> dense coarser sums (bucket = floor/step)."""
+        bucket = ts // step_us
+        bounds = np.flatnonzero(bucket[1:] != bucket[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        return bucket[starts] * step_us, np.add.reduceat(vals, starts)
+
+    def op(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        convs = pdf["conv_id"].to_numpy()
+        ts_all = pdf["bucket_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vals_all = pdf[value_col].to_numpy(dtype=np.float64)
+        change = np.flatnonzero(convs[1:] != convs[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(convs)]))
+        out: dict[str, list] = {
+            "conv_id": [], "tier": [], "chunk_start": [],
+            "n_points": [], "ts_bytes": [], "val_bytes": [],
+        }
+        for s, e in zip(starts, ends):
+            ts_1m, v_1m = _dense_fill(ts_all[s:e], vals_all[s:e], 60_000_000, "zero")
+            ts_1h, v_1h = _coarsen(ts_1m, v_1m, hour_us)
+            ts_1d, v_1d = _coarsen(ts_1h, v_1h, day_us)
+            for tier, ts, vals in (
+                ("1m", ts_1m, v_1m), ("1h", ts_1h, v_1h), ("1d", ts_1d, v_1d)
+            ):
+                for lo in range(0, len(ts), chunk_size):
+                    hi = min(lo + chunk_size, len(ts))
+                    out["conv_id"].append(convs[s])
+                    out["tier"].append(tier)
+                    out["chunk_start"].append(ts[lo])
+                    out["n_points"].append(hi - lo)
+                    out["ts_bytes"].append(encode_timestamps(ts[lo:hi]))
+                    out["val_bytes"].append(encode_floats(vals[lo:hi]))
+        if not out["conv_id"]:
+            return
+        out["chunk_start"] = pd.to_datetime(
+            np.asarray(out["chunk_start"], dtype="datetime64[us]")
+        )
+        out["n_points"] = np.asarray(out["n_points"], dtype=np.int32)
+        yield pd.DataFrame(out)
+
+    return (
+        rollup_1m.select("conv_id", "bucket_ts", value_col)
         .repartition(n_part, "conv_id")
         .sortWithinPartitions("conv_id", "bucket_ts")
         .mapInPandas(op, CHUNK_SCHEMA)

@@ -78,3 +78,29 @@ def test_fused_fill_encode_equals_separate(spark):
     a = sorted(map(tuple, sep.collect()))
     b = sorted(map(tuple, fused.collect()))
     assert a == b
+
+
+def test_encode_tiers_fused_equals_per_tier(spark):
+    """encode_tiers_fused == encode_chunks(fill='zero') per tier, chunk
+    rows byte-identical (same fill, same hierarchical sums, same codec)."""
+    from go_muse_spark.operators.compress import encode_tiers_fused
+    from go_muse_spark.operators.rollup import rollup_all_tiers
+
+    tx = transcripts_for_tier(spark, "1m")
+    tiers = rollup_all_tiers(tx)
+    per_tier = []
+    for tier in ("1m", "1h", "1d"):
+        per_tier.append(
+            encode_chunks(tiers[tier], tier, "turn_cnt", chunk_size=7, fill="zero")
+        )
+    sep = per_tier[0].unionByName(per_tier[1]).unionByName(per_tier[2])
+    fused = encode_tiers_fused(tiers["1m"], "turn_cnt", chunk_size=7)
+
+    def rows(df):
+        return sorted(
+            (r["conv_id"], r["tier"], r["chunk_start"], r["n_points"],
+             bytes(r["ts_bytes"]), bytes(r["val_bytes"]))
+            for r in df.collect()
+        )
+
+    assert rows(sep) == rows(fused)

@@ -18,8 +18,23 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# Scaling-run corpus: sparse long-span conversations (mean inter-turn gap
+# 1h) so the gap-fill + hierarchical re-agg + Gorilla encode stage carries
+# hundreds of core-seconds of parallel work — at the default sf0.1 corpus
+# the whole pipeline finishes in a few seconds of fixed stage latency and
+# no parallelism level can differentiate itself. Same corpus for both
+# legs, which is what the north_rule's two-cluster-size criterion asks.
+SCALING_CORPUS = {
+    "SPARK_GRAFT_CONVS": "20000",
+    "SPARK_GRAFT_GAP_S": "3600",
+    "SPARK_GRAFT_SPAN_D": "30",
+}
+
+
 def run_at(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    for k, v in SCALING_CORPUS.items():
+        env.setdefault(k, v)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
