@@ -39,7 +39,15 @@ from go_muse_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_near_dups,
 )
-from go_muse_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from go_muse_spark.operators.multimodal import (
+    decode_image_features,
+    frame_sample_plan,
+)
+from go_muse_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dups,
+)
 from go_muse_spark.functions import text as X
 from go_muse_spark.session import ship_package
 from go_muse_spark.sources.events import events_as_transcripts, load_table
@@ -168,6 +176,57 @@ def q_gapfill_ffill_1h(spark, sf_dir):
         "bucket_ts",
         F.round("value_avg", 6).alias("value_avg"),
         "filled",
+    )
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    """Linear-interpolation gap fill (interior lerp, edge clamp) over the
+    hourly per-turn value average."""
+    rolled = rollup_transcripts(
+        _tx(spark, sf_dir), "1h", sum_cols={"value_sum": "value"}
+    ).withColumn("value_avg", F.col("value_sum") / F.col("turn_cnt"))
+    filled = gap_fill(rolled, "1h", ("value_avg",), mode="linear", align="conv")
+    return filled.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.round("value_avg", 6).alias("value_avg"),
+        "filled",
+    )
+
+
+def _docs_as_media(spark, sf_dir):
+    """Documents re-cast as multimodal rows: payload = utf-8 bytes of the
+    text (opaque binary), typed meta derived deterministically from
+    doc_id. Every 5th doc is a 'video' with a duration."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 5 == 0, "video").otherwise("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+            (F.lit(8) + F.col("doc_id") % 5).cast("int").alias("height"),
+            F.lit("image/fake").alias("mime"),
+            ((F.col("doc_id") % 7 + 1) * 1500).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary payload -> feature vector via mapInPandas (Arrow batches).
+    The decode is the deterministic stub (no image libs in-sandbox); the
+    Spark plumbing (schema, batch shape, UDF signature) is the real path.
+    Not SQL-expressible (numpy PCG64 inside the stub) -> rows-only."""
+    return decode_image_features(_docs_as_media(spark, sf_dir), 7, fake=True)
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: fully relational sequence/explode."""
+    plan = frame_sample_plan(_docs_as_media(spark, sf_dir), every_ms=1000)
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
     )
 
 
@@ -324,6 +383,14 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, hyperplane-LSH blocked (equi-join
+    on bucket), exact cosine verify — all JVM-side folds."""
+    return embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, planes=4
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-K against the vec_id=0 embedding; JVM-side
     zip_with/aggregate fold, no Python in the loop."""
@@ -407,7 +474,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": q_rollup_1d,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
+        "gapfill_linear_1h": q_gapfill_linear_1h,
         "chunks_roundtrip_1h": q_chunks_roundtrip_1h,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
         "distinct_label_groups": q_distinct_label_groups,
         "filter_label_values": q_filter_label_values,
         "topk_abs_score": q_topk_abs_score,
@@ -423,6 +493,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "muse_topk_1h": q_muse_topk_1h,
         "muse_grouped_1h": q_muse_grouped_1h,
     }
@@ -453,6 +524,71 @@ SELECT s.user_id, s.bucket_ts,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_avg,
        r.value_avg IS NULL AS filled
 FROM spine s LEFT JOIN r USING (user_id, bucket_ts)
+""",
+        "gapfill_linear_1h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         sum(value) / count(*) AS value_avg
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM r GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM b
+), j AS (
+  SELECT s.user_id, s.bucket_ts, r.value_avg,
+         epoch(s.bucket_ts) AS pos
+  FROM spine s LEFT JOIN r USING (user_id, bucket_ts)
+), w AS (
+  SELECT *,
+    last_value(value_avg IGNORE NULLS) OVER past AS prev_v,
+    first_value(value_avg IGNORE NULLS) OVER fut AS next_v,
+    last_value(CASE WHEN value_avg IS NOT NULL THEN pos END IGNORE NULLS)
+      OVER past AS prev_t,
+    first_value(CASE WHEN value_avg IS NOT NULL THEN pos END IGNORE NULLS)
+      OVER fut AS next_t
+  FROM j
+  WINDOW past AS (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fut AS (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket_ts,
+  round(CASE WHEN value_avg IS NOT NULL THEN value_avg
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v) * (pos - prev_t) / (next_t - prev_t)
+        END, 6) AS value_avg,
+  value_avg IS NULL AS filled
+FROM w
+""",
+        "multimodal_frame_plan": """
+SELECT cast(doc_id AS varchar) AS media_id,
+       frame_idx,
+       frame_idx * 1000 AS frame_ts_ms
+FROM documents,
+     unnest(generate_series(0,
+        greatest(cast(floor((doc_id % 7 + 1) * 1500 / 1000) AS bigint) - 1, 0)
+     )) AS t(frame_idx)
+WHERE doc_id % 5 = 0
+""",
+        "embedding_near_dups": f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {X.hyperplane_bucket('duck', 'embedding', 4, 64)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(({X.dot_product('duck', 'a.embedding', 'b.embedding', 64)})
+             / (sqrt({X.dot_product('duck', 'a.embedding', 'a.embedding', 64)})
+                * sqrt({X.dot_product('duck', 'b.embedding', 'b.embedding', 64)})),
+             6) AS cosine
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(({X.dot_product('duck', 'a.embedding', 'b.embedding', 64)})
+            / (sqrt({X.dot_product('duck', 'a.embedding', 'a.embedding', 64)})
+               * sqrt({X.dot_product('duck', 'b.embedding', 'b.embedding', 64)})),
+            6) >= 0.3
 """,
         "chunks_roundtrip_1h": """
 WITH r AS (

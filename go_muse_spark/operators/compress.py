@@ -30,7 +30,13 @@ from go_muse_spark.functions.codecs import (
     encode_timestamps,
 )
 
-__all__ = ["encode_chunks", "encode_tiers_fused", "decode_chunks", "CHUNK_SCHEMA"]
+__all__ = [
+    "encode_chunks",
+    "encode_chunks_windowed",
+    "encode_tiers_fused",
+    "decode_chunks",
+    "CHUNK_SCHEMA",
+]
 
 CHUNK_SCHEMA = (
     "conv_id string, tier string, chunk_start timestamp, n_points int, "
@@ -138,11 +144,142 @@ def encode_chunks(
     )
 
 
+def encode_chunks_windowed(
+    rollup: DataFrame,
+    tier: str,
+    value_col: str = "turn_cnt",
+    chunk_size: int = 1024,
+    tier_secs: int | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Skew-proof chunk encoder: the unit of parallel work is one CHUNK
+    WINDOW (<= chunk_size buckets), not one conversation.
+
+    encode_chunks / encode_tiers_fused shuffle whole conversations to one
+    task — correct, but a 10^9-turn conversation (the north_rule's skew
+    case) becomes one straggler task. Here:
+
+      1. per-conv bounds (min/max bucket) — a tiny aggregate;
+      2. a window spine explodes each conv into its chunk-window ids, so
+         all-gap windows still emit their all-zero chunks;
+      3. rollup rows pick up their window id via an equi-join on conv_id
+         (AQE broadcasts the bounds side while it is small; at 10^12-turn
+         scale it degrades gracefully to a co-partitioned shuffle join);
+      4. ONE exchange on (conv_id, window) -> numpy slice encode.
+
+    Every task processes O(rows_per_window) regardless of conversation
+    length, so the stage stays balanced under arbitrary skew. Output is
+    byte-identical to encode_chunks(..., fill="zero").
+
+    zero fill only: ffill/linear need carry-in state from the previous
+    window (documented extension: join each window's predecessor tail).
+    """
+    if tier_secs is None:
+        from go_muse_spark.operators.rollup import TIERS
+
+        tier_secs = TIERS[tier][1]
+    step_us = tier_secs * 1_000_000
+    spark = rollup.sparkSession
+    n_part = parallelism or spark.sparkContext.defaultParallelism
+
+    df = rollup.select(
+        "conv_id", "bucket_ts", F.col(value_col).cast("double").alias("__val")
+    )
+    b = df.groupBy("conv_id").agg(
+        F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
+    )
+    b = b.withColumn(
+        "__n",
+        (
+            (F.unix_timestamp("__hi") - F.unix_timestamp("__lo"))
+            / F.lit(tier_secs)
+        ).cast("long")
+        + 1,
+    ).select("conv_id", "__lo", "__n")
+
+    spine = b.select(
+        "conv_id",
+        "__lo",
+        "__n",
+        F.explode(
+            F.sequence(
+                F.lit(0), ((F.col("__n") - 1) / F.lit(chunk_size)).cast("long")
+            )
+        ).alias("__k"),
+    )
+    rows = (
+        df.join(b.select("conv_id", "__lo"), "conv_id")
+        .withColumn(
+            "__k",
+            (
+                (F.unix_timestamp("bucket_ts") - F.unix_timestamp("__lo"))
+                / F.lit(tier_secs * chunk_size)
+            ).cast("long"),
+        )
+        .select("conv_id", "__k", "bucket_ts", "__val")
+    )
+    joined = spine.join(rows, ["conv_id", "__k"], "left")
+
+    def op(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        convs = pdf["conv_id"].to_numpy()
+        ks = pdf["__k"].to_numpy(dtype=np.int64)
+        los = pdf["__lo"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ns = pdf["__n"].to_numpy(dtype=np.int64)
+        ts_all = pdf["bucket_ts"].to_numpy(dtype="datetime64[us]")
+        vals_all = pdf["__val"].to_numpy(dtype=np.float64)
+        change = np.flatnonzero(
+            (convs[1:] != convs[:-1]) | (ks[1:] != ks[:-1])
+        ) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(convs)]))
+        out: dict[str, list] = {
+            "conv_id": [], "tier": [], "chunk_start": [],
+            "n_points": [], "ts_bytes": [], "val_bytes": [],
+        }
+        for s, e in zip(starts, ends):
+            k = int(ks[s])
+            win_start = int(los[s]) + k * chunk_size * step_us
+            n_pts = int(min(chunk_size, ns[s] - k * chunk_size))
+            dense_ts = win_start + np.arange(n_pts, dtype=np.int64) * step_us
+            vals = np.zeros(n_pts, dtype=np.float64)
+            ts_slice = ts_all[s:e]
+            present = ~pd.isna(ts_slice)
+            if present.any():
+                idx = (
+                    ts_slice[present].astype(np.int64) - win_start
+                ) // step_us
+                vals[idx] = vals_all[s:e][present]
+            out["conv_id"].append(convs[s])
+            out["tier"].append(tier)
+            out["chunk_start"].append(win_start)
+            out["n_points"].append(n_pts)
+            out["ts_bytes"].append(encode_timestamps(dense_ts))
+            out["val_bytes"].append(encode_floats(vals))
+        if not out["conv_id"]:
+            return
+        out["chunk_start"] = pd.to_datetime(
+            np.asarray(out["chunk_start"], dtype="datetime64[us]")
+        )
+        out["n_points"] = np.asarray(out["n_points"], dtype=np.int32)
+        yield pd.DataFrame(out)
+
+    return (
+        joined.repartition(n_part, "conv_id", "__k")
+        .sortWithinPartitions("conv_id", "__k", "bucket_ts")
+        .mapInPandas(op, CHUNK_SCHEMA)
+    )
+
+
 def encode_tiers_fused(
     rollup_1m: DataFrame,
     value_col: str = "turn_cnt",
     chunk_size: int = 1024,
     parallelism: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """All three retention tiers in ONE pass over the 1m continuous
     aggregate: zero-gap-fill the sparse 1m rollup to a dense spine,
@@ -161,6 +298,16 @@ def encode_tiers_fused(
     (O(convs x buckets) rows, not O(turns)); the only data movement here
     is one hash exchange on conv_id. Hot conversations emit many uniform
     chunk rows, so downstream stays balanced.
+
+    pre_partitioned=True skips this operator's conv_id exchange: the
+    caller guarantees rows are already hash-partitioned by conv_id (e.g.
+    the one-exchange pipeline that repartitions RAW turns by conv_id
+    before the rollup — hash(conv_id) satisfies the (conv_id, bucket)
+    grouping's clustered distribution, so Catalyst elides the agg
+    exchange AND this one: a single shuffle end to end). That variant
+    wins when the 1m aggregation barely reduces row count (sparse turn
+    streams); dense streams at 10^12-turn scale should keep the default
+    partial-agg-first shape, which shuffles O(buckets) not O(turns).
     """
     hour_us = 3_600 * 1_000_000
     day_us = 86_400 * 1_000_000
@@ -212,11 +359,11 @@ def encode_tiers_fused(
         out["n_points"] = np.asarray(out["n_points"], dtype=np.int32)
         yield pd.DataFrame(out)
 
-    return (
-        rollup_1m.select("conv_id", "bucket_ts", value_col)
-        .repartition(n_part, "conv_id")
-        .sortWithinPartitions("conv_id", "bucket_ts")
-        .mapInPandas(op, CHUNK_SCHEMA)
+    out = rollup_1m.select("conv_id", "bucket_ts", value_col)
+    if not pre_partitioned:
+        out = out.repartition(n_part, "conv_id")
+    return out.sortWithinPartitions("conv_id", "bucket_ts").mapInPandas(
+        op, CHUNK_SCHEMA
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from go_muse_spark.functions import text as X
 
-__all__ = ["cosine_topk", "lsh_buckets", "ann_lsh_topk"]
+__all__ = ["cosine_topk", "lsh_buckets", "ann_lsh_topk", "embedding_near_dups"]
 
 
 def _cosine(a: str, b: str, dims: int) -> F.Column:
@@ -83,3 +83,34 @@ def ann_lsh_topk(
         )
     )
     return cands.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.3, planes: int = 4, dims: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket blocked.
+
+    Pairs sharing a hyperplane bucket are scored exactly (JVM fold, no
+    Python); `planes` trades recall vs join fan-out — the self-join is
+    an equi-join on bucket, so at 10^12 rows it shuffles each bucket to
+    one place instead of the quadratic cross join. Multi-probe (hamming-1
+    neighbor buckets) is the documented recall extension.
+    """
+    b = lsh_buckets(emb, planes, dims)
+    left = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    pairs = left.join(right, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(_cosine("emb_a", "emb_b", dims), 6).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)

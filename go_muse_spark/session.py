@@ -83,7 +83,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", driver_mem or os.environ.get("SPARK_DRIVER_MEM", "20g"))
+        # one shared heap for all local[N] task threads: size it so 32
+        # concurrent shuffle/sort tasks never contend on young-gen space —
+        # an undersized heap showed up as a 3-19x executorRunTime inflation
+        # at 32 threads (allocation stalls, not reported GC time). On a
+        # real cluster this is ordinary per-executor memory sizing.
+        .config("spark.driver.memory", driver_mem or os.environ.get("SPARK_DRIVER_MEM", "56g"))
+        # local-mode stand-in for executor-local SSD scratch: shuffle spill
+        # to tmpfs keeps 32 concurrent shuffle writers off the single
+        # virtio disk. Cluster deployments use the provisioned local disks
+        # (spark.local.dir is set by the resource manager there).
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # local single-file fixtures: split scans finer so the read side

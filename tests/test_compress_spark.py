@@ -104,3 +104,24 @@ def test_encode_tiers_fused_equals_per_tier(spark):
         )
 
     assert rows(sep) == rows(fused)
+
+
+def test_encode_chunks_windowed_equals_per_conv(spark):
+    """Window-partitioned encoder output is byte-identical to the
+    per-conversation encoder with zero fill (incl. all-gap windows)."""
+    from go_muse_spark.operators.compress import encode_chunks_windowed
+    from go_muse_spark.operators.rollup import rollup_transcripts
+
+    tx = transcripts_for_tier(spark, "1m")
+    rolled = rollup_transcripts(tx, "1m")
+    per_conv = encode_chunks(rolled, "1m", "turn_cnt", chunk_size=5, fill="zero")
+    windowed = encode_chunks_windowed(rolled, "1m", "turn_cnt", chunk_size=5)
+
+    def rows(df):
+        return sorted(
+            (r["conv_id"], r["tier"], r["chunk_start"], r["n_points"],
+             bytes(r["ts_bytes"]), bytes(r["val_bytes"]))
+            for r in df.collect()
+        )
+
+    assert rows(per_conv) == rows(windowed)

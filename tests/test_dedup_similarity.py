@@ -99,3 +99,16 @@ def test_ann_lsh_finds_scaled_copy(spark, emb):
     assert buckets[0] == buckets[7]
     top = ann_lsh_topk(emb, 0, k=3, planes=4).collect()
     assert top and top[0]["vec_id"] == 7
+
+
+def test_embedding_near_dups(spark, emb):
+    from go_muse_spark.operators.similarity import embedding_near_dups
+
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dups(emb, threshold=0.9, planes=4).collect()
+    }
+    # the scaled copy (cosine 1.0) must be found; pair key is ordered
+    assert (0, 7) in pairs and pairs[(0, 7)] == pytest.approx(1.0)
+    # random 64-d normals have cosine ~N(0, 1/8): nothing else near 0.9
+    assert all(k == (0, 7) for k in pairs)

@@ -52,7 +52,9 @@ def main() -> None:
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     out_md = sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, "BENCH.md")
 
+    os.environ["SPARK_GRAFT_SKIP_QUERIES"] = "1"  # lo leg: pipeline only
     lo = run_at(n, sf_dir)
+    del os.environ["SPARK_GRAFT_SKIP_QUERIES"]
     hi = run_at(4 * n, sf_dir)
     thr_lo = lo["throughput_turns_per_sec"]
     thr_hi = hi["throughput_turns_per_sec"]
