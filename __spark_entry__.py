@@ -20,7 +20,11 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from go_muse_spark.operators.compress import decode_chunks, encode_chunks
+from go_muse_spark.operators.compress import (
+    decode_chunks,
+    encode_chunks,
+    encode_chunks_windowed,
+)
 from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.rollup import (
     rollup_all_tiers,
@@ -235,6 +239,20 @@ def q_chunks_roundtrip_1h(spark, sf_dir):
     is the plain gap-filled rollup SQL (no codec on the DuckDB side)."""
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
     chunks = encode_chunks(rolled, "1h", "turn_cnt", chunk_size=256, fill="zero")
+    decoded = decode_chunks(chunks, "turn_cnt")
+    return decoded.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.col("turn_cnt").cast("long").alias("turn_cnt"),
+    )
+
+
+def q_chunks_windowed_roundtrip_1h(spark, sf_dir):
+    """Skew-proof window-partitioned encoder (unit of work = one chunk
+    window, not one conversation) -> decode; same oracle as the per-conv
+    encoder because the chunk bytes are identical by construction."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    chunks = encode_chunks_windowed(rolled, "1h", "turn_cnt", chunk_size=256)
     decoded = decode_chunks(chunks, "turn_cnt")
     return decoded.select(
         F.col("conv_id").alias("user_id"),
@@ -476,6 +494,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "chunks_roundtrip_1h": q_chunks_roundtrip_1h,
+        "chunks_windowed_roundtrip_1h": q_chunks_windowed_roundtrip_1h,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "distinct_label_groups": q_distinct_label_groups,
@@ -501,6 +520,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    d = _oracle_sql_base(stop_list)
+    # windowed encoder emits byte-identical chunks -> identical decode
+    d["chunks_windowed_roundtrip_1h"] = d["chunks_roundtrip_1h"]
+    return d
+
+
+def _oracle_sql_base(stop_list: str) -> dict[str, str]:
     return {
         "rollup_1m": _ROLLUP_ORACLE.format(unit="minute"),
         "rollup_1h": _ROLLUP_ORACLE.format(unit="hour"),

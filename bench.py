@@ -28,7 +28,6 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from go_muse_spark.operators.compress import encode_tiers_fused  # noqa: E402
-from go_muse_spark.operators.rollup import rollup_transcripts  # noqa: E402
 from go_muse_spark.session import get_spark  # noqa: E402
 from go_muse_spark.sources.transcripts import write_transcripts  # noqa: E402
 
