@@ -319,6 +319,16 @@ def q_results_filter(spark, sf_dir):
     )
 
 
+def q_results_mean_abs(spark, sf_dir):
+    """Results.Fetch companion value (results.go:75-87): mean |score| of
+    the passed set, plus its cardinality."""
+    passed = q_results_filter(spark, sf_dir)
+    return passed.agg(
+        F.round(F.avg(F.abs(F.col("score"))), 6).alias("mean_abs_score"),
+        F.count(F.lit(1)).alias("n_passed"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on content; keeper = min doc_id (the
     Group.Add uniqueness rule, group.go:39-41, as a relational dedup)."""
@@ -501,6 +511,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_label_values": q_filter_label_values,
         "topk_abs_score": q_topk_abs_score,
         "results_filter": q_results_filter,
+        "results_mean_abs": q_results_mean_abs,
         "dedup_exact": q_dedup_exact,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -652,6 +663,19 @@ FROM events
 WHERE abs(event_id % 21 - 10) <= 5
   AND abs(round((value - 150.0) / 150.0, 6)) >= 0.1
   AND round((value - 150.0) / 150.0, 6) >= 0
+""",
+        "results_mean_abs": """
+WITH passed AS (
+  SELECT event_id,
+         cast(event_id % 21 - 10 AS bigint) AS lag,
+         round((value - 150.0) / 150.0, 6) AS score
+  FROM events
+  WHERE abs(event_id % 21 - 10) <= 5
+    AND abs(round((value - 150.0) / 150.0, 6)) >= 0.1
+    AND round((value - 150.0) / 150.0, 6) >= 0
+)
+SELECT round(avg(abs(score)), 6) AS mean_abs_score, count(*) AS n_passed
+FROM passed
 """,
         "dedup_exact": """
 SELECT text, count(*) AS n_dups, min(doc_id) AS keeper_id

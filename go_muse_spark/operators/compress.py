@@ -377,22 +377,29 @@ def decode_chunks(chunks: DataFrame, value_col: str = "turn_cnt") -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                n = int(row.n_points)
-                ts = decode_timestamps(bytes(row.ts_bytes), n)
-                vals = decode_floats(bytes(row.val_bytes), n)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": row.conv_id,
-                            "tier": row.tier,
-                            "bucket_ts": ts.astype("datetime64[us]"),
-                            value_col: vals,
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            ns = pdf["n_points"].to_numpy(dtype=np.int64)
+            ts_parts = [
+                decode_timestamps(bytes(b), int(n))
+                for b, n in zip(pdf["ts_bytes"], ns)
+            ]
+            val_parts = [
+                decode_floats(bytes(b), int(n))
+                for b, n in zip(pdf["val_bytes"], ns)
+            ]
+            # one frame per Arrow batch: chunk key columns expanded with
+            # np.repeat, point columns with one concatenate — no
+            # per-chunk DataFrame construction
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), ns),
+                    "tier": np.repeat(pdf["tier"].to_numpy(), ns),
+                    "bucket_ts": np.concatenate(ts_parts).astype(
+                        "datetime64[us]"
+                    ),
+                    value_col: np.concatenate(val_parts),
+                }
+            )
 
     return chunks.mapInPandas(decode, out_schema)
