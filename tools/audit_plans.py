@@ -1,0 +1,34 @@
+"""Dump `explain("formatted")` for the headline queries (PLANS.md source).
+
+Usage: python tools/audit_plans.py [sf_dir] [query ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from go_muse_spark.session import get_spark  # noqa: E402
+
+DEFAULT = [
+    "rollup_1h", "gapfill_zero_1h", "muse_topk_1h", "muse_grouped_1h",
+    "minhash_near_dups", "embedding_near_dups", "cosine_topk",
+    "topk_abs_score",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or DEFAULT
+    spark = get_spark(cpus=4, app="plan-audit")
+    qm = entrymod._raw_queries()
+    for name in names:
+        print(f"##### {name}")
+        qm[name](spark, sf_dir).explain("formatted")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
