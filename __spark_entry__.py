@@ -712,7 +712,7 @@ WITH hs AS MATERIALIZED (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ), toks AS MATERIALIZED (
-  SELECT doc_id, list_distinct({X.shingles('duck', 3)}) AS toks FROM documents
+  SELECT doc_id, {X.shingle_hashes('duck', 3)} AS toks FROM documents
 )
 SELECT doc_a, doc_b,
        round({X.jaccard('duck', 'ta.toks', 'tb.toks')}, 6) AS jaccard
@@ -747,7 +747,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         "ngram_jaccard_pairs": f"""
 WITH sh AS MATERIALIZED (
   SELECT doc_id, source AS blk,
-         list_distinct({X.shingles('duck', 3)}) AS sh
+         {X.shingle_hashes('duck', 3)} AS sh
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -36,10 +36,14 @@ BENCH_QUERIES = [
     "rollup_1d",
     "gapfill_zero_1h",
     "gapfill_ffill_1h",
+    "gapfill_linear_1h",
     "chunks_roundtrip_1h",
+    "chunks_windowed_roundtrip_1h",
     "token_stats",
     "dedup_exact",
+    "minhash_near_dups",
     "cosine_topk",
+    "embedding_near_dups",
     "muse_topk_1h",
     "muse_grouped_1h",
 ]

@@ -35,6 +35,20 @@ __all__ = [
 ]
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a small derived table once and reuse it across self-joins.
+
+    The shingle/minhash/simhash expressions are expensive relative to the
+    tiny tables they produce (k longs or one fingerprint per doc); a
+    self-join on the lazy lineage would re-execute them up to 2 x bands
+    times (measured 8x = 55s vs 5s at sf0.1). At production scale the
+    same answer is a persisted signature table maintained next to the
+    corpus (write once, join many); localCheckpoint is the in-session
+    equivalent.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 def exact_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
     """One row per distinct content: keeper (min doc_id) + dup count."""
     return docs.groupBy(content_col).agg(
@@ -59,7 +73,7 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
     rows = k // bands
-    sigs = minhash_signatures(docs, k)
+    sigs = _materialize(minhash_signatures(docs, k))
     banded = None
     for b in range(bands):
         part = sigs.select(
@@ -88,10 +102,15 @@ def minhash_near_dups(
     docs: DataFrame, threshold: float = 0.5, k: int = 16, bands: int = 4
 ) -> DataFrame:
     """LSH candidates verified with exact 3-gram-shingle-set Jaccard."""
+    # verify on HASHED shingles (bigint arrays): same set semantics as the
+    # string shingles at ~5x less intersect cost, and the identical LCG
+    # arithmetic runs in the DuckDB oracle, so values stay exact
     cands = lsh_candidate_pairs(docs, k, bands)
-    toks = docs.select(
-        "doc_id",
-        F.expr(f"array_distinct({X.shingles('spark', 3)})").alias("toks"),
+    toks = _materialize(
+        docs.select(
+            "doc_id",
+            F.expr(X.shingle_hashes("spark", 3)).alias("toks"),
+        )
     )
     j = X.jaccard("spark", "ta.toks", "tb.toks")
     return (
@@ -119,7 +138,7 @@ def simhash_near_dups(
     """Pairs with hamming(simhash) <= max_hamming, blocked on nibble bands
     (a pair within hamming d shares >= bands-d of the bands; with d <
     bands at least one band matches exactly — the pigeonhole trick)."""
-    fp = simhash_fingerprints(docs, bits)
+    fp = _materialize(simhash_fingerprints(docs, bits))
     width = bits // bands
     banded = None
     for b in range(bands):
@@ -159,10 +178,12 @@ def ngram_jaccard_pairs(
     block_col: str = "source",
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard pairs within a blocking column."""
-    sh = docs.select(
-        "doc_id",
-        F.col(block_col).alias("blk"),
-        F.expr(f"array_distinct({X.shingles('spark', n)})").alias("sh"),
+    sh = _materialize(
+        docs.select(
+            "doc_id",
+            F.col(block_col).alias("blk"),
+            F.expr(X.shingle_hashes("spark", n)).alias("sh"),
+        )
     )
     j = X.jaccard("spark", "a.sh", "b.sh")
     return (
