@@ -103,41 +103,51 @@ def score_series(
     else:
         keyed = df.withColumn("group_key", F.col(series_key))
 
-    # salt so one hot group still spreads over n_salt tasks
-    keyed = keyed.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(series_key)), F.lit(n_salt))
-    )
-
     out_schema = "group_key string, series_key string, lag long, score double"
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Every input ROW is a complete series and the per-group reduce
+    # (max by |score|) is associative+commutative, so scoring needs NO
+    # exchange at all: mapInPandas scores each Arrow batch wherever the
+    # data already lives and emits one partial best per group present in
+    # the batch; the relational min_by merge below combines partials.
+    # (The reference's two-level reduce, muse.go:86-90, as a map-side
+    # combine — this also makes hot groups a non-issue here, the role
+    # n_salt plays on the long-form rollup path.)
+
+    def score_batches(batches):
         x_spec, n, ref_n = bc.value
         local_spec = K.RefSpectrum(x_spec, n, ref_n)
-        # deterministic candidate order => deterministic first-max tie-break
-        pdf = pdf.sort_values("__sk", kind="mergesort")
-        y = np.stack(pdf["__vals"].to_numpy())
-        lags, scores = K.batch_xcorr(local_spec, y)
-        scores = K.clamp_signed(scores) if signed else K.clamp_abs(scores)
-        i = int(np.argmax(np.abs(scores)))  # first max wins (xcorr.go:39-50)
-        return pd.DataFrame(
-            {
-                "group_key": [pdf["group_key"].iloc[0]],
-                "series_key": [pdf["__sk"].iloc[i]],
-                "lag": [int(lags[i])],
-                "score": [float(scores[i])],
-            }
-        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            y = np.stack(pdf["__vals"].to_numpy())
+            lags, scores = K.batch_xcorr(local_spec, y)
+            scores = (
+                K.clamp_signed(scores) if signed else K.clamp_abs(scores)
+            )
+            gk = pdf["group_key"].to_numpy()
+            sk = pdf["__sk"].to_numpy()
+            # deterministic per-group best within the batch: order by
+            # (-|score|, series_key) and keep each group's first row —
+            # exact ties resolve to the lowest series_key, matching the
+            # final merge's tie-break
+            order = np.lexsort((sk, -np.abs(scores)))
+            first = pd.Series(gk[order]).duplicated().to_numpy() == False  # noqa: E712
+            pick = order[first]
+            yield pd.DataFrame(
+                {
+                    "group_key": gk[pick],
+                    "series_key": sk[pick],
+                    "lag": lags[pick],
+                    "score": scores[pick],
+                }
+            )
 
-    local_best = (
-        keyed.select(
-            "group_key",
-            "_salt",
-            F.col(series_key).alias("__sk"),
-            F.col(values_col).alias("__vals"),
-        )
-        .groupBy("group_key", "_salt")
-        .applyInPandas(score_group, out_schema)
-    )
+    local_best = keyed.select(
+        "group_key",
+        F.col(series_key).alias("__sk"),
+        F.col(values_col).alias("__vals"),
+    ).mapInPandas(score_batches, out_schema)
 
     # second-level reduce: best salted-partition winner per group.
     # max_by on (|score|, series_key desc? no —) we break exact ties by the
