@@ -151,6 +151,7 @@ def encode_chunks_windowed(
     chunk_size: int = 1024,
     tier_secs: int | None = None,
     parallelism: int | None = None,
+    fill: str = "zero",
 ) -> DataFrame:
     """Skew-proof chunk encoder: the unit of parallel work is one CHUNK
     WINDOW (<= chunk_size buckets), not one conversation.
@@ -171,8 +172,13 @@ def encode_chunks_windowed(
     length, so the stage stays balanced under arbitrary skew. Output is
     byte-identical to encode_chunks(..., fill="zero").
 
-    zero fill only: ffill/linear need carry-in state from the previous
-    window (documented extension: join each window's predecessor tail).
+    fill="zero" emits byte-identical output to encode_chunks(fill="zero").
+    fill="ffill" carries state across windows relationally: the per-window
+    last observed value is forward-filled along the window spine (a tiny
+    O(#windows) window function), and each window's predecessor value
+    rides in as its `__carry` column — so a window that is entirely gap
+    still encodes the right repeated value without seeing its neighbors.
+    (linear would need the successor too — not implemented.)
     """
     if tier_secs is None:
         from go_muse_spark.operators.rollup import TIERS
@@ -197,6 +203,9 @@ def encode_chunks_windowed(
         + 1,
     ).select("conv_id", "__lo", "__n")
 
+    if fill not in ("zero", "ffill"):
+        raise ValueError(f"unsupported fill {fill!r} for windowed encoder")
+
     spine = b.select(
         "conv_id",
         "__lo",
@@ -218,6 +227,29 @@ def encode_chunks_windowed(
         )
         .select("conv_id", "__k", "bucket_ts", "__val")
     )
+    if fill == "ffill":
+        from pyspark.sql import Window
+
+        # carry-in per window: latest observed value of any EARLIER
+        # window, forward-filled along the O(#windows) spine
+        win_last = rows.groupBy("conv_id", "__k").agg(
+            F.max(F.struct("bucket_ts", "__val")).alias("__lv")
+        )
+        w_prev = (
+            Window.partitionBy("conv_id")
+            .orderBy("__k")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        spine = (
+            spine.join(win_last, ["conv_id", "__k"], "left")
+            .withColumn(
+                "__carry",
+                F.last(F.col("__lv.__val"), ignorenulls=True).over(w_prev),
+            )
+            .drop("__lv")
+        )
+    else:
+        spine = spine.withColumn("__carry", F.lit(None).cast("double"))
     joined = spine.join(rows, ["conv_id", "__k"], "left")
 
     def op(batches):
@@ -229,6 +261,7 @@ def encode_chunks_windowed(
         ks = pdf["__k"].to_numpy(dtype=np.int64)
         los = pdf["__lo"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         ns = pdf["__n"].to_numpy(dtype=np.int64)
+        carries = pdf["__carry"].to_numpy(dtype=np.float64)
         ts_all = pdf["bucket_ts"].to_numpy(dtype="datetime64[us]")
         vals_all = pdf["__val"].to_numpy(dtype=np.float64)
         change = np.flatnonzero(
@@ -245,14 +278,24 @@ def encode_chunks_windowed(
             win_start = int(los[s]) + k * chunk_size * step_us
             n_pts = int(min(chunk_size, ns[s] - k * chunk_size))
             dense_ts = win_start + np.arange(n_pts, dtype=np.int64) * step_us
-            vals = np.zeros(n_pts, dtype=np.float64)
             ts_slice = ts_all[s:e]
-            present = ~pd.isna(ts_slice)
-            if present.any():
-                idx = (
-                    ts_slice[present].astype(np.int64) - win_start
-                ) // step_us
-                vals[idx] = vals_all[s:e][present]
+            present_rows = ~pd.isna(ts_slice)
+            idx = (
+                ts_slice[present_rows].astype(np.int64) - win_start
+            ) // step_us
+            if fill == "zero":
+                vals = np.zeros(n_pts, dtype=np.float64)
+                vals[idx] = vals_all[s:e][present_rows]
+            else:  # ffill with cross-window carry
+                present = np.zeros(n_pts, dtype=bool)
+                present[idx] = True
+                # candidates[0] = carry-in; observed values shifted by 1
+                cand = np.empty(idx.size + 1, dtype=np.float64)
+                cand[0] = carries[s]  # NaN only for window 0 (pos 0 observed)
+                order = np.argsort(idx, kind="stable")
+                cand[1:] = vals_all[s:e][present_rows][order]
+                src = np.cumsum(present)  # 0 before first obs -> carry
+                vals = cand[src]
             out["conv_id"].append(convs[s])
             out["tier"].append(tier)
             out["chunk_start"].append(win_start)

@@ -125,3 +125,26 @@ def test_encode_chunks_windowed_equals_per_conv(spark):
         )
 
     assert rows(per_conv) == rows(windowed)
+
+
+def test_encode_chunks_windowed_ffill_carry(spark):
+    """Windowed ffill (cross-window carry-in) == per-conv ffill encode."""
+    from go_muse_spark.operators.compress import encode_chunks_windowed
+    from go_muse_spark.operators.rollup import rollup_transcripts
+
+    tx = transcripts_for_tier(spark, "1m")
+    rolled = rollup_transcripts(tx, "1m")
+    # chunk_size=3 so conversations span many windows, incl. all-gap ones
+    per_conv = encode_chunks(rolled, "1m", "turn_cnt", chunk_size=3, fill="ffill")
+    windowed = encode_chunks_windowed(
+        rolled, "1m", "turn_cnt", chunk_size=3, fill="ffill"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["conv_id"], r["tier"], r["chunk_start"], r["n_points"],
+             bytes(r["ts_bytes"]), bytes(r["val_bytes"]))
+            for r in df.collect()
+        )
+
+    assert rows(per_conv) == rows(windowed)
