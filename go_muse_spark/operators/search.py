@@ -47,6 +47,7 @@ __all__ = [
     "apply_result_filters",
     "top_k",
     "mean_abs_score",
+    "IncrementalResults",
 ]
 
 SIGN_ANY, SIGN_POS, SIGN_NEG = "any", "pos", "neg"
@@ -347,3 +348,38 @@ def muse_search(
     )
     passed = apply_result_filters(scored, p.max_lag, p.threshold, p.sign)
     return top_k(passed, p.top_n)
+
+
+class IncrementalResults:
+    """The reference's EP1 lifecycle: a persistent Results accumulator fed
+    by successive candidate batches (muse.go:46-92, muse_test.go:67-69).
+
+    Each ``update(df)`` scores one batch (any of the search entry points)
+    and folds its rows into a bounded driver-side top-K — the distributed
+    twin of the mutex-guarded score heap (results.go:55-72): per-batch
+    reduction happens on the cluster (filters + orderBy/limit), and only
+    <= top_n rows ever reach the driver per update. ``fetch()`` returns
+    the final Scores, descending by |score|, plus mean |score|
+    (results.go:75-87).
+    """
+
+    def __init__(self, params: SearchParams | None = None) -> None:
+        self.params = params or SearchParams()
+        self._rows: list = []
+
+    def update(self, scored: DataFrame) -> "IncrementalResults":
+        """Fold one batch of (group_key, series_key, lag, score) rows."""
+        p = self.params
+        passed = apply_result_filters(scored, p.max_lag, p.threshold, p.sign)
+        batch = top_k(passed, p.top_n).collect()
+        merged = self._rows + list(batch)
+        merged.sort(key=lambda r: (-abs(r["score"]), r["group_key"]))
+        self._rows = merged[: p.top_n]
+        return self
+
+    def fetch(self) -> tuple[list, float]:
+        """(rows desc by |score|, mean |score|) — Results.Fetch."""
+        if not self._rows:
+            return [], 0.0
+        mean = sum(abs(r["score"]) for r in self._rows) / len(self._rows)
+        return list(self._rows), mean

@@ -183,3 +183,33 @@ def test_length_mismatch_raises(spark):
     with pytest.raises(Exception, match="length|shape"):
         muse_search(df, np.array([0.0, 1, 2, 3, 3, 2, 1, 0]), ["graph"],
                     SearchParams(n_salt=1), "series_key").collect()
+
+
+def test_incremental_results_accumulator(spark):
+    """EP1: successive batches against one Results accumulator
+    (muse_test.go:67-69); later better scores displace earlier ones."""
+    import numpy as np
+    from go_muse_spark.operators.search import (
+        IncrementalResults,
+        SearchParams,
+        score_series,
+    )
+
+    ref = np.array([0, 0, 0, 0, 1, 2, 3, 3, 2, 1, 0, 0], dtype=float)
+    batch1 = spark.createDataFrame(
+        [("a", [float(v) for v in [0, 0, 0, 2, 4, 2, 0, 0, 0, 0, 0, 0]]),
+         ("b", [3.0] * 12)],
+        "series_key string, values array<double>",
+    )
+    batch2 = spark.createDataFrame(
+        [("c", [float(v) for v in [0, 0, 0, 0, 2, 4, 6, 6, 4, 2, 0, 0]]),
+         ("d", [float(v) for v in [0, 0, 0, 0, 2, 4, 6, 4, 2, 0, 0, 0]])],
+        "series_key string, values array<double>",
+    )
+    acc = IncrementalResults(SearchParams(top_n=3, max_lag=None, mode="abs"))
+    for b in (batch1, batch2):
+        acc.update(score_series(b, ref, None, "abs", 1, "series_key", "values"))
+    rows, mean = acc.fetch()
+    got = [(r["series_key"], round(r["score"], 3)) for r in rows]
+    assert got == [("c", 1.0), ("d", 0.929), ("a", 0.733)]
+    assert abs(mean - (1.0 + 0.929 + 0.733) / 3) < 1e-3
