@@ -384,6 +384,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe ANN: query bucket + its hamming-1 neighbors (each sign
+    bit flipped once) — higher recall at (planes+1)x probe cost."""
+    return ann_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0, k=10, planes=4, multi_probe=True,
+    )
+
+
 def q_token_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -523,6 +532,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "muse_topk_1h": q_muse_topk_1h,
         "muse_grouped_1h": q_muse_grouped_1h,
@@ -776,6 +786,28 @@ SELECT b.vec_id,
          AS cosine
 FROM b, q
 WHERE b.vec_id <> 0 AND b.bucket = q.q_bucket
+ORDER BY cosine DESC, b.vec_id LIMIT 10
+""",
+        "ann_multiprobe_topk": f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {X.hyperplane_bucket('duck', 'embedding', 4, 64)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT bucket AS q_bucket, embedding AS q_emb FROM b WHERE vec_id = 0
+)
+SELECT b.vec_id,
+       round(({X.dot_product('duck', 'b.embedding', 'q.q_emb', 64)})
+             / (sqrt({X.dot_product('duck', 'b.embedding', 'b.embedding', 64)})
+                * sqrt({X.dot_product('duck', 'q.q_emb', 'q.q_emb', 64)})), 6)
+         AS cosine
+FROM b, q
+WHERE b.vec_id <> 0
+  AND (b.bucket = q.q_bucket
+       OR b.bucket = xor(q.q_bucket, 1)
+       OR b.bucket = xor(q.q_bucket, 2)
+       OR b.bucket = xor(q.q_bucket, 4)
+       OR b.bucket = xor(q.q_bucket, 8))
 ORDER BY cosine DESC, b.vec_id LIMIT 10
 """,
         "cosine_topk": """

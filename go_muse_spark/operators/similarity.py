@@ -63,20 +63,35 @@ def ann_lsh_topk(
     k: int = 10,
     planes: int = 8,
     dims: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate NN: cosine top-K restricted to the query's LSH bucket.
 
     planes=8 => 256 buckets; the candidate set is ~N/256 of the table.
-    Recall/cost trades with `planes`; multi-probe = also scanning buckets
-    at hamming distance 1 (left as the documented scale extension).
+    Recall/cost trades with `planes`; multi_probe=True also scans the
+    `planes` buckets at hamming distance 1 from the query's (each sign
+    bit flipped once) — the standard recall boost for vectors near a
+    hyperplane, at (planes+1)/1 probe cost. The probe set is tiny and
+    broadcast, so the scan stays map-only at any table size.
     """
     b = lsh_buckets(emb, planes, dims)
     q = b.filter(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("q_bucket"), F.col("embedding").alias("q_emb")
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("q_bucket"),
+            *[
+                F.col("q_bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(planes)
+            ],
+        )
+        cond = F.array_contains(probes, F.col("bucket"))
+    else:
+        cond = F.col("bucket") == F.col("q_bucket")
     cands = (
         b.filter(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .join(F.broadcast(q), cond)
         .select(
             "vec_id",
             F.round(_cosine("embedding", "q_emb", dims), 6).alias("cosine"),

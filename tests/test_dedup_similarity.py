@@ -112,3 +112,16 @@ def test_embedding_near_dups(spark, emb):
     assert (0, 7) in pairs and pairs[(0, 7)] == pytest.approx(1.0)
     # random 64-d normals have cosine ~N(0, 1/8): nothing else near 0.9
     assert all(k == (0, 7) for k in pairs)
+
+
+def test_ann_multiprobe_superset(spark, emb):
+    from go_muse_spark.operators.similarity import ann_lsh_topk
+
+    single = {r["vec_id"] for r in ann_lsh_topk(emb, 0, 50, planes=4).collect()}
+    multi = {
+        r["vec_id"]
+        for r in ann_lsh_topk(emb, 0, 50, planes=4, multi_probe=True).collect()
+    }
+    # probing hamming-1 buckets can only ADD candidates
+    assert single <= multi
+    assert 7 in multi  # the scaled copy is always found
