@@ -26,6 +26,7 @@ from go_muse_spark.functions import text as X
 
 __all__ = [
     "exact_dedup",
+    "hashed_shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_near_dups",
@@ -56,24 +57,37 @@ def exact_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 16) -> DataFrame:
-    # materialize the shingle-hash array once; the k minhash slots then
-    # reference the column (the expression builders repeat their source
-    # textually, which would otherwise recompute the hashing k times)
-    hashed = docs.select(
-        "doc_id", F.expr(X.shingle_hashes("spark", 3)).alias("th")
+def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, th: array<bigint>) — the shared heavy pass: distinct word
+    n-gram shingles, polynomial-hashed. Signature computation, LSH
+    banding, AND exact-Jaccard verification all derive from this one
+    column (the expression builders repeat their source textually, which
+    would otherwise recompute the hashing per consumer)."""
+    return docs.select(
+        "doc_id", F.expr(X.shingle_hashes("spark", n)).alias("th")
     )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, hashed: DataFrame | None = None
+) -> DataFrame:
+    hashed = hashed if hashed is not None else hashed_shingles(docs)
     return hashed.select(
         "doc_id", F.expr(X.minhash_array("spark", k, src="th")).alias("sig")
     )
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, k: int = 16, bands: int = 4
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
     rows = k // bands
-    sigs = _materialize(minhash_signatures(docs, k))
+    sigs = _materialize(
+        sigs if sigs is not None else minhash_signatures(docs, k)
+    )
     banded = None
     for b in range(bands):
         part = sigs.select(
@@ -104,14 +118,13 @@ def minhash_near_dups(
     """LSH candidates verified with exact 3-gram-shingle-set Jaccard."""
     # verify on HASHED shingles (bigint arrays): same set semantics as the
     # string shingles at ~5x less intersect cost, and the identical LCG
-    # arithmetic runs in the DuckDB oracle, so values stay exact
-    cands = lsh_candidate_pairs(docs, k, bands)
-    toks = _materialize(
-        docs.select(
-            "doc_id",
-            F.expr(X.shingle_hashes("spark", 3)).alias("toks"),
-        )
-    )
+    # arithmetic runs in the DuckDB oracle, so values stay exact. The
+    # hashed-shingle table is computed ONCE and feeds both the signatures
+    # and the verification join.
+    hashed = _materialize(hashed_shingles(docs, 3))
+    sigs = minhash_signatures(docs, k, hashed=hashed)
+    cands = lsh_candidate_pairs(docs, k, bands, sigs=sigs)
+    toks = hashed.select("doc_id", F.col("th").alias("toks"))
     j = X.jaccard("spark", "ta.toks", "tb.toks")
     return (
         cands.join(toks.alias("ta"), cands["doc_a"] == F.col("ta.doc_id"))
