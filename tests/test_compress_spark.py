@@ -148,3 +148,33 @@ def test_encode_chunks_windowed_ffill_carry(spark):
         )
 
     assert rows(per_conv) == rows(windowed)
+
+
+def test_pre_partitioned_one_exchange_parity(spark):
+    """bench.py's one-exchange pipeline (repartition raw by conv_id, agg
+    with no second exchange, pre_partitioned encoder) emits byte-identical
+    chunks to the default two-exchange path."""
+    from pyspark.sql import functions as F
+    from go_muse_spark.operators.compress import encode_tiers_fused
+    from go_muse_spark.operators.rollup import rollup_transcripts
+
+    tx = transcripts_for_tier(spark, "1m")
+    default = encode_tiers_fused(
+        rollup_transcripts(tx, "1m"), "turn_cnt", chunk_size=7
+    )
+    pre = tx.select("conv_id", "ts").repartition(4, "conv_id")
+    rolled = pre.groupBy(
+        "conv_id", F.date_trunc("minute", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    one_exchange = encode_tiers_fused(
+        rolled, "turn_cnt", chunk_size=7, pre_partitioned=True
+    )
+
+    def rows(df):
+        return sorted(
+            (r["conv_id"], r["tier"], r["chunk_start"], r["n_points"],
+             bytes(r["ts_bytes"]), bytes(r["val_bytes"]))
+            for r in df.collect()
+        )
+
+    assert rows(default) == rows(one_exchange)
