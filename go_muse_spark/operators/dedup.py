@@ -136,10 +136,10 @@ def minhash_near_dups(
     )
 
 
-def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
-    hashed = docs.select(
-        "doc_id", F.expr(X.shingle_hashes("spark", 3)).alias("th")
-    )
+def simhash_fingerprints(
+    docs: DataFrame, bits: int = 16, hashed: DataFrame | None = None
+) -> DataFrame:
+    hashed = hashed if hashed is not None else hashed_shingles(docs)
     return hashed.select(
         "doc_id", F.expr(X.simhash("spark", bits, src="th")).alias("simhash")
     )
