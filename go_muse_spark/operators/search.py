@@ -175,11 +175,15 @@ def score_series(
 
 
 def series_bounds(rolled: DataFrame, tier_secs: int, bucket_col: str = "bucket_ts"):
-    """Global [lo, hi] bucket range and aligned series length n (one tiny agg)."""
+    """Global [lo, hi] bucket range and aligned series length n (one tiny
+    agg). Empty input -> (None, None, 0): the reference's empty-batch
+    early-exit (muse.go:47-50) — callers return an empty result."""
     row = rolled.agg(
         F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
     ).collect()[0]
     lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None:
+        return None, None, 0
     n = int((hi - lo).total_seconds() // tier_secs) + 1
     return lo, hi, n
 
@@ -213,6 +217,10 @@ def score_rollup(
         lo, hi, n = series_bounds(rolled, tier_secs, bucket_col)
     else:
         lo, hi, n = bounds
+    if n == 0:  # empty rollup -> empty result (muse.go:47-50)
+        return spark.createDataFrame(
+            [], "group_key string, series_key string, lag long, score double"
+        )
     ref = np.asarray(ref_values, dtype=np.float64)
     if ref.size != n:
         raise ValueError(

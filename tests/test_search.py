@@ -213,3 +213,32 @@ def test_incremental_results_accumulator(spark):
     got = [(r["series_key"], round(r["score"], 3)) for r in rows]
     assert got == [("c", 1.0), ("d", 0.929), ("a", 0.733)]
     assert abs(mean - (1.0 + 0.929 + 0.733) / 3) < 1e-3
+
+
+def test_empty_inputs_yield_empty_results(spark):
+    """Reference empty-batch early-exit (muse.go:47-50): empty tables
+    flow through both search paths as empty results, no errors."""
+    import numpy as np
+    from go_muse_spark.operators.search import (
+        SearchParams,
+        muse_search,
+        muse_search_rollup,
+        series_bounds,
+    )
+
+    ref = np.array([0, 0, 1, 2, 1, 0, 0, 0], dtype=float)
+    empty_arrays = spark.createDataFrame(
+        [], "series_key string, values array<double>"
+    )
+    assert (
+        muse_search(empty_arrays, ref, None, SearchParams(top_n=5),
+                    "series_key", "values").count() == 0
+    )
+    empty_rollup = spark.createDataFrame(
+        [], "conv_id string, bucket_ts timestamp, turn_cnt long"
+    )
+    assert series_bounds(empty_rollup, 3600) == (None, None, 0)
+    assert (
+        muse_search_rollup(empty_rollup, ref, 3600,
+                           params=SearchParams(top_n=5)).count() == 0
+    )
