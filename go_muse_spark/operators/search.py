@@ -240,33 +240,77 @@ def score_rollup(
         gk = label_id_cols(group_by).alias("group_key")
     else:
         gk = F.concat_ws("|", *[F.col(c) for c in series_cols]).alias("group_key")
-    keyed = rolled.select(gk, sk, idx, val).withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("__sk")), F.lit(n_salt))
-    )
+    keyed = rolled.select(gk, sk, idx, val)
 
     out_schema = "group_key string, series_key string, lag long, score double"
+    n_part = n_salt * spark.sparkContext.defaultParallelism
+    batch_rows = 256  # series per rfft call: (256, fft_n) stays L2/L3-sized
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # ONE exchange on the series key co-locates each series' sparse rows;
+    # scoring then runs over whole partitions with numpy boundary slicing
+    # (grouped applyInPandas costs ~1 ms of Arrow/pandas machinery PER
+    # GROUP — 100k single-series groups made that the dominant term).
+    # Partials: one best per group per matrix flush; merged relationally.
+    # Skew: partitioning by series (never by group) means a hot GROUP
+    # spreads over many partitions by construction; n_salt only scales
+    # the partition count.
+
+    def score_partition(batches):
         x_spec, fft_n, ref_n = bc.value
         local_spec = K.RefSpectrum(x_spec, fft_n, ref_n)
-        cats, codes = np.unique(pdf["__sk"].to_numpy(), return_inverse=True)
-        y = np.zeros((len(cats), ref_n), dtype=np.float64)
-        y[codes, pdf["__idx"].to_numpy(dtype=np.int64)] = pdf["__val"].to_numpy()
-        lags, scores = K.batch_xcorr(local_spec, y)
-        scores = K.clamp_signed(scores) if signed else K.clamp_abs(scores)
-        i = int(np.argmax(np.abs(scores)))  # np.unique sorts cats =>
-        # first-max tie-break lands on the lowest series_key, deterministic
-        return pd.DataFrame(
-            {
-                "group_key": [pdf["group_key"].iloc[0]],
-                "series_key": [cats[i]],
-                "lag": [int(lags[i])],
-                "score": [float(scores[i])],
-            }
-        )
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        sks = pdf["__sk"].to_numpy()
+        gks = pdf["group_key"].to_numpy()
+        idxs = pdf["__idx"].to_numpy(dtype=np.int64)
+        vals = pdf["__val"].to_numpy(dtype=np.float64)
+        change = np.flatnonzero(sks[1:] != sks[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(sks)]))
 
-    local_best = keyed.groupBy("group_key", "_salt").applyInPandas(
-        score_group, out_schema
+        y = np.zeros((batch_rows, ref_n), dtype=np.float64)
+        meta: list = []  # (group_key, series_key) per filled row
+
+        def flush():
+            if not meta:
+                return None
+            lags, scores = K.batch_xcorr(local_spec, y[: len(meta)])
+            sc = K.clamp_signed(scores) if signed else K.clamp_abs(scores)
+            g = np.array([m[0] for m in meta])
+            s = np.array([m[1] for m in meta])
+            order = np.lexsort((s, -np.abs(sc)))
+            first = ~pd.Series(g[order]).duplicated().to_numpy()
+            pick = order[first]
+            out = pd.DataFrame(
+                {
+                    "group_key": g[pick],
+                    "series_key": s[pick],
+                    "lag": lags[pick],
+                    "score": sc[pick],
+                }
+            )
+            y[: len(meta)] = 0.0
+            meta.clear()
+            return out
+
+        for s, e in zip(starts, ends):
+            row = len(meta)
+            y[row, idxs[s:e]] = vals[s:e]
+            meta.append((gks[s], sks[s]))
+            if len(meta) == batch_rows:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    local_best = (
+        keyed.repartition(n_part, "__sk")
+        .sortWithinPartitions("__sk", "__idx")
+        .mapInPandas(score_partition, out_schema)
     )
     return (
         local_best.withColumn("_abs", F.abs("score"))
