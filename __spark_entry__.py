@@ -456,6 +456,29 @@ def q_muse_topk_1h(spark, sf_dir):
     )
 
 
+def q_muse_over_chunks_1h(spark, sf_dir):
+    """L4 decode-on-read: rollup -> Gorilla/DoD chunk table -> decode ->
+    muse search over the decoded points. Proves the full storage loop at
+    the driver contract level. Not SQL-expressible (FFT) -> rows-only;
+    numeric parity covered by the golden tier tests."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    chunks = encode_chunks_windowed(rolled, "1h", "turn_cnt", chunk_size=512)
+    decoded = decode_chunks(chunks, "turn_cnt")
+    lo, hi, n = series_bounds(decoded, 3600)
+    ref = np.zeros(n)
+    pos = n // 4
+    ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+    return muse_search_rollup(
+        decoded,
+        ref,
+        3600,
+        group_by=None,
+        params=SearchParams(top_n=10, max_lag=n, threshold=0.0, mode="abs"),
+        series_cols=("conv_id",),
+        bounds=(lo, hi, n),
+    )
+
+
 def q_muse_grouped_1h(spark, sf_dir):
     """Grouped Batch.Run over (event_type) labels: best user per event
     type. No oracle (FFT)."""
@@ -536,6 +559,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "muse_topk_1h": q_muse_topk_1h,
         "muse_grouped_1h": q_muse_grouped_1h,
+        "muse_over_chunks_1h": q_muse_over_chunks_1h,
     }
 
 
