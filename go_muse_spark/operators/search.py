@@ -236,11 +236,16 @@ def score_rollup(
         / F.lit(int(tier_secs))
     ).cast("long").alias("__idx")
     val = F.col(value_col).cast("double").alias("__val")
-    if group_by:
-        gk = label_id_cols(group_by).alias("group_key")
+    # per-series grouping (group_by=None) would shuffle the SAME string
+    # twice per row as (group_key, __sk); derive group_key = __sk after
+    # the exchange instead
+    per_series = not group_by
+    if per_series:
+        keyed = rolled.select(sk, idx, val)
     else:
-        gk = F.concat_ws("|", *[F.col(c) for c in series_cols]).alias("group_key")
-    keyed = rolled.select(gk, sk, idx, val)
+        keyed = rolled.select(
+            label_id_cols(group_by).alias("group_key"), sk, idx, val
+        )
 
     out_schema = "group_key string, series_key string, lag long, score double"
     n_part = n_salt * spark.sparkContext.defaultParallelism
@@ -263,7 +268,7 @@ def score_rollup(
             return
         pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
         sks = pdf["__sk"].to_numpy()
-        gks = pdf["group_key"].to_numpy()
+        gks = sks if per_series else pdf["group_key"].to_numpy()
         idxs = pdf["__idx"].to_numpy(dtype=np.int64)
         vals = pdf["__val"].to_numpy(dtype=np.float64)
         change = np.flatnonzero(sks[1:] != sks[:-1]) + 1
