@@ -190,10 +190,13 @@ def q_gapfill_linear_1h(spark, sf_dir):
         _tx(spark, sf_dir), "1h", sum_cols={"value_sum": "value"}
     ).withColumn("value_avg", F.col("value_sum") / F.col("turn_cnt"))
     filled = gap_fill(rolled, "1h", ("value_avg",), mode="linear", align="conv")
+    # integer micro-units: round(x, 6) lands on engine-specific binary
+    # doubles for lerp chains (Spark BigDecimal HALF_UP vs DuckDB); the
+    # micro-unit bigint hashes identically by construction
     return filled.select(
         F.col("conv_id").alias("user_id"),
         "bucket_ts",
-        F.round("value_avg", 6).alias("value_avg"),
+        F.round(F.col("value_avg") * 1e6, 0).cast("long").alias("value_avg_u"),
         "filled",
     )
 
@@ -220,8 +223,17 @@ def q_multimodal_features(spark, sf_dir):
     """Binary payload -> feature vector via mapInPandas (Arrow batches).
     The decode is the deterministic stub (no image libs in-sandbox); the
     Spark plumbing (schema, batch shape, UDF signature) is the real path.
-    Not SQL-expressible (numpy PCG64 inside the stub) -> rows-only."""
-    return decode_image_features(_docs_as_media(spark, sf_dir), 7, fake=True)
+    Output is exploded to (media_id, feature_idx, value) rows so the
+    driver's order-insensitive hash has scalar columns to canonicalize.
+    Not SQL-expressible (splitmix64 pixels inside the stub) -> rows-only."""
+    feats = decode_image_features(_docs_as_media(spark, sf_dir), 7, fake=True)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("feature_idx", "value")
+    ).select(
+        "media_id",
+        F.col("feature_idx").cast("long").alias("feature_idx"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("value_u"),
+    )
 
 
 def q_multimodal_frame_plan(spark, sf_dir):
@@ -626,11 +638,11 @@ WITH r AS (
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, bucket_ts,
-  round(CASE WHEN value_avg IS NOT NULL THEN value_avg
+  cast(round((CASE WHEN value_avg IS NOT NULL THEN value_avg
              WHEN prev_v IS NULL THEN next_v
              WHEN next_v IS NULL THEN prev_v
              ELSE prev_v + (next_v - prev_v) * (pos - prev_t) / (next_t - prev_t)
-        END, 6) AS value_avg,
+        END) * 1e6) AS bigint) AS value_avg_u,
   value_avg IS NULL AS filled
 FROM w
 """,
@@ -834,12 +846,16 @@ WHERE b.vec_id <> 0
        OR b.bucket = xor(q.q_bucket, 8))
 ORDER BY cosine DESC, b.vec_id LIMIT 10
 """,
-        "cosine_topk": """
+        # NOTE: the ordered fold (X.dot_product), not DuckDB's builtin
+        # list_dot_product — different accumulation order gives last-digit
+        # double differences that fail the exact value hash
+        "cosine_topk": f"""
 WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
-       round(list_dot_product(e.embedding, q.q_emb)
-             / (sqrt(list_dot_product(e.embedding, e.embedding))
-                * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cosine
+       round(({X.dot_product('duck', 'e.embedding', 'q.q_emb', 64)})
+             / (sqrt({X.dot_product('duck', 'e.embedding', 'e.embedding', 64)})
+                * sqrt({X.dot_product('duck', 'q.q_emb', 'q.q_emb', 64)})), 6)
+         AS cosine
 FROM embeddings e, q
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id LIMIT 20

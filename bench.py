@@ -28,7 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from go_muse_spark.operators.compress import encode_tiers_fused  # noqa: E402
-from go_muse_spark.session import get_spark  # noqa: E402
+from go_muse_spark.session import get_bench_spark  # noqa: E402
 from go_muse_spark.sources.transcripts import write_transcripts  # noqa: E402
 
 BENCH_QUERIES = [
@@ -92,7 +92,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     frac = sf_frac(sf_dir)
-    spark = get_spark(cpus=cpus, app="go-muse-spark-bench")
+    spark = get_bench_spark(cpus=cpus, app="go-muse-spark-bench")
 
     # ---------------- headline: turns/sec across 3 tiers + compression
     tx_path = corpus_path(frac)

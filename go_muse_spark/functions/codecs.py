@@ -116,6 +116,10 @@ def decode_floats(data: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.float64)
     buf = np.frombuffer(data, dtype=np.uint8)
+    if buf[0] != _VERSION:
+        raise ValueError(
+            f"unsupported float-chunk version {int(buf[0])} (expected {_VERSION})"
+        )
     lz, tz = int(buf[1]), int(buf[2])
     out = np.empty(n, dtype=_U64)
     out[0] = buf[3:11].view(_U64)[0]
@@ -167,6 +171,11 @@ def decode_timestamps(data: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int64)
     buf = np.frombuffer(data, dtype=np.uint8)
+    if buf[0] != _VERSION:
+        raise ValueError(
+            f"unsupported timestamp-chunk version {int(buf[0])} "
+            f"(expected {_VERSION})"
+        )
     width = int(buf[1])
     first = buf[2:10].view(np.int64)[0]
     if n == 1:

@@ -115,12 +115,21 @@ def lsh_candidate_pairs(
 def minhash_near_dups(
     docs: DataFrame, threshold: float = 0.5, k: int = 16, bands: int = 4
 ) -> DataFrame:
-    """LSH candidates verified with exact 3-gram-shingle-set Jaccard."""
+    """LSH candidates verified with 3-gram-shingle-set Jaccard.
+
+    The verification operates on HASHED shingles in a ~2^30 space (mod P
+    polynomial hashes), so it is collision-approximate, not exact: a
+    cross-doc collision inflates the intersection, an in-doc collision
+    shrinks a set. At ~10^4 shingles/doc the per-pair error is O(10^-5);
+    for huge documents or when exactness matters, verify on the string
+    shingles instead (swap `th` for `shingles()` at ~5x intersect cost)
+    or widen the hash space.
+    """
     # verify on HASHED shingles (bigint arrays): same set semantics as the
-    # string shingles at ~5x less intersect cost, and the identical LCG
-    # arithmetic runs in the DuckDB oracle, so values stay exact. The
-    # hashed-shingle table is computed ONCE and feeds both the signatures
-    # and the verification join.
+    # string shingles modulo the collision caveat above, and the identical
+    # LCG arithmetic runs in the DuckDB oracle, so values stay engine-
+    # exact. The hashed-shingle table is computed ONCE and feeds both the
+    # signatures and the verification join.
     hashed = _materialize(hashed_shingles(docs, 3))
     sigs = minhash_signatures(docs, k, hashed=hashed)
     cands = lsh_candidate_pairs(docs, k, bands, sigs=sigs)
@@ -190,7 +199,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     block_col: str = "source",
 ) -> DataFrame:
-    """Exact n-gram-shingle Jaccard pairs within a blocking column."""
+    """Brute-force n-gram-shingle Jaccard pairs within a blocking column.
+
+    Jaccard is computed over mod-P hashed shingles (~2^30 space), so it is
+    collision-approximate for very large shingle sets — see
+    minhash_near_dups. The O(block^2) pairing is the honest baseline for
+    the LSH paths; it does not survive a hot block at 10^12-doc scale.
+    """
     sh = _materialize(
         docs.select(
             "doc_id",

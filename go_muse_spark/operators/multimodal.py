@@ -41,11 +41,28 @@ def with_content_hash(media: DataFrame) -> DataFrame:
     return media.withColumn("content_hash", F.sha2(F.col("payload"), 256))
 
 
-def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in decode: content-seeded pixels (H, W, 3)."""
-    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+_U64 = np.uint64
+_GOLD = _U64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based splitmix64 finalizer over uint64 arrays (mod 2^64)."""
+    z = x + _GOLD
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _fake_decode_batch(
+    seeds: np.ndarray, width: int, height: int
+) -> np.ndarray:
+    """Deterministic stand-in decode for a batch of same-shape images:
+    (m,) uint64 content seeds -> (m, H, W, 3) uint8 pixels, one vectorized
+    counter-based hash over the whole batch (no per-item RNG loop)."""
+    n_pix = height * width * 3
+    ctr = np.arange(n_pix, dtype=_U64)[None, :]
+    px = _splitmix64(seeds[:, None] * _GOLD + ctr) & _U64(0xFF)
+    return px.astype(np.uint8).reshape(-1, height, width, 3)
 
 
 def decode_image_features(
@@ -56,36 +73,64 @@ def decode_image_features(
     The real decode (PIL/cv2) is not available in this container; with
     fake=False this raises NotImplementedError at executor time, with
     fake=True a deterministic content-seeded decode keeps the plumbing
-    testable: schema, batch iteration, per-row ndarray handling, and the
-    feature reduction are all the real code path.
+    testable: schema, batch iteration, and the feature reduction are all
+    the real code path. The reduction (channel means + quadrant means) is
+    BATCHED numpy: rows are grouped by image shape and each group is
+    decoded and reduced as one (m, H, W, 3) stack — a real codec would
+    force per-item decode, but nothing downstream of the pixels should
+    (or does) loop per row.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for row in pdf.itertuples(index=False):
-                if not fake:
-                    raise NotImplementedError(
-                        "image decode requires PIL/cv2 (not in sandbox); "
-                        "pass fake=True for the deterministic stub"
+            if not len(pdf):
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/cv2 (not in sandbox); "
+                    "pass fake=True for the deterministic stub"
+                )
+            m = len(pdf)
+            seeds = np.fromiter(
+                (
+                    int.from_bytes(bytes(p)[:8].ljust(8, b"\0"), "little")
+                    for p in pdf["payload"]
+                ),
+                dtype=_U64,
+                count=m,
+            )
+            widths = np.asarray(
+                [int(meta["width"] or 16) for meta in pdf["meta"]], dtype=np.int64
+            )
+            heights = np.asarray(
+                [int(meta["height"] or 16) for meta in pdf["meta"]], dtype=np.int64
+            )
+            n_out = min(n_features, 7)  # 3 channel + 4 quadrant means
+            feats = np.empty((m, n_out), dtype=np.float64)
+            # group by shape -> one vectorized decode+reduce per group
+            shape_key = widths << 32 | heights
+            for key in np.unique(shape_key):
+                rows = np.flatnonzero(shape_key == key)
+                w, h = int(widths[rows[0]]), int(heights[rows[0]])
+                imgs = _fake_decode_batch(seeds[rows], w, h)
+                f0 = imgs.mean(axis=(1, 2)) / 255.0  # (g, 3) channel means
+                qs = (
+                    np.stack(
+                        [
+                            imgs[:, : h // 2, : w // 2].mean(axis=(1, 2, 3)),
+                            imgs[:, : h // 2, w // 2 :].mean(axis=(1, 2, 3)),
+                            imgs[:, h // 2 :, : w // 2].mean(axis=(1, 2, 3)),
+                            imgs[:, h // 2 :, w // 2 :].mean(axis=(1, 2, 3)),
+                        ],
+                        axis=1,
                     )
-                w = int(row.meta["width"] or 16)
-                h = int(row.meta["height"] or 16)
-                img = _fake_decode(bytes(row.payload), w, h)
-                # channel-mean + quadrant-mean features, fixed length
-                f0 = img.mean(axis=(0, 1)) / 255.0
-                qs = [
-                    img[: h // 2, : w // 2].mean(),
-                    img[: h // 2, w // 2 :].mean(),
-                    img[h // 2 :, : w // 2].mean(),
-                    img[h // 2 :, w // 2 :].mean(),
-                ]
-                v = np.concatenate([f0, np.asarray(qs) / 255.0])
-                feats.append(v[:n_features].astype(np.float64))
+                    / 255.0
+                )  # (g, 4) quadrant means
+                feats[rows] = np.concatenate([f0, qs], axis=1)[:, :n_out]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "features": [list(map(float, f)) for f in feats],
+                    "features": list(feats),
                 }
             )
 

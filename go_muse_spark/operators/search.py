@@ -61,8 +61,10 @@ class SearchParams:
                      (muse_batch.go:74-77).
     mode="signed" -> Muse.Run semantics: signed cc clamped to [-1,1]
                      (muse.go:73-76).
-    max_lag None  -> no lag filter. n_salt partitions the scoring of each
-    group; raise it for skewed/huge groups.
+    max_lag None  -> no lag filter. n_salt applies only to the long-form
+    rollup path (score_rollup): it multiplies the partition count of the
+    series-key exchange, spreading work finer under skew. The array path
+    (score_series) needs no exchange at all, so it has no such knob.
     """
 
     top_n: int = 20
@@ -78,7 +80,6 @@ def score_series(
     ref_values: np.ndarray,
     group_by: list[str] | None,
     mode: str = "abs",
-    n_salt: int = 8,
     series_key: str = "conv_id",
     values_col: str = "values",
 ) -> DataFrame:
@@ -401,7 +402,7 @@ def muse_search(
     """Full Batch.Run equivalent: score -> reduce -> filter -> top-K."""
     p = params or SearchParams()
     scored = score_series(
-        df, ref_values, group_by, p.mode, p.n_salt, series_key, values_col
+        df, ref_values, group_by, p.mode, series_key, values_col
     )
     passed = apply_result_filters(scored, p.max_lag, p.threshold, p.sign)
     return top_k(passed, p.top_n)

@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "ship_package", "DEFAULT_CPUS"]
+__all__ = ["get_spark", "get_bench_spark", "ship_package", "DEFAULT_CPUS"]
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -83,17 +83,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # one shared heap for all local[N] task threads: size it so 32
-        # concurrent shuffle/sort tasks never contend on young-gen space —
-        # an undersized heap showed up as a 3-19x executorRunTime inflation
-        # at 32 threads (allocation stalls, not reported GC time). On a
-        # real cluster this is ordinary per-executor memory sizing.
-        .config("spark.driver.memory", driver_mem or os.environ.get("SPARK_DRIVER_MEM", "56g"))
-        # local-mode stand-in for executor-local SSD scratch: shuffle spill
-        # to tmpfs keeps 32 concurrent shuffle writers off the single
-        # virtio disk. Cluster deployments use the provisioned local disks
-        # (spark.local.dir is set by the resource manager there).
-        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # local single-file fixtures: split scans finer so the read side
@@ -101,9 +90,52 @@ def get_spark(
         # caps per-task input)
         .config("spark.sql.files.maxPartitionBytes", "16m")
     )
+    # sizing knobs are env/arg-only: library defaults stay conservative so
+    # get_spark works on small hosts (an unconditional 56g heap fails JVM
+    # startup there; an unconditional tmpfs spill dir risks ENOSPC). The
+    # bench/tool entry points opt into the sandbox sizing via
+    # get_bench_spark / SPARK_DRIVER_MEM / SPARK_GRAFT_LOCAL_DIR.
+    mem = driver_mem or os.environ.get("SPARK_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
     return spark
+
+
+def get_bench_spark(
+    cpus: int | None = None,
+    app: str = "go-muse-spark-bench",
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """get_spark + the bench-sandbox sizing (32-vCPU/128 GiB VM).
+
+    One shared heap for all local[N] task threads: size it so 32
+    concurrent shuffle/sort tasks never contend on young-gen space — an
+    undersized heap showed up as a 3-19x executorRunTime inflation at 32
+    threads (allocation stalls, not reported GC time). Shuffle spill goes
+    to tmpfs to keep 32 concurrent shuffle writers off the single virtio
+    disk. On a real cluster both are ordinary per-executor sizing /
+    resource-manager-provided local disks — which is why they live here,
+    not in the library defaults.
+    """
+    cfg = {
+        "spark.local.dir": os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"
+        )
+    }
+    cfg.update(extra or {})
+    return get_spark(
+        cpus=cpus,
+        app=app,
+        shuffle_partitions=shuffle_partitions,
+        driver_mem=os.environ.get("SPARK_DRIVER_MEM", "56g"),
+        extra=cfg,
+    )

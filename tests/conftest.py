@@ -5,6 +5,8 @@ from go_muse_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(cpus=4, app="go-muse-spark-tests", shuffle_partitions=4)
+    s = get_spark(
+        cpus=4, app="go-muse-spark-tests", shuffle_partitions=4, driver_mem="8g"
+    )
     yield s
     s.stop()

@@ -71,7 +71,7 @@ def test_batch_run_simple(spark):
 def test_mean_abs_score(spark):
     # Results.Fetch mean of |score| over passed rows (results.go:83-86)
     df = simple_df(spark)
-    scored = score_series(df, np.array(REF), ["graph"], "abs", 2, "series_key")
+    scored = score_series(df, np.array(REF), ["graph"], "abs", "series_key")
     expect = np.mean([abs(s) for _, s in SIMPLE_EXPECT.values()])
     assert abs(mean_abs_score(scored) - expect) < 1e-3
 
@@ -84,7 +84,7 @@ def test_per_series_grouping_signed(spark):
     flipped["evenLowerShiftedAhead"] = [0.0, 0, 0, 0, 0, 0, 0, 0, -2, -3, -2, 0]
     rows = [(k, [float(x) for x in v]) for k, v in flipped.items()]
     df = spark.createDataFrame(rows, "series_key string, values array<double>")
-    scored = score_series(df, np.array(REF), None, "signed", 2, "series_key")
+    scored = score_series(df, np.array(REF), None, "signed", "series_key")
     got = {r["group_key"]: (r["lag"], r["score"]) for r in scored.collect()}
     assert got["evenLowerShiftedAhead"][0] == -3
     assert abs(got["evenLowerShiftedAhead"][1] - (-0.754)) < 1e-3
@@ -138,7 +138,7 @@ def test_multi_dimensional_group_best(spark):
         assert got[k]["lag"] == lag, k
         assert abs(got[k]["score"] - score) < 1e-3, k
     # groupBy graph+host -> 6 distinct groups (group_test.go style)
-    res2 = score_series(df, np.array(ref), ["graph", "host"], "abs", 2, "series_key")
+    res2 = score_series(df, np.array(ref), ["graph", "host"], "abs", "series_key")
     assert res2.count() == 6
 
 
@@ -146,7 +146,7 @@ def test_max_lag_is_post_filter(spark):
     # SURVEY.md §2c gotcha 1: argmax runs over ALL lags; if the best lag
     # falls outside maxLag the row is dropped, not re-searched.
     df = simple_df(spark)
-    scored = score_series(df, np.array(REF), ["graph"], "abs", 2, "series_key")
+    scored = score_series(df, np.array(REF), ["graph"], "abs", "series_key")
     res = apply_result_filters(scored, max_lag=1, threshold=0.0)
     keys = {r["group_key"] for r in res.collect()}
     # evenLowerShiftedAhead (lag -3) and evenLower (lag 2) must vanish
@@ -155,7 +155,7 @@ def test_max_lag_is_post_filter(spark):
 
 def test_top_k_limit(spark):
     df = simple_df(spark)
-    scored = score_series(df, np.array(REF), ["graph"], "abs", 2, "series_key")
+    scored = score_series(df, np.array(REF), ["graph"], "abs", "series_key")
     res = top_k(scored, 2).collect()
     assert [r["group_key"] for r in res] == [
         "graph:perfectMatch",
@@ -208,7 +208,7 @@ def test_incremental_results_accumulator(spark):
     )
     acc = IncrementalResults(SearchParams(top_n=3, max_lag=None, mode="abs"))
     for b in (batch1, batch2):
-        acc.update(score_series(b, ref, None, "abs", 1, "series_key", "values"))
+        acc.update(score_series(b, ref, None, "abs", "series_key", "values"))
     rows, mean = acc.fetch()
     got = [(r["series_key"], round(r["score"], 3)) for r in rows]
     assert got == [("c", 1.0), ("d", 0.929), ("a", 0.733)]

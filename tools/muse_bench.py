@@ -108,9 +108,9 @@ def main() -> None:
     base_n = len(y)
     k_wall = kernel_only(ref, y)
 
-    from go_muse_spark.session import get_spark
+    from go_muse_spark.session import get_bench_spark
 
-    spark = get_spark(cpus=cpus, app="muse-bench")
+    spark = get_bench_spark(cpus=cpus, app="muse-bench")
     # warm Python workers
     spark.range(cpus * 4).repartition(cpus).mapInPandas(
         lambda it: it, "id long"

@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from go_muse_spark.operators.compress import encode_chunks
 from go_muse_spark.operators.rollup import rollup_all_tiers
-from go_muse_spark.session import get_spark
+from go_muse_spark.session import get_bench_spark
 from go_muse_spark.sources.transcripts import write_transcripts
 
 
@@ -30,7 +30,7 @@ def main():
     path = os.path.join(cache, f"tx_convs{n_convs}_d64.parquet")
     if not os.path.exists(path):
         write_transcripts(path, n_files=64, n_convs=n_convs, seed=42)
-    spark = get_spark(cpus=cpus, app="profile")
+    spark = get_bench_spark(cpus=cpus, app="profile")
 
     tx = spark.read.parquet(path)
     t = time.time(); n = tx.count(); print(f"count={n} load_count={time.time()-t:.2f}s")

@@ -15,13 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from go_muse_spark.operators.compress import encode_tiers_fused
 from go_muse_spark.operators.rollup import rollup_transcripts
-from go_muse_spark.session import get_spark
+from go_muse_spark.session import get_bench_spark
 from bench import corpus_path, sf_frac
 
 
 def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    spark = get_spark(cpus=cpus, app="profile-stages",
+    spark = get_bench_spark(cpus=cpus, app="profile-stages",
                       extra={"spark.ui.enabled": "true"})
     tx = spark.read.parquet(corpus_path(sf_frac(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))))
     # warmup python workers
