@@ -446,18 +446,30 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), 0, 20)
 
 
+def _muse_out(scored: DataFrame) -> DataFrame:
+    """Contract shape shared with the muse oracles: micro-unit integer
+    scores hash identically across engines (the FFT path and the oracle's
+    direct circular sums agree to ~1e-12, far inside the 1e-6 grid)."""
+    return scored.select(
+        "group_key",
+        "series_key",
+        "lag",
+        F.round(F.col("score") * 1e6, 0).cast("long").alias("score_u"),
+    )
+
+
 def q_muse_topk_1h(spark, sf_dir):
     """Flagship: which users' hourly activity waveform best matches a
     reference burst. Sparse long-form scoring (score_rollup): rollup rows
     go straight into the grouped kernel — no spine explode, no array
-    materialization, one shuffle. Not SQL-expressible (FFT) -> no oracle;
-    numeric parity is covered by the golden tier tests."""
+    materialization, one shuffle. Oracle: exact brute-force circular
+    xcorr in DuckDB via the sparse decomposition (see _MUSE_ORACLE)."""
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
     lo, hi, n = series_bounds(rolled, 3600)
     ref = np.zeros(n)
     pos = n // 4
     ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
-    return muse_search_rollup(
+    return _muse_out(muse_search_rollup(
         rolled,
         ref,
         3600,
@@ -465,14 +477,42 @@ def q_muse_topk_1h(spark, sf_dir):
         params=SearchParams(top_n=10, max_lag=n, threshold=0.0, mode="abs", n_salt=4),
         series_cols=("conv_id",),
         bounds=(lo, hi, n),
-    )
+    ))
+
+
+def q_muse_signed_1h(spark, sf_dir):
+    """Muse.Run (EP1) signed-score semantics + the NEG sign filter
+    (muse.go:73-88, results.go:20-26): the signed cc at the best-|cc|
+    lag is kept (not |cc|), and only groups whose best score is negative
+    pass. The reference is the flagship burst NEGATED (an outage dip):
+    z-normalization makes cc the exact negation of the flagship's, so
+    abs mode would report +|cc| while signed reports the true negative
+    correlation — the muse_test.go:58 (-0.754) vs muse_batch_test.go:26
+    (+0.754) divergence, as a contract row with real rows retained."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    lo, hi, n = series_bounds(rolled, 3600)
+    ref = np.zeros(n)
+    pos = n // 4
+    ref[pos : pos + 5] = [-1.0, -3.0, -5.0, -3.0, -1.0]
+    return _muse_out(muse_search_rollup(
+        rolled,
+        ref,
+        3600,
+        group_by=None,
+        params=SearchParams(
+            top_n=10, max_lag=n, threshold=0.0, mode="signed", sign="neg"
+        ),
+        series_cols=("conv_id",),
+        bounds=(lo, hi, n),
+    ))
 
 
 def q_muse_over_chunks_1h(spark, sf_dir):
     """L4 decode-on-read: rollup -> Gorilla/DoD chunk table -> decode ->
     muse search over the decoded points. Proves the full storage loop at
-    the driver contract level. Not SQL-expressible (FFT) -> rows-only;
-    numeric parity covered by the golden tier tests."""
+    the driver contract level; shares the flagship's brute-force xcorr
+    oracle (the codec round trip is exact and padded zero rows are no-ops
+    in the zero-initialized scoring matrix)."""
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
     chunks = encode_chunks_windowed(rolled, "1h", "turn_cnt", chunk_size=512)
     decoded = decode_chunks(chunks, "turn_cnt")
@@ -480,7 +520,7 @@ def q_muse_over_chunks_1h(spark, sf_dir):
     ref = np.zeros(n)
     pos = n // 4
     ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
-    return muse_search_rollup(
+    return _muse_out(muse_search_rollup(
         decoded,
         ref,
         3600,
@@ -488,12 +528,13 @@ def q_muse_over_chunks_1h(spark, sf_dir):
         params=SearchParams(top_n=10, max_lag=n, threshold=0.0, mode="abs"),
         series_cols=("conv_id",),
         bounds=(lo, hi, n),
-    )
+    ))
 
 
 def q_muse_grouped_1h(spark, sf_dir):
     """Grouped Batch.Run over (event_type) labels: best user per event
-    type. No oracle (FFT)."""
+    type. Oracle: the brute-force xcorr SQL over (user, event_type)
+    series."""
     ev = load_table(spark, sf_dir, "events")
     tx = events_as_transcripts(ev).withColumn("event_type", F.col("role"))
     rolled = tx.groupBy(
@@ -502,7 +543,7 @@ def q_muse_grouped_1h(spark, sf_dir):
     lo, hi, n = series_bounds(rolled, 3600)
     ref = np.zeros(n)
     ref[n // 3 : n // 3 + 4] = [2.0, 5.0, 5.0, 2.0]
-    return muse_search_rollup(
+    return _muse_out(muse_search_rollup(
         rolled,
         ref,
         3600,
@@ -510,6 +551,153 @@ def q_muse_grouped_1h(spark, sf_dir):
         params=SearchParams(top_n=10, max_lag=n, mode="abs", n_salt=4),
         series_cols=("conv_id", "event_type"),
         bounds=(lo, hi, n),
+    ))
+
+
+# ------------------------------------------------- muse DuckDB oracles
+#
+# The FFT itself is not SQL-expressible, but the ANSWER is: with x_pad,
+# y_pad front-zero-padded to fft length n, the kernel computes
+#   cc[k] = IDFT(conj(FFT(y_pad)) * FFT(x_pad))[k]
+#         = sum_j x_pad[j] * y_pad[(j - k) mod n]
+# and the identical front-padding cancels, leaving
+#   cc[k] = sum over (a, b) in [0, L)^2 with (a - b) mod n == k
+#           of xz[a] * yz[b]
+# (a = reference index, b = candidate index, L = aligned series length).
+# Substituting the z-norm yz[b] = (y_b - mu)/sigma splits cc into a part
+# driven by the SPARSE nonzero rollup rows and a prefix-summable window:
+#   cc[k] = T1(k)/sigma - (mu/sigma) * W(k)
+#   T1(k) = sum over nonzero y_b of y_b * xz[(b + k) mod n], a < L
+#   W(k)  = [k<L] * (P(L) - P(k)) + [L+k-n>0] * P(L+k-n),  P = prefix(xz)
+# so the oracle is an O(nnz * n) equi-join + an O(n) window table instead
+# of an O(L * n) dense quadratic — exact to ~1e-12 vs the FFT (verified),
+# far inside the micro-unit rounding both sides emit. Reference
+# semantics replicated: first-max-wins argmax (xcorr.go:39-50), circular
+# lag wrap i>n/2 -> i-n (xcorr.go:192-194), sigma=0 -> (0, 0)
+# (xcorr.go:164-171), per-group best then global top-K by |score|
+# (muse_batch.go:56-93, results.go:46-87).
+
+_MUSE_ORACLE = """
+WITH dims AS (
+  SELECT min(date_trunc('hour', ts)) AS lo,
+         cast((epoch(max(date_trunc('hour', ts)))
+               - epoch(min(date_trunc('hour', ts)))) / 3600 AS bigint) + 1 AS L
+  FROM events
+), dims2 AS (
+  SELECT lo, L, cast(power(2, ceil(log2(L))) AS bigint) AS n FROM dims
+), refraw AS (
+  SELECT j, L, n, ({ref_case}) AS raw
+  FROM (SELECT unnest(generate_series(0::BIGINT, L - 1)) AS j, L, n FROM dims2)
+), refz AS (  -- z-normalized, 1/(L-1)-scaled reference (muse.go:23-42)
+  SELECT j, L, n,
+         (raw - avg(raw) OVER ()) / stddev_samp(raw) OVER () / (L - 1) AS rv
+  FROM refraw
+), ptab AS (  -- P(t) = sum of rv[0..t)
+  SELECT j + 1 AS t, sum(rv) OVER (ORDER BY j) AS p FROM refz
+  UNION ALL SELECT 0, 0.0
+), ks AS (
+  SELECT unnest(generate_series(0::BIGINT, n - 1)) AS k, L, n FROM dims2
+), wtab AS (
+  SELECT ks.k, ks.L, ks.n,
+         coalesce(CASE WHEN ks.k < ks.L THEN pl.p - pk.p END, 0.0)
+         + coalesce(ph.p, 0.0) AS w
+  FROM ks
+  LEFT JOIN ptab pk ON pk.t = ks.k
+  JOIN ptab pl ON pl.t = ks.L
+  LEFT JOIN ptab ph
+    ON ph.t = ks.L + ks.k - ks.n AND ks.L + ks.k - ks.n > 0
+), rr AS (  -- nonzero hourly rollup rows, b = aligned bucket index
+  {rr}
+), st AS (  -- dense-vector mean + sample stddev from the sparse rows
+  SELECT sk, any_value(group_key) AS group_key,
+         sum(y) / any_value(L) AS mu,
+         sqrt(greatest(sum(y * y) - sum(y) * sum(y) / any_value(L), 0)
+              / (any_value(L) - 1)) AS sig
+  FROM (SELECT rr.*, d.L FROM rr, dims2 d) GROUP BY sk
+), t1 AS (
+  SELECT rr.sk, ks.k, sum(rr.y * rz.rv) AS t1
+  FROM rr JOIN ks ON true
+  JOIN refz rz ON rz.j = (rr.b + ks.k) % ks.n
+  GROUP BY rr.sk, ks.k
+), cck AS (
+  SELECT st.sk, st.group_key, w.k, w.n,
+         coalesce(t1.t1, 0.0) / st.sig - (st.mu / st.sig) * w.w AS cc
+  FROM st CROSS JOIN wtab w
+  LEFT JOIN t1 ON t1.sk = st.sk AND t1.k = w.k
+  WHERE st.sig > 0
+), best AS (  -- first-max-wins argmax over |cc|; circular lag wrap
+  SELECT sk, group_key,
+         CASE WHEN k > n // 2 THEN k - n ELSE k END AS lag,
+         {score_expr} AS score,
+         row_number() OVER (PARTITION BY sk ORDER BY abs(cc) DESC, k) AS rn
+  FROM cck
+), series_best AS (
+  SELECT sk, group_key, lag, score FROM best WHERE rn = 1
+  UNION ALL  -- sigma=0 series score (0, 0) and stay (xcorr.go:164-171)
+  SELECT sk, group_key, 0::BIGINT AS lag, 0.0 AS score
+  FROM st WHERE NOT (st.sig > 0)
+), gbest AS (  -- per-group best, ties to lowest series_key
+  SELECT group_key, sk AS series_key, lag, score,
+         row_number() OVER (
+           PARTITION BY group_key ORDER BY abs(score) DESC, sk) AS rn
+  FROM series_best
+)
+SELECT group_key, series_key, lag,
+       cast(round(score * 1e6) AS bigint) AS score_u
+FROM gbest WHERE rn = 1{sign_where}
+ORDER BY abs(score) DESC, group_key LIMIT {top_n}
+"""
+
+_MUSE_RR_PER_USER = """
+  SELECT cast(user_id AS varchar) AS sk,
+         cast(user_id AS varchar) AS group_key,
+         cast((epoch(date_trunc('hour', ts))
+               - (SELECT epoch(lo) FROM dims2)) / 3600 AS bigint) AS b,
+         cast(count(*) AS double) AS y
+  FROM events GROUP BY 1, 2, 3
+"""
+
+_MUSE_RR_BY_EVENT_TYPE = """
+  SELECT cast(user_id AS varchar) || '|' || event_type AS sk,
+         'event_type:' || event_type AS group_key,
+         cast((epoch(date_trunc('hour', ts))
+               - (SELECT epoch(lo) FROM dims2)) / 3600 AS bigint) AS b,
+         cast(count(*) AS double) AS y
+  FROM events GROUP BY 1, 2, 3
+"""
+
+# burst refs as CASE over the aligned index j (positions derived from L
+# exactly as the Spark queries derive them from series_bounds' n)
+_REF_TOPK = (
+    "CASE WHEN j - (L // 4) BETWEEN 0 AND 4 "
+    "THEN [1.0, 3.0, 5.0, 3.0, 1.0][j - (L // 4) + 1] ELSE 0.0 END"
+)
+_REF_GROUPED = (
+    "CASE WHEN j - (L // 3) BETWEEN 0 AND 3 "
+    "THEN [2.0, 5.0, 5.0, 2.0][j - (L // 3) + 1] ELSE 0.0 END"
+)
+_REF_DIP = (
+    "CASE WHEN j - (L // 4) BETWEEN 0 AND 4 "
+    "THEN [-1.0, -3.0, -5.0, -3.0, -1.0][j - (L // 4) + 1] ELSE 0.0 END"
+)
+
+_SCORE_ABS = "least(abs(cc), 1.0)"  # Batch.scoreSingle (muse_batch.go:74-77)
+_SCORE_SIGNED = "greatest(least(cc, 1.0), -1.0)"  # Muse.Run (muse.go:73-76)
+
+
+def _muse_oracle(
+    ref_case: str,
+    rr: str,
+    score_expr: str = _SCORE_ABS,
+    sign_where: str = "",
+    top_n: int = 10,
+) -> str:
+    return _MUSE_ORACLE.format(
+        ref_case=ref_case,
+        rr=rr,
+        score_expr=score_expr,
+        sign_where=sign_where,
+        top_n=top_n,
     )
 
 
@@ -570,6 +758,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "muse_topk_1h": q_muse_topk_1h,
+        "muse_signed_1h": q_muse_signed_1h,
         "muse_grouped_1h": q_muse_grouped_1h,
         "muse_over_chunks_1h": q_muse_over_chunks_1h,
     }
@@ -580,6 +769,19 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base(stop_list)
     # windowed encoder emits byte-identical chunks -> identical decode
     d["chunks_windowed_roundtrip_1h"] = d["chunks_roundtrip_1h"]
+    d["muse_topk_1h"] = _muse_oracle(_REF_TOPK, _MUSE_RR_PER_USER)
+    d["muse_signed_1h"] = _muse_oracle(
+        _REF_DIP,
+        _MUSE_RR_PER_USER,
+        score_expr=_SCORE_SIGNED,
+        sign_where=" AND score < 0",
+    )
+    d["muse_grouped_1h"] = _muse_oracle(_REF_GROUPED, _MUSE_RR_BY_EVENT_TYPE)
+    # decode(encode(rollup)) reproduces the rollup points exactly (the
+    # chunk queries prove that), and the zero rows the per-conv encoder
+    # adds are no-ops in the zero-initialized scoring matrix -> same
+    # answer as the direct rollup search
+    d["muse_over_chunks_1h"] = d["muse_topk_1h"]
     return d
 
 
