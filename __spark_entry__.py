@@ -434,9 +434,15 @@ def q_quality_score(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, hyperplane-LSH blocked (equi-join
-    on bucket), exact cosine verify — all JVM-side folds."""
+    on probe bucket), exact cosine verify — all JVM-side folds. planes=8
+    (256 buckets, bounded per-bucket fan-out) with hamming-1 multi-probe
+    recovering the recall a finer bucketing gives up; the oracle replays
+    the identical probe-explosion in DuckDB."""
     return embedding_near_dups(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3, planes=4
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        planes=8,
+        multi_probe=True,
     )
 
 
@@ -861,15 +867,18 @@ WHERE doc_id % 5 = 0
         "embedding_near_dups": f"""
 WITH b AS MATERIALIZED (
   SELECT vec_id, embedding,
-         {X.hyperplane_bucket('duck', 'embedding', 4, 64)} AS bucket
+         {X.hyperplane_bucket('duck', 'embedding', 8, 64)} AS bucket
   FROM embeddings
+), probes AS (  -- own bucket + every hamming-1 neighbor (multi-probe)
+  SELECT vec_id, embedding, xor(bucket, f.flip) AS probe
+  FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(({X.dot_product('duck', 'a.embedding', 'b.embedding', 64)})
              / (sqrt({X.dot_product('duck', 'a.embedding', 'a.embedding', 64)})
                 * sqrt({X.dot_product('duck', 'b.embedding', 'b.embedding', 64)})),
              6) AS cosine
-FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM probes a JOIN b b ON a.probe = b.bucket AND a.vec_id < b.vec_id
 WHERE round(({X.dot_product('duck', 'a.embedding', 'b.embedding', 64)})
             / (sqrt({X.dot_product('duck', 'a.embedding', 'a.embedding', 64)})
                * sqrt({X.dot_product('duck', 'b.embedding', 'b.embedding', 64)})),

@@ -100,17 +100,51 @@ def ann_lsh_topk(
     return cands.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def derive_planes(
+    n_rows: int, target_bucket_size: int = 64, min_planes: int = 4
+) -> int:
+    """Plane count such that expected bucket population ~ target.
+
+    Within-bucket pair generation is quadratic in bucket population, so
+    planes MUST grow with N: buckets = 2^planes ~ N / target keeps the
+    per-bucket join fan-out bounded (~target^2/2 pairs) at any table
+    size. 10^12 rows / target 64 -> 34 planes (16G buckets) — still one
+    cheap integer column.
+    """
+    import math
+
+    if n_rows <= target_bucket_size:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(n_rows / target_bucket_size)))
+
+
 def embedding_near_dups(
-    emb: DataFrame, threshold: float = 0.3, planes: int = 4, dims: int = 64
+    emb: DataFrame,
+    threshold: float = 0.3,
+    planes: int | None = None,
+    dims: int = 64,
+    target_bucket_size: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket blocked.
 
     Pairs sharing a hyperplane bucket are scored exactly (JVM fold, no
-    Python); `planes` trades recall vs join fan-out — the self-join is
-    an equi-join on bucket, so at 10^12 rows it shuffles each bucket to
-    one place instead of the quadratic cross join. Multi-probe (hamming-1
-    neighbor buckets) is the documented recall extension.
+    Python). planes=None derives the bucket count from the table size
+    (buckets ~ N / target_bucket_size) so within-bucket pairing stays
+    ~target_bucket_size^2/2 per bucket at ANY scale — a fixed small
+    plane count (e.g. 4 => 16 buckets) makes the equi-join a cartesian
+    in disguise at 10^12 rows. The equi-join on bucket shuffles each
+    bucket together; AQE's skew-join splits hot buckets.
+
+    multi_probe=True recovers the recall a finer bucketing gives up:
+    the left side is exploded over its bucket plus all hamming-1
+    neighbor buckets (one sign bit flipped), so pairs whose buckets
+    differ by a single hyperplane still meet. Each qualifying pair meets
+    on exactly one probe (its bucket XOR is 0 or one bit), so no dedup
+    pass is needed; fan-out is a linear (planes+1)x on one narrow side.
     """
+    if planes is None:
+        planes = derive_planes(emb.count(), target_bucket_size)
     b = lsh_buckets(emb, planes, dims)
     left = b.select(
         F.col("vec_id").alias("vec_a"),
@@ -120,9 +154,20 @@ def embedding_near_dups(
     right = b.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
-        "bucket",
+        F.col("bucket").alias("probe"),
     )
-    pairs = left.join(right, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    if multi_probe:
+        flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(planes)])
+        left = left.select(
+            "vec_a", "emb_a", "bucket", F.explode(flips).alias("flip")
+        ).select(
+            "vec_a",
+            "emb_a",
+            F.col("bucket").bitwiseXOR(F.col("flip")).alias("probe"),
+        )
+    else:
+        left = left.withColumnRenamed("bucket", "probe")
+    pairs = left.join(right, "probe").filter(F.col("vec_a") < F.col("vec_b"))
     scored = pairs.select(
         "vec_a",
         "vec_b",

@@ -125,3 +125,57 @@ def test_ann_multiprobe_superset(spark, emb):
     # probing hamming-1 buckets can only ADD candidates
     assert single <= multi
     assert 7 in multi  # the scaled copy is always found
+
+
+def test_derive_planes_scales_with_n(spark):
+    from go_muse_spark.operators.similarity import derive_planes
+
+    assert derive_planes(10, target_bucket_size=64) == 4  # tiny -> floor
+    assert derive_planes(64 * 256, target_bucket_size=64) == 8
+    # 10^12 rows / 64-per-bucket target -> ~16G buckets, still one int col
+    assert derive_planes(10**12, target_bucket_size=64) == 34
+    assert derive_planes(10**12 * 64, target_bucket_size=64) == 40
+
+
+def test_embedding_near_dups_derived_planes_bounds_buckets(spark, emb):
+    from go_muse_spark.operators.similarity import (
+        derive_planes,
+        embedding_near_dups,
+        lsh_buckets,
+    )
+
+    n = emb.count()
+    planes = derive_planes(n, target_bucket_size=4)
+    assert planes >= 4  # 50 rows / 4-per-bucket target -> >= 16 buckets
+    # per-bucket population stays near target: the quadratic-pairing bound
+    pops = [
+        r["cnt"]
+        for r in lsh_buckets(emb, planes)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    ]
+    assert max(pops) <= 8 * 4  # no bucket anywhere near N
+    # derived-planes path still finds the scaled copy via multi-probe
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(
+            emb, threshold=0.9, target_bucket_size=4, multi_probe=True
+        ).collect()
+    }
+    assert (0, 7) in pairs
+
+
+def test_embedding_near_dups_multiprobe_superset(spark, emb):
+    from go_muse_spark.operators.similarity import embedding_near_dups
+
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(emb, threshold=0.0, planes=6).collect()
+    }
+    multi_rows = embedding_near_dups(
+        emb, threshold=0.0, planes=6, multi_probe=True
+    ).collect()
+    multi = {(r["vec_a"], r["vec_b"]) for r in multi_rows}
+    assert single <= multi  # probes only add pairs
+    assert len(multi) == len(multi_rows)  # exactly-one-probe: no dup pairs
