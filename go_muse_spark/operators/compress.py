@@ -178,7 +178,12 @@ def encode_chunks_windowed(
     O(#windows) window function), and each window's predecessor value
     rides in as its `__carry` column — so a window that is entirely gap
     still encodes the right repeated value without seeing its neighbors.
-    (linear would need the successor too — not implemented.)
+    fill="linear" additionally carries the SUCCESSOR anchor: each window
+    gets its predecessor (ts, value) from earlier windows and its
+    successor (ts, value) from later windows via two O(#windows) spine
+    window functions, so interior lerp across window boundaries uses the
+    same neighbor anchors the per-conv np.interp sees — output is
+    byte-identical to encode_chunks(fill="linear").
     """
     if tier_secs is None:
         from go_muse_spark.operators.rollup import TIERS
@@ -203,7 +208,7 @@ def encode_chunks_windowed(
         + 1,
     ).select("conv_id", "__lo", "__n")
 
-    if fill not in ("zero", "ffill"):
+    if fill not in ("zero", "ffill", "linear"):
         raise ValueError(f"unsupported fill {fill!r} for windowed encoder")
 
     spine = b.select(
@@ -250,6 +255,53 @@ def encode_chunks_windowed(
         )
     else:
         spine = spine.withColumn("__carry", F.lit(None).cast("double"))
+    if fill == "linear":
+        from pyspark.sql import Window
+
+        # lerp anchors across window boundaries: predecessor (ts, value)
+        # from earlier windows, successor (ts, value) from later ones —
+        # two O(#windows) spine window functions, mirroring __carry
+        win_last = rows.groupBy("conv_id", "__k").agg(
+            F.max(F.struct("bucket_ts", "__val")).alias("__lv"),
+            F.min(F.struct("bucket_ts", "__val")).alias("__fv"),
+        )
+        w_prev = (
+            Window.partitionBy("conv_id")
+            .orderBy("__k")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_next = (
+            Window.partitionBy("conv_id")
+            .orderBy("__k")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        spine = (
+            spine.join(win_last, ["conv_id", "__k"], "left")
+            .withColumn(
+                "__prev", F.last(F.col("__lv"), ignorenulls=True).over(w_prev)
+            )
+            .withColumn(
+                "__next", F.first(F.col("__fv"), ignorenulls=True).over(w_next)
+            )
+            .select(
+                "conv_id",
+                "__lo",
+                "__n",
+                "__k",
+                "__carry",
+                F.col("__prev.bucket_ts").alias("__prev_t"),
+                F.col("__prev.__val").alias("__prev_v"),
+                F.col("__next.bucket_ts").alias("__next_t"),
+                F.col("__next.__val").alias("__next_v"),
+            )
+        )
+    else:
+        spine = (
+            spine.withColumn("__prev_t", F.lit(None).cast("timestamp"))
+            .withColumn("__prev_v", F.lit(None).cast("double"))
+            .withColumn("__next_t", F.lit(None).cast("timestamp"))
+            .withColumn("__next_v", F.lit(None).cast("double"))
+        )
     joined = spine.join(rows, ["conv_id", "__k"], "left")
 
     def op(batches):
@@ -264,6 +316,10 @@ def encode_chunks_windowed(
         carries = pdf["__carry"].to_numpy(dtype=np.float64)
         ts_all = pdf["bucket_ts"].to_numpy(dtype="datetime64[us]")
         vals_all = pdf["__val"].to_numpy(dtype=np.float64)
+        prev_ts = pdf["__prev_t"].to_numpy(dtype="datetime64[us]")
+        prev_vs = pdf["__prev_v"].to_numpy(dtype=np.float64)
+        next_ts = pdf["__next_t"].to_numpy(dtype="datetime64[us]")
+        next_vs = pdf["__next_v"].to_numpy(dtype=np.float64)
         change = np.flatnonzero(
             (convs[1:] != convs[:-1]) | (ks[1:] != ks[:-1])
         ) + 1
@@ -286,6 +342,20 @@ def encode_chunks_windowed(
             if fill == "zero":
                 vals = np.zeros(n_pts, dtype=np.float64)
                 vals[idx] = vals_all[s:e][present_rows]
+            elif fill == "linear":
+                # anchors: carried predecessor + window obs + carried
+                # successor — the same neighbors the per-conv np.interp
+                # sees, so the lerp is byte-identical to _dense_fill
+                order = np.argsort(idx, kind="stable")
+                xp = ts_slice[present_rows].astype(np.int64)[order]
+                fp = vals_all[s:e][present_rows][order]
+                if not np.isnat(prev_ts[s]):
+                    xp = np.concatenate(([prev_ts[s].astype(np.int64)], xp))
+                    fp = np.concatenate(([prev_vs[s]], fp))
+                if not np.isnat(next_ts[s]):
+                    xp = np.concatenate((xp, [next_ts[s].astype(np.int64)]))
+                    fp = np.concatenate((fp, [next_vs[s]]))
+                vals = np.interp(dense_ts, xp, fp)
             else:  # ffill with cross-window carry
                 present = np.zeros(n_pts, dtype=bool)
                 present[idx] = True

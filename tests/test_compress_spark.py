@@ -178,3 +178,27 @@ def test_pre_partitioned_one_exchange_parity(spark):
         )
 
     assert rows(default) == rows(one_exchange)
+
+
+def test_encode_chunks_windowed_linear_carry(spark):
+    """Windowed linear fill (predecessor + successor anchors carried
+    across windows) == per-conv linear encode, byte for byte."""
+    from go_muse_spark.operators.compress import encode_chunks_windowed
+    from go_muse_spark.operators.rollup import rollup_transcripts
+
+    tx = transcripts_for_tier(spark, "1m")
+    rolled = rollup_transcripts(tx, "1m")
+    # chunk_size=3 so lerp spans cross-window gaps, incl. all-gap windows
+    per_conv = encode_chunks(rolled, "1m", "turn_cnt", chunk_size=3, fill="linear")
+    windowed = encode_chunks_windowed(
+        rolled, "1m", "turn_cnt", chunk_size=3, fill="linear"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["conv_id"], r["tier"], r["chunk_start"], r["n_points"],
+             bytes(r["ts_bytes"]), bytes(r["val_bytes"]))
+            for r in df.collect()
+        )
+
+    assert rows(per_conv) == rows(windowed)
