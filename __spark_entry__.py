@@ -53,6 +53,7 @@ from go_muse_spark.operators.similarity import (
     embedding_near_dups,
 )
 from go_muse_spark.functions import text as X
+from go_muse_spark.labels import label_id_map
 from go_muse_spark.session import ship_package
 from go_muse_spark.sources.events import events_as_transcripts, load_table
 
@@ -291,6 +292,32 @@ def q_distinct_label_groups(spark, sf_dir):
                 F.col("user_id"),
             ),
         )
+    )
+
+
+def q_map_label_groups(spark, sf_dir):
+    """Labels.ID over a map<string,string> dims column (labels.go:54-73):
+    entries are inserted UNSORTED (user_id first) and label_id_map
+    serializes them sorted by key into the canonical 'k:v,k:v' identity
+    used as the GROUP BY key; group_sub exercises the subset projection
+    with a missing key silently skipped (labels.go:61-66). Proves the
+    map-typed dims path end-to-end, not just first-class columns."""
+    ev = load_table(spark, sf_dir, "events")
+    dims = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("region"), (F.col("user_id") % 7).cast("string"),
+    )
+    keyed = (
+        ev.withColumn("dims", dims)
+        .withColumn("group_id", label_id_map("dims"))
+        .withColumn(
+            "group_sub", label_id_map("dims", ["event_type", "zone"])
+        )
+    )
+    return keyed.groupBy("group_id", "group_sub").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 3).alias("value_sum"),
     )
 
 
@@ -746,6 +773,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "distinct_label_groups": q_distinct_label_groups,
+        "map_label_groups": q_map_label_groups,
         "filter_label_values": q_filter_label_values,
         "topk_abs_score": q_topk_abs_score,
         "results_filter": q_results_filter,
@@ -903,6 +931,15 @@ SELECT DISTINCT event_type, cast(user_id AS varchar) AS user_id,
        'event_type:' || event_type || ',user_id:' || cast(user_id AS varchar)
          AS group_id
 FROM events
+""",
+        "map_label_groups": """
+SELECT 'event_type:' || event_type
+         || ',region:' || cast(user_id % 7 AS varchar)
+         || ',user_id:' || cast(user_id AS varchar) AS group_id,
+       'event_type:' || event_type AS group_sub,
+       count(*) AS n_rows,
+       round(sum(value), 3) AS value_sum
+FROM events GROUP BY 1, 2
 """,
         "filter_label_values": """
 SELECT event_id, ts, cast(user_id AS varchar) AS user_id, event_type, value

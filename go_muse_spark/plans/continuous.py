@@ -44,11 +44,16 @@ class ContinuousAggregates:
         tiers: tuple[str, ...] = ("1m", "1h", "1d"),
         chunk_tiers: tuple[str, ...] = ("1h",),
         chunk_size: int = 1024,
+        strict_dups: bool = False,
     ) -> None:
         self.store = store
         self.tiers = tiers
         self.chunk_tiers = chunk_tiers
         self.chunk_size = chunk_size
+        # strict_dups=True surfaces the reference's duplicate-UID
+        # rejection (group.go:39-41): a delta with colliding
+        # (conv_id, turn_idx) keys raises instead of last-write-wins
+        self.strict_dups = strict_dups
 
     # ------------------------------------------------------------- ingest
 
@@ -64,6 +69,16 @@ class ContinuousAggregates:
             return {}
         metrics: dict[str, int] = {}
         rows_in = delta.count()
+
+        # 0. in-delta key collisions: always counted into the checkpoint
+        #    metrics; strict mode refuses the batch (group.go:39-41)
+        dup_rows = store.dup_key_count(delta, ["conv_id", "turn_idx"])
+        if self.strict_dups and dup_rows:
+            raise ValueError(
+                f"delta {run_id!r} carries {dup_rows} duplicate "
+                "(conv_id, turn_idx) row(s) (strict_dups)"
+            )
+        metrics["_dup_keys"] = dup_rows
 
         # 1. raw store: idempotent on the (conv_id, turn_idx) natural key
         metrics[RAW] = store.upsert(

@@ -66,6 +66,18 @@ class ParquetTableStore:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    def dup_key_count(self, delta: DataFrame, keys: list[str]) -> int:
+        """Number of extra rows sharing a key within one delta (one small
+        partial-agg shuffle on the delta only, never the table)."""
+        row = (
+            delta.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("d"))
+            .collect()[0]
+        )
+        return int(row["d"])
+
     def upsert(
         self,
         delta: DataFrame,
@@ -73,13 +85,34 @@ class ParquetTableStore:
         keys: list[str],
         partition_expr: F.Column,
         partition_name: str = "part",
+        on_dup: str = "replace",
     ) -> int:
         """Replace-by-key within affected partitions; insert the rest.
 
         Equivalent Iceberg SQL:
           MERGE INTO table t USING delta s ON <keys>
           WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+
+        on_dup="replace" (default) keeps one row per key: in-delta key
+        collisions are deduped (arbitrary-but-single winner — exact in
+        the re-delivery case where colliding rows are identical, which is
+        what row-level idempotence needs). on_dup="error" surfaces the
+        reference's duplicate-UID rejection (group.go:39-41) instead —
+        also what a real Iceberg MERGE does on multiple source matches.
+        Collisions against the existing table remain updates either way;
+        that is what MERGE means.
         """
+        if on_dup not in ("replace", "error"):
+            raise ValueError(f"unknown on_dup mode {on_dup!r}")
+        if on_dup == "error":
+            dups = self.dup_key_count(delta, keys)
+            if dups:
+                raise ValueError(
+                    f"delta for {table!r} carries {dups} duplicate-key "
+                    f"row(s) on {keys} (strict mode, group.go:39-41)"
+                )
+        else:
+            delta = delta.dropDuplicates(keys)
         delta = delta.withColumn(partition_name, partition_expr)
         if not self.exists(table):
             out = delta

@@ -113,4 +113,43 @@ def test_watermark_resume(spark, corpus, tmp_path):
     # checkpoint log carries lineage: run ids, watermarks, row counts
     ck = store.checkpoints().toPandas()
     assert set(ck["run_id"]) == {"run-1", "run-2"}
-    assert (ck["rows_out"] > 0).all()
+    assert (ck[ck["table"] != "_dup_keys"]["rows_out"] > 0).all()
+    # key-collision metric is logged per batch (0 for a clean corpus)
+    dk = ck[ck["table"] == "_dup_keys"]
+    assert len(dk) == 2 and (dk["rows_out"] == 0).all()
+
+
+def test_strict_dups_rejects_colliding_delta(spark, corpus, tmp_path):
+    """group.go:39-41 semantics surfaced: a delta carrying the same
+    (conv_id, turn_idx) twice raises in strict mode; the default mode
+    logs the collision count and keeps last-write-wins."""
+    store = ParquetTableStore(spark, str(tmp_path / "store"))
+    dup_delta = corpus.limit(100).unionByName(corpus.limit(40))
+
+    strict = ContinuousAggregates(store, chunk_tiers=(), strict_dups=True)
+    with pytest.raises(ValueError, match="duplicate"):
+        strict.ingest(dup_delta, "run-bad")
+
+    lax = ContinuousAggregates(store, chunk_tiers=())
+    lax.ingest(dup_delta, "run-lax")
+    ck = store.checkpoints().toPandas()
+    dk = ck[(ck["table"] == "_dup_keys") & (ck["run_id"] == "run-lax")]
+    assert dk["rows_out"].iloc[0] == 40
+    # last-write-wins: each key lands exactly once in the raw store
+    assert store.read(RAW).count() == 100
+
+
+def test_store_upsert_on_dup_error(spark, corpus, tmp_path):
+    store = ParquetTableStore(spark, str(tmp_path / "s2"))
+    clean = corpus.limit(50)
+    assert store.dup_key_count(clean, ["conv_id", "turn_idx"]) == 0
+    n = store.upsert(
+        clean, "t", ["conv_id", "turn_idx"], F.to_date("ts"), on_dup="error"
+    )
+    assert n == 50
+    dup = clean.unionByName(clean.limit(10))
+    assert store.dup_key_count(dup, ["conv_id", "turn_idx"]) == 10
+    with pytest.raises(ValueError, match="duplicate-key"):
+        store.upsert(
+            dup, "t", ["conv_id", "turn_idx"], F.to_date("ts"), on_dup="error"
+        )
