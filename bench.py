@@ -24,10 +24,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from go_muse_spark.operators.compress import encode_tiers_fused  # noqa: E402
+from go_muse_spark.operators.search import (  # noqa: E402
+    SearchParams,
+    muse_search_rollup,
+    series_bounds,
+)
 from go_muse_spark.session import get_bench_spark  # noqa: E402
 from go_muse_spark.sources.transcripts import write_transcripts  # noqa: E402
 
@@ -46,6 +52,7 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "muse_topk_1h",
     "muse_grouped_1h",
+    "muse_over_chunks_1h",
 ]
 
 
@@ -135,12 +142,45 @@ def main() -> None:
         noop_write(chunked)
         pipeline_wall = min(pipeline_wall, time.time() - t0)
 
+    # ---------------- flagship: muse search rate over the bench corpus
+    # (round-over-round continuity for the search path itself: rollup is
+    # materialized first so the clock sees scoring, not re-aggregation).
+    # Skipped in the scaling legs (SPARK_GRAFT_SKIP_QUERIES=1): the
+    # scaling criterion is on the pipeline metric, and the sparse 100k-
+    # conv scaling corpus would put minutes of FFT in every leg.
+    skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1"
+    muse_wall, n_series, n_len = float("inf"), 0, 0
+    rolled_1m = (
+        tx.groupBy("conv_id", F.date_trunc("minute", "ts").alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("turn_cnt"))
+        .localCheckpoint(eager=True)
+    ) if not skip_queries else None
+    if not skip_queries:
+        lo, hi, n_len = series_bounds(rolled_1m, 60)
+        n_series = rolled_1m.select("conv_id").distinct().count()
+        ref = np.zeros(n_len)
+        ref[n_len // 4 : n_len // 4 + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+        for _ in range(2):
+            t0 = time.time()
+            noop_write(
+                muse_search_rollup(
+                    rolled_1m,
+                    ref,
+                    60,
+                    group_by=None,
+                    params=SearchParams(
+                        top_n=10, max_lag=n_len, threshold=0.0, mode="abs"
+                    ),
+                    bounds=(lo, hi, n_len),
+                )
+            )
+            muse_wall = min(muse_wall, time.time() - t0)
+
     # ---------------- per-query timings on the driver fixtures
     # best-of-2 per query: the second run amortizes Python-worker spawn
     # and JIT noise, which dominate at local bench scale
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
-    skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1"
     for name in [] if skip_queries else BENCH_QUERIES:
         best = float("inf")
         for _ in range(2):
@@ -159,6 +199,13 @@ def main() -> None:
         "throughput_turns_per_sec": round(turns / pipeline_wall, 1),
         "cpus": cpus,
     }
+    if not skip_queries:
+        out.update(
+            muse_wall_sec=round(muse_wall, 3),
+            muse_n_series=n_series,
+            muse_series_len=n_len,
+            muse_series_per_sec=round(n_series / muse_wall, 1),
+        )
     print(json.dumps(out))
     spark.stop()
 
