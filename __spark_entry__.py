@@ -549,7 +549,11 @@ def q_muse_over_chunks_1h(spark, sf_dir):
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
     chunks = encode_chunks_windowed(rolled, "1h", "turn_cnt", chunk_size=512)
     decoded = decode_chunks(chunks, "turn_cnt")
-    lo, hi, n = series_bounds(decoded, 3600)
+    # bounds from the PRE-encode rollup: per-conv dense fill never extends
+    # past each conv's [min, max], so the global range is identical — and
+    # this avoids running encode+decode twice (once for the bounds
+    # collect, once for the search)
+    lo, hi, n = series_bounds(rolled, 3600)
     ref = np.zeros(n)
     pos = n // 4
     ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]

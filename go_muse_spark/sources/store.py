@@ -7,10 +7,12 @@ Two backends behind one interface:
     configured catalog; detected at runtime). This is the production path
     named by the north_rule.
   * ParquetTableStore — sandbox fallback: date-partitioned parquet with
-    partition-scoped anti-join + union + DYNAMIC partition overwrite. Only
-    the partitions present in the delta are rewritten, so merge cost is
-    O(affected partitions), not O(table) — the same locality property an
-    Iceberg MERGE with partition pruning gives at 10^12-turn scale.
+    partition-scoped anti-join + union + stage-and-swap commit. Only the
+    partitions present in the delta are rewritten (staged to a side dir,
+    then swapped in per partition), so merge cost is O(affected
+    partitions), not O(table) — the same locality property an Iceberg
+    MERGE with partition pruning gives at 10^12-turn scale, and the swap
+    mirrors Iceberg's snapshot-manifest commit.
 
 Checkpoints: an append-only parquet log per store with one row per
 (run_id, table, partition) carrying watermark + row-count metrics —
@@ -127,14 +129,31 @@ class ParquetTableStore:
                 delta.select(*keys).distinct(), keys, "left_anti"
             )
             out = keep.unionByName(delta)
-        # cut lineage before overwriting the path we just read
-        out = out.localCheckpoint(eager=True)
-        n = out.count()
-        (
-            out.write.partitionBy(partition_name)
-            .mode("overwrite" if self.exists(table) else "append")
-            .parquet(self.path(table))
-        )
+        # Stage-and-swap commit: the merged partitions are written to a
+        # staging dir (so the lazy read of the current table never races
+        # its own overwrite — no localCheckpoint materializing affected
+        # partitions through executor storage), then each staged
+        # partition directory replaces its live twin. This is the same
+        # O(affected partitions) metadata swap an Iceberg MERGE commit
+        # performs natively with snapshot manifests; the row count comes
+        # from staged parquet footers, not a recompute.
+        import shutil
+        import uuid
+
+        stage = os.path.join(self.root, f"_stage_{table}_{uuid.uuid4().hex}")
+        try:
+            out.write.partitionBy(partition_name).parquet(stage)
+            n = self.spark.read.parquet(stage).count()
+            dest = self.path(table)
+            os.makedirs(dest, exist_ok=True)
+            for d in os.listdir(stage):
+                if not d.startswith(f"{partition_name}="):
+                    continue
+                tgt = os.path.join(dest, d)
+                shutil.rmtree(tgt, ignore_errors=True)
+                os.rename(os.path.join(stage, d), tgt)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         return n
 
     # -------------------------------------------------------- checkpoints
