@@ -32,8 +32,10 @@ from go_muse_spark.operators.rollup import (
     rollup_transcripts,
 )
 from go_muse_spark.operators.search import (
+    IncrementalResults,
     SearchParams,
     muse_search_rollup,
+    score_rollup,
     series_bounds,
 )
 from go_muse_spark.operators.dedup import (
@@ -568,6 +570,37 @@ def q_muse_over_chunks_1h(spark, sf_dir):
     ))
 
 
+def q_muse_incremental_1h(spark, sf_dir):
+    """EP1 lifecycle (muse.go:46-92, muse_test.go:67-69): successive
+    candidate batches folded into a persistent Results accumulator.
+    Batch 1 = even users, batch 2 = odd users, scored against one shared
+    prepared reference with the global alignment bounds; the accumulated
+    top-K must equal the one-shot search's, so the oracle is the same
+    brute-force xcorr SQL as muse_topk_1h (per-series scores are
+    batch-independent and the bounded accumulator keeps the global
+    best — any global top-K row is also in its own batch's top-K)."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    lo, hi, n = series_bounds(rolled, 3600)
+    ref = np.zeros(n)
+    pos = n // 4
+    ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+    params = SearchParams(top_n=10, max_lag=n, threshold=0.0, mode="abs")
+    acc = IncrementalResults(params)
+    for parity in (0, 1):
+        batch = rolled.filter(F.col("conv_id").cast("long") % 2 == parity)
+        acc.update(
+            score_rollup(
+                batch, ref, 3600, None, params.mode, params.n_salt,
+                ("conv_id",), bounds=(lo, hi, n),
+            )
+        )
+    rows, _mean = acc.fetch()
+    out = spark.createDataFrame(
+        rows, "group_key string, series_key string, lag long, score double"
+    )
+    return _muse_out(out)
+
+
 def q_muse_grouped_1h(spark, sf_dir):
     """Grouped Batch.Run over (event_type) labels: best user per event
     type. Oracle: the brute-force xcorr SQL over (user, event_type)
@@ -797,6 +830,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "muse_topk_1h": q_muse_topk_1h,
         "muse_signed_1h": q_muse_signed_1h,
+        "muse_incremental_1h": q_muse_incremental_1h,
         "muse_grouped_1h": q_muse_grouped_1h,
         "muse_over_chunks_1h": q_muse_over_chunks_1h,
     }
@@ -815,6 +849,10 @@ def oracle_sql() -> dict[str, str]:
         sign_where=" AND score < 0",
     )
     d["muse_grouped_1h"] = _muse_oracle(_REF_GROUPED, _MUSE_RR_BY_EVENT_TYPE)
+    # two-batch accumulation over a partition of the series == one-shot
+    # top-K (scores are batch-independent; bounded accumulator keeps the
+    # global best), so EP1 shares the flagship's oracle
+    d["muse_incremental_1h"] = d["muse_topk_1h"]
     # decode(encode(rollup)) reproduces the rollup points exactly (the
     # chunk queries prove that), and the zero rows the per-conv encoder
     # adds are no-ops in the zero-initialized scoring matrix -> same
