@@ -50,6 +50,7 @@ from go_muse_spark.operators.multimodal import (
     frame_sample_plan,
 )
 from go_muse_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dups,
@@ -434,6 +435,18 @@ def q_ann_multiprobe_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate NN: deterministic sample centroids, broadcast
+    nearest-centroid assignment (the inverted-file index), query scans
+    only its 2 nearest lists. Data-dependent counterpart to the LSH
+    path; all cosine folds are the dual-dialect ordered sum, so the
+    oracle replays the index build exactly."""
+    return ann_ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0, k=10, n_centroids=8, n_probe=2,
+    )
+
+
 def q_token_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -442,6 +455,23 @@ def q_token_stats(spark, sf_dir):
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
         F.length("text").alias("n_chars"),
+    )
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish pre-tokenization counts (SURVEY token-counting item): alnum
+    runs + punctuation marks via regexp_extract_all, plus bytes/token —
+    the tokenizer-compression proxy a training-data pipeline budgets by.
+    Pure JVM regex, identical RE2/Java semantics on the ASCII subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.bpe_tokens("spark")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_bpe_tokens"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_uniq_bpe_tokens"),
+        F.expr(
+            f"round(length(text) / greatest(size({toks}), 1), 6)"
+        ).alias("bytes_per_token"),
     )
 
 
@@ -823,10 +853,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "langid": q_langid,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "muse_topk_1h": q_muse_topk_1h,
         "muse_signed_1h": q_muse_signed_1h,
@@ -1024,6 +1056,14 @@ SELECT doc_id,
        length(text) AS n_chars
 FROM documents
 """,
+        "bpe_token_stats": f"""
+SELECT doc_id,
+       len({X.bpe_tokens('duck')}) AS n_bpe_tokens,
+       len(list_distinct({X.bpe_tokens('duck')})) AS n_uniq_bpe_tokens,
+       round(length(text) / greatest(len({X.bpe_tokens('duck')}), 1), 6)
+         AS bytes_per_token
+FROM documents
+""",
         "quality_score": f"""
 SELECT doc_id,
        round(len(list_filter(string_split(text, ' '),
@@ -1135,6 +1175,41 @@ WHERE b.vec_id <> 0
        OR b.bucket = xor(q.q_bucket, 4)
        OR b.bucket = xor(q.q_bucket, 8))
 ORDER BY cosine DESC, b.vec_id LIMIT 10
+""",
+        "ann_ivf_topk": f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+), q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ({X.dot_product('duck', 'e.embedding', 'c.cemb', 64)})
+           / (sqrt({X.dot_product('duck', 'e.embedding', 'e.embedding', 64)})
+              * sqrt({X.dot_product('duck', 'c.cemb', 'c.cemb', 64)})) AS sim
+  FROM embeddings e CROSS JOIN c
+), asg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sc
+  ) WHERE rn = 1
+), probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY
+      ({X.dot_product('duck', 'c.cemb', 'q.qemb', 64)})
+        / (sqrt({X.dot_product('duck', 'c.cemb', 'c.cemb', 64)})
+           * sqrt({X.dot_product('duck', 'q.qemb', 'q.qemb', 64)})) DESC,
+      c.cid) AS rn
+    FROM c, q
+  ) WHERE rn <= 2
+)
+SELECT a.vec_id,
+       round(({X.dot_product('duck', 'a.embedding', 'q.qemb', 64)})
+             / (sqrt({X.dot_product('duck', 'a.embedding', 'a.embedding', 64)})
+                * sqrt({X.dot_product('duck', 'q.qemb', 'q.qemb', 64)})), 6)
+         AS cosine
+FROM asg a JOIN probes USING (cid), q
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id LIMIT 10
 """,
         # NOTE: the ordered fold (X.dot_product), not DuckDB's builtin
         # list_dot_product — different accumulation order gives last-digit

@@ -196,6 +196,21 @@ def fold_double(dialect: str, arr: str) -> str:
     return f"list_reduce(list_prepend(0.0::DOUBLE, {arr}), (acc, x) -> acc + x)"
 
 
+# BPE-ish pre-tokenization: alnum runs + single non-alnum marks (the
+# GPT-2-style pre-split, minus unicode classes so Java regex (Spark) and
+# RE2 (DuckDB) agree byte-for-byte on ASCII corpora)
+BPE_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_tokens(dialect: str, text_col: str = "text") -> str:
+    """Array of BPE-style subtokens (regexp_extract_all, both engines)."""
+    if dialect == "spark":
+        return f"regexp_extract_all({text_col}, '{BPE_PATTERN}', 0)"
+    if dialect == "duck":
+        return f"regexp_extract_all({text_col}, '{BPE_PATTERN}')"
+    raise ValueError(dialect)
+
+
 def dot_product(dialect: str, a: str, b: str, dims: int = 64) -> str:
     """Ordered-sum dot product of two fixed-dim double arrays."""
     if dialect == "spark":

@@ -14,7 +14,15 @@ from pyspark.sql import functions as F
 
 from go_muse_spark.functions import text as X
 
-__all__ = ["cosine_topk", "lsh_buckets", "ann_lsh_topk", "embedding_near_dups"]
+__all__ = [
+    "cosine_topk",
+    "lsh_buckets",
+    "ann_lsh_topk",
+    "ivf_assignments",
+    "ann_ivf_topk",
+    "derive_planes",
+    "embedding_near_dups",
+]
 
 
 def _cosine(a: str, b: str, dims: int) -> F.Column:
@@ -92,6 +100,86 @@ def ann_lsh_topk(
     cands = (
         b.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(q), cond)
+        .select(
+            "vec_id",
+            F.round(_cosine("embedding", "q_emb", dims), 6).alias("cosine"),
+        )
+    )
+    return cands.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def ivf_assignments(
+    emb: DataFrame, n_centroids: int = 8, dims: int = 64
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are a deterministic sample of stored vectors (vec_id <
+    n_centroids — the random-sample initialization every k-means starts
+    from, kept as-is so the assignment is reproducible and SQL-checkable;
+    production would run a few sampled k-means rounds and C ~ sqrt(N)).
+    The assignment is a broadcast nested compare: C cosine folds per row,
+    map-side only — the index build scans the table once at any N. Ties
+    break to the lowest centroid id (row_number over (sim desc, cid)).
+
+    Returns (vec_id, embedding, cid).
+    """
+    from pyspark.sql import Window
+
+    c = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = emb.join(F.broadcast(c)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        _cosine("embedding", "cemb", dims).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """IVF approximate NN: scan only the query's n_probe nearest inverted
+    lists, exact cosine within them.
+
+    The complement of the LSH path: data-dependent partitions (vectors
+    cluster around centroids) instead of data-oblivious hyperplanes.
+    Recall/cost trades with n_probe; at scale the assignment table is the
+    persisted index, partitioned by cid, so a probe is a partition-pruned
+    scan (candidates ~ n_probe * N / C), never a full pass.
+    """
+    from pyspark.sql import Window
+
+    asg = ivf_assignments(emb, n_centroids, dims)
+    c = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    wq = Window.orderBy(F.col("qsim").desc(), F.col("cid"))
+    probes = (
+        c.join(F.broadcast(q))
+        .select("cid", _cosine("cemb", "q_emb", dims).alias("qsim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("cid")
+    )
+    cands = (
+        asg.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
         .select(
             "vec_id",
             F.round(_cosine("embedding", "q_emb", dims), 6).alias("cosine"),

@@ -179,3 +179,17 @@ def test_embedding_near_dups_multiprobe_superset(spark, emb):
     multi = {(r["vec_a"], r["vec_b"]) for r in multi_rows}
     assert single <= multi  # probes only add pairs
     assert len(multi) == len(multi_rows)  # exactly-one-probe: no dup pairs
+
+
+def test_ivf_assignment_and_topk(spark, emb):
+    from go_muse_spark.operators.similarity import ann_ivf_topk, ivf_assignments
+
+    asg = {r["vec_id"]: r["cid"] for r in ivf_assignments(emb, 8).collect()}
+    assert len(asg) == 50  # every vector lands in exactly one list
+    assert set(asg.values()) <= set(range(8))
+    # a scaled copy has cosine 1.0 with whatever centroid vec 0 chose
+    assert asg[7] == asg[0]
+    # centroid vectors choose themselves (self-cosine 1.0, lowest-cid tie)
+    assert asg[3] == 3
+    top = ann_ivf_topk(emb, 0, k=3, n_centroids=8, n_probe=2).collect()
+    assert top and top[0]["vec_id"] == 7  # copy found in the probed lists
