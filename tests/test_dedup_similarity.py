@@ -187,8 +187,10 @@ def test_ivf_assignment_and_topk(spark, emb):
     asg = {r["vec_id"]: r["cid"] for r in ivf_assignments(emb, 8).collect()}
     assert len(asg) == 50  # every vector lands in exactly one list
     assert set(asg.values()) <= set(range(8))
-    # a scaled copy has cosine 1.0 with whatever centroid vec 0 chose
-    assert asg[7] == asg[0]
+    # vec 7 = 2.5 * vec 0, and both are centroids (ids < 8): each sits at
+    # cosine ~1.0 of centroid 0 AND centroid 7, so either list is a valid
+    # (last-ulp-decided) home — but they can only land on one of those two
+    assert asg[0] in (0, 7) and asg[7] in (0, 7)
     # centroid vectors choose themselves (self-cosine 1.0, lowest-cid tie)
     assert asg[3] == 3
     top = ann_ivf_topk(emb, 0, k=3, n_centroids=8, n_probe=2).collect()
