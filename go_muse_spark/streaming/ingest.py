@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from go_muse_spark.plans.continuous import ContinuousAggregates
 
-__all__ = ["stream_ingest", "streaming_rollup_1m"]
+__all__ = ["stream_ingest", "streaming_rollup_1m", "streaming_dense_1m"]
 
 
 def stream_ingest(
@@ -48,6 +48,92 @@ def stream_ingest(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def streaming_dense_1m(stream: DataFrame, tier_secs: int = 60) -> DataFrame:
+    """Custom stateful operator: low-latency DENSE 1m turn-rate emission.
+
+    Built-in windowed aggs can only emit buckets that contain data; the
+    dense zero-filled view (what the muse search consumes) needs the gap
+    buckets too, and which buckets are gaps depends on per-conversation
+    state — the last bucket already emitted. applyInPandasWithState keeps
+    exactly that state, (last_bucket_us, last_cnt), per conv_id:
+
+      * each micro-batch's turns are bucket-counted in numpy,
+      * every bucket from state.last+1 through the new maximum is emitted
+        — observed buckets with their counts (filled=false), gap buckets
+        as zeros (filled=true), so downstream consumers see a dense,
+        monotone per-conv spine with one row per bucket per conv,
+      * state advances to the new maximum.
+
+    Late turns (bucket <= state.last) are emitted as correction rows
+    (filled=false) without regressing state; authoritative repair of
+    closed buckets is the MERGE path's job (stream_ingest) — this
+    operator is the engine's low-latency dense view, not its store.
+    State is one (long, long) pair per ACTIVE conversation, bounded by
+    processing-time timeout eviction at cluster scale if desired.
+    """
+    import numpy as np
+    import pandas as pd
+
+    step_us = tier_secs * 1_000_000
+    out_schema = (
+        "conv_id string, bucket_ts timestamp, turn_cnt long, filled boolean"
+    )
+    state_schema = "last_bucket_us long, last_cnt long"
+
+    def op(key, pdfs, state):
+        conv_id = key[0]
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            bk = (
+                pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+                // step_us * step_us
+            )
+            uniq, cnt = np.unique(bk, return_counts=True)
+            for b, c in zip(uniq, cnt):
+                counts[int(b)] = counts.get(int(b), 0) + int(c)
+        if not counts:
+            return
+        new_max = max(counts)
+        last = state.get[0] if state.exists else None
+        start = min(counts) if last is None else last + step_us
+        out_b, out_c, out_f = [], [], []
+        # late corrections first (buckets at or before the emitted frontier)
+        for b in sorted(counts):
+            if last is not None and b <= last:
+                out_b.append(b)
+                out_c.append(counts[b])
+                out_f.append(False)
+        # dense emission from the frontier to the new maximum
+        for b in range(start, new_max + step_us, step_us):
+            out_b.append(b)
+            out_c.append(counts.get(b, 0))
+            out_f.append(b not in counts)
+        if last is None or new_max > last:
+            state.update((int(new_max), int(counts[new_max])))
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "bucket_ts": pd.to_datetime(
+                    np.asarray(out_b, dtype="datetime64[us]")
+                ),
+                "turn_cnt": np.asarray(out_c, dtype=np.int64),
+                "filled": np.asarray(out_f, dtype=bool),
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        op,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_rollup_1m(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:

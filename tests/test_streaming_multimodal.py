@@ -115,3 +115,67 @@ def test_frame_sample_plan(spark, media):
         (1, 1000),
         (2, 2000),
     ]
+
+
+def test_streaming_dense_stateful_gap_fill(spark, tmp_path):
+    """applyInPandasWithState dense emitter: per-conv state carries the
+    emitted frontier across micro-batches, so cross-batch gaps arrive as
+    zero-filled rows and the output is a dense monotone spine."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from go_muse_spark.streaming.ingest import streaming_dense_1m
+
+    src = tmp_path / "turns"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 30)
+
+    def turns(minutes):
+        return pd.DataFrame(
+            {
+                "conv_id": "c1",
+                "turn_idx": range(len(minutes)),
+                "role": "user",
+                "text": "x",
+                "tool": "",
+                "ts": [t0 + dt.timedelta(minutes=m) for m in minutes],
+            }
+        )
+
+    schema = (
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    # batch 1: minutes 0 and 3 (interior gap 1, 2)
+    spark.createDataFrame(turns([0, 3, 3])).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        streaming_dense_1m(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dense1m")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: minute 6 -> cross-batch gap 4, 5 must arrive zero-filled
+        spark.createDataFrame(turns([6])).write.parquet(str(src / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(
+        (r["bucket_ts"].minute, r["turn_cnt"], r["filled"])
+        for r in spark.sql("select * from dense1m").collect()
+    )
+    assert rows == [
+        (0, 1, False),
+        (1, 0, True),
+        (2, 0, True),
+        (3, 2, False),
+        (4, 0, True),
+        (5, 0, True),
+        (6, 1, False),
+    ]
