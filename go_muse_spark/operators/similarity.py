@@ -108,6 +108,16 @@ def ann_lsh_topk(
     return cands.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def _lit_arr(vals) -> str:
+    """SQL double-array literal via string-cast (repr round-trips the
+    exact IEEE double; a bare decimal literal would parse as DECIMAL)."""
+    return (
+        "array("
+        + ", ".join(f"cast('{float(v)!r}' as double)" for v in vals)
+        + ")"
+    )
+
+
 def ivf_assignments(
     emb: DataFrame, n_centroids: int = 8, dims: int = 64
 ) -> DataFrame:
@@ -117,28 +127,42 @@ def ivf_assignments(
     n_centroids — the random-sample initialization every k-means starts
     from, kept as-is so the assignment is reproducible and SQL-checkable;
     production would run a few sampled k-means rounds and C ~ sqrt(N)).
-    The assignment is a broadcast nested compare: C cosine folds per row,
-    map-side only — the index build scans the table once at any N. Ties
-    break to the lowest centroid id (row_number over (sim desc, cid)).
+
+    The C centroid vectors are tiny, so they are collected once and
+    inlined as literals: the per-row argmax over C cosines is then a
+    ROW-LOCAL expression (array_max over (sim, -cid) structs — max sim,
+    ties to the lowest cid) and the index build is a single map-only
+    scan with NO exchange. The windowed alternative (cross-join + rank)
+    shuffles the wide embedding column once per build — pure waste at
+    10^12 rows for what is row-local arithmetic. Catalyst constant-folds
+    the centroid norms at plan time.
 
     Returns (vec_id, embedding, cid).
     """
-    from pyspark.sql import Window
-
-    c = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    cents = (
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    scored = emb.join(F.broadcast(c)).select(
+    entries = []
+    for r in cents:
+        c = _lit_arr(r["embedding"])
+        # operand order matches _cosine / the DuckDB oracle exactly:
+        # dot(e,c) / (sqrt(dot(e,e)) * sqrt(dot(c,c)))
+        sim = (
+            f"(({X.dot_product('spark', 'embedding', c, dims)})"
+            f" / (sqrt({X.dot_product('spark', 'embedding', 'embedding', dims)})"
+            f" * sqrt({X.dot_product('spark', c, c, dims)})))"
+        )
+        entries.append(
+            f"struct({sim} as sim, {-int(r['vec_id'])} as negcid)"
+        )
+    best = f"array_max(array({', '.join(entries)}))"
+    return emb.select(
         "vec_id",
         "embedding",
-        "cid",
-        _cosine("embedding", "cemb", dims).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        F.expr(f"-(({best}).negcid)").cast("long").alias("cid"),
     )
 
 
