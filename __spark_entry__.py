@@ -470,7 +470,7 @@ def q_bpe_token_stats(spark, sf_dir):
         F.expr(f"size({toks})").alias("n_bpe_tokens"),
         F.expr(f"size(array_distinct({toks}))").alias("n_uniq_bpe_tokens"),
         F.expr(
-            f"round(length(text) / greatest(size({toks}), 1), 6)"
+            f"round(octet_length(text) / greatest(size({toks}), 1), 6)"
         ).alias("bytes_per_token"),
     )
 
@@ -1060,7 +1060,7 @@ FROM documents
 SELECT doc_id,
        len({X.bpe_tokens('duck')}) AS n_bpe_tokens,
        len(list_distinct({X.bpe_tokens('duck')})) AS n_uniq_bpe_tokens,
-       round(length(text) / greatest(len({X.bpe_tokens('duck')}), 1), 6)
+       round(strlen(text) / greatest(len({X.bpe_tokens('duck')}), 1), 6)
          AS bytes_per_token
 FROM documents
 """,

@@ -107,26 +107,34 @@ def decode_image_features(
             )
             n_out = min(n_features, 7)  # 3 channel + 4 quadrant means
             feats = np.empty((m, n_out), dtype=np.float64)
-            # group by shape -> one vectorized decode+reduce per group
+            # group by shape -> vectorized decode+reduce per group, with a
+            # pixel budget bounding the decoded stack (a 10k-row Arrow
+            # batch of 512x512 images would otherwise materialize ~60 GB
+            # of uint64 counters at once)
+            pixel_budget = 32_000_000  # elements per decoded stack
             shape_key = widths << 32 | heights
             for key in np.unique(shape_key):
-                rows = np.flatnonzero(shape_key == key)
-                w, h = int(widths[rows[0]]), int(heights[rows[0]])
-                imgs = _fake_decode_batch(seeds[rows], w, h)
-                f0 = imgs.mean(axis=(1, 2)) / 255.0  # (g, 3) channel means
-                qs = (
-                    np.stack(
-                        [
-                            imgs[:, : h // 2, : w // 2].mean(axis=(1, 2, 3)),
-                            imgs[:, : h // 2, w // 2 :].mean(axis=(1, 2, 3)),
-                            imgs[:, h // 2 :, : w // 2].mean(axis=(1, 2, 3)),
-                            imgs[:, h // 2 :, w // 2 :].mean(axis=(1, 2, 3)),
-                        ],
-                        axis=1,
-                    )
-                    / 255.0
-                )  # (g, 4) quadrant means
-                feats[rows] = np.concatenate([f0, qs], axis=1)[:, :n_out]
+                all_rows = np.flatnonzero(shape_key == key)
+                w, h = int(widths[all_rows[0]]), int(heights[all_rows[0]])
+                per_img = max(h * w * 3, 1)
+                step = max(pixel_budget // per_img, 1)
+                for off in range(0, len(all_rows), step):
+                    rows = all_rows[off : off + step]
+                    imgs = _fake_decode_batch(seeds[rows], w, h)
+                    f0 = imgs.mean(axis=(1, 2)) / 255.0  # (g, 3) channels
+                    qs = (
+                        np.stack(
+                            [
+                                imgs[:, : h // 2, : w // 2].mean(axis=(1, 2, 3)),
+                                imgs[:, : h // 2, w // 2 :].mean(axis=(1, 2, 3)),
+                                imgs[:, h // 2 :, : w // 2].mean(axis=(1, 2, 3)),
+                                imgs[:, h // 2 :, w // 2 :].mean(axis=(1, 2, 3)),
+                            ],
+                            axis=1,
+                        )
+                        / 255.0
+                    )  # (g, 4) quadrant means
+                    feats[rows] = np.concatenate([f0, qs], axis=1)[:, :n_out]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -145,21 +145,26 @@ def ivf_assignments(
         .orderBy("vec_id")
         .collect()
     )
+    # the row's own norm is hoisted to one column (it would otherwise be
+    # recomputed — a 64-term fold — once per centroid entry; Catalyst
+    # does not CSE across lambda folds). Same IEEE ops as the oracle's
+    # dot(e,c) / (sqrt(dot(e,e)) * sqrt(dot(c,c))), just computed once.
+    selfn = f"sqrt({X.dot_product('spark', 'embedding', 'embedding', dims)})"
+    pre = emb.select(
+        "vec_id", "embedding", F.expr(selfn).alias("__selfn")
+    )
     entries = []
     for r in cents:
         c = _lit_arr(r["embedding"])
-        # operand order matches _cosine / the DuckDB oracle exactly:
-        # dot(e,c) / (sqrt(dot(e,e)) * sqrt(dot(c,c)))
         sim = (
             f"(({X.dot_product('spark', 'embedding', c, dims)})"
-            f" / (sqrt({X.dot_product('spark', 'embedding', 'embedding', dims)})"
-            f" * sqrt({X.dot_product('spark', c, c, dims)})))"
+            f" / (__selfn * sqrt({X.dot_product('spark', c, c, dims)})))"
         )
         entries.append(
             f"struct({sim} as sim, {-int(r['vec_id'])} as negcid)"
         )
     best = f"array_max(array({', '.join(entries)}))"
-    return emb.select(
+    return pre.select(
         "vec_id",
         "embedding",
         F.expr(f"-(({best}).negcid)").cast("long").alias("cid"),

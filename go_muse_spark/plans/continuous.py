@@ -52,7 +52,9 @@ class ContinuousAggregates:
         self.chunk_size = chunk_size
         # strict_dups=True surfaces the reference's duplicate-UID
         # rejection (group.go:39-41): a delta with colliding
-        # (conv_id, turn_idx) keys raises instead of last-write-wins
+        # (conv_id, turn_idx) keys raises instead of keeping a single
+        # arbitrary winner (exact in the re-delivery case, where the
+        # colliding rows are identical)
         self.strict_dups = strict_dups
 
     # ------------------------------------------------------------- ingest

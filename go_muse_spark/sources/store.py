@@ -143,12 +143,17 @@ class ParquetTableStore:
         stage = os.path.join(self.root, f"_stage_{table}_{uuid.uuid4().hex}")
         try:
             out.write.partitionBy(partition_name).parquet(stage)
+            staged = [
+                d
+                for d in os.listdir(stage)
+                if d.startswith(f"{partition_name}=")
+            ]
+            if not staged:  # empty delta -> no-op merge (0 rows, no swap)
+                return 0
             n = self.spark.read.parquet(stage).count()
             dest = self.path(table)
             os.makedirs(dest, exist_ok=True)
-            for d in os.listdir(stage):
-                if not d.startswith(f"{partition_name}="):
-                    continue
+            for d in staged:
                 tgt = os.path.join(dest, d)
                 shutil.rmtree(tgt, ignore_errors=True)
                 os.rename(os.path.join(stage, d), tgt)

@@ -50,7 +50,9 @@ def stream_ingest(
     return writer.start()
 
 
-def streaming_dense_1m(stream: DataFrame, tier_secs: int = 60) -> DataFrame:
+def streaming_dense_1m(
+    stream: DataFrame, tier_secs: int = 60, max_gap_buckets: int = 100_000
+) -> DataFrame:
     """Custom stateful operator: low-latency DENSE 1m turn-rate emission.
 
     Built-in windowed aggs can only emit buckets that contain data; the
@@ -72,6 +74,12 @@ def streaming_dense_1m(stream: DataFrame, tier_secs: int = 60) -> DataFrame:
     operator is the engine's low-latency dense view, not its store.
     State is one (long, long) pair per ACTIVE conversation, bounded by
     processing-time timeout eviction at cluster scale if desired.
+
+    max_gap_buckets guards the dense loop against corrupt far-future
+    timestamps: a frontier jump wider than this emits the batch's
+    observed buckets sparsely (filled=false) instead of materializing
+    millions of gap rows in one task, and the frontier still advances —
+    a clock-skewed row degrades output density, never executor memory.
     """
     import numpy as np
     import pandas as pd
@@ -107,11 +115,19 @@ def streaming_dense_1m(stream: DataFrame, tier_secs: int = 60) -> DataFrame:
                 out_b.append(b)
                 out_c.append(counts[b])
                 out_f.append(False)
-        # dense emission from the frontier to the new maximum
-        for b in range(start, new_max + step_us, step_us):
-            out_b.append(b)
-            out_c.append(counts.get(b, 0))
-            out_f.append(b not in counts)
+        if (new_max - start) // step_us + 1 > max_gap_buckets:
+            # pathological forward jump: sparse emission only
+            for b in sorted(counts):
+                if b >= start:
+                    out_b.append(b)
+                    out_c.append(counts[b])
+                    out_f.append(False)
+        else:
+            # dense emission from the frontier to the new maximum
+            for b in range(start, new_max + step_us, step_us):
+                out_b.append(b)
+                out_c.append(counts.get(b, 0))
+                out_f.append(b not in counts)
         if last is None or new_max > last:
             state.update((int(new_max), int(counts[new_max])))
         yield pd.DataFrame(

@@ -122,9 +122,13 @@ def test_watermark_resume(spark, corpus, tmp_path):
 def test_strict_dups_rejects_colliding_delta(spark, corpus, tmp_path):
     """group.go:39-41 semantics surfaced: a delta carrying the same
     (conv_id, turn_idx) twice raises in strict mode; the default mode
-    logs the collision count and keeps last-write-wins."""
+    logs the collision count and keeps one row per key (arbitrary
+    winner — exact when collisions are identical re-deliveries)."""
     store = ParquetTableStore(spark, str(tmp_path / "store"))
-    dup_delta = corpus.limit(100).unionByName(corpus.limit(40))
+    # ordered limits: a total order over the unique key makes the
+    # 40-row slice a deterministic subset of the 100-row slice
+    ordered = corpus.orderBy("conv_id", "turn_idx")
+    dup_delta = ordered.limit(100).unionByName(ordered.limit(40))
 
     strict = ContinuousAggregates(store, chunk_tiers=(), strict_dups=True)
     with pytest.raises(ValueError, match="duplicate"):
@@ -135,21 +139,32 @@ def test_strict_dups_rejects_colliding_delta(spark, corpus, tmp_path):
     ck = store.checkpoints().toPandas()
     dk = ck[(ck["table"] == "_dup_keys") & (ck["run_id"] == "run-lax")]
     assert dk["rows_out"].iloc[0] == 40
-    # last-write-wins: each key lands exactly once in the raw store
+    # single winner per key: each key lands exactly once in the raw store
     assert store.read(RAW).count() == 100
 
 
 def test_store_upsert_on_dup_error(spark, corpus, tmp_path):
     store = ParquetTableStore(spark, str(tmp_path / "s2"))
-    clean = corpus.limit(50)
+    clean = corpus.orderBy("conv_id", "turn_idx").limit(50)
     assert store.dup_key_count(clean, ["conv_id", "turn_idx"]) == 0
     n = store.upsert(
         clean, "t", ["conv_id", "turn_idx"], F.to_date("ts"), on_dup="error"
     )
     assert n == 50
-    dup = clean.unionByName(clean.limit(10))
+    dup = clean.unionByName(clean.orderBy("conv_id", "turn_idx").limit(10))
     assert store.dup_key_count(dup, ["conv_id", "turn_idx"]) == 10
     with pytest.raises(ValueError, match="duplicate-key"):
         store.upsert(
             dup, "t", ["conv_id", "turn_idx"], F.to_date("ts"), on_dup="error"
         )
+
+
+def test_upsert_empty_delta_is_noop(spark, corpus, tmp_path):
+    """0-row delta (the resume path with no new rows) must merge as a
+    no-op, not crash on an empty staging dir."""
+    store = ParquetTableStore(spark, str(tmp_path / "s3"))
+    first = corpus.orderBy("conv_id", "turn_idx").limit(30)
+    assert store.upsert(first, "t", ["conv_id", "turn_idx"], F.to_date("ts")) == 30
+    empty = corpus.filter(F.lit(False))
+    assert store.upsert(empty, "t", ["conv_id", "turn_idx"], F.to_date("ts")) == 0
+    assert store.read("t").count() == 30

@@ -179,3 +179,51 @@ def test_streaming_dense_stateful_gap_fill(spark, tmp_path):
         (5, 0, True),
         (6, 1, False),
     ]
+
+
+def test_streaming_dense_forward_jump_guard(spark, tmp_path):
+    """A corrupt far-future timestamp must not materialize millions of
+    gap rows: past max_gap_buckets the batch degrades to sparse emission
+    (observed buckets only) and the frontier still advances."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from go_muse_spark.streaming.ingest import streaming_dense_1m
+
+    src = tmp_path / "turns2"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c1",
+            "turn_idx": [0, 1],
+            "role": "user",
+            "text": "x",
+            "tool": "",
+            # second turn 10 years ahead (clock skew)
+            "ts": [t0, t0 + dt.timedelta(days=3650)],
+        }
+    )
+    schema = (
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    spark.createDataFrame(pdf).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        streaming_dense_1m(stream, max_gap_buckets=1000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dense_jump")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from dense_jump").collect()
+    # sparse emission: just the two observed buckets, no gap explosion
+    assert len(rows) == 2
+    assert all(not r["filled"] for r in rows)
