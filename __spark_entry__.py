@@ -45,6 +45,7 @@ from go_muse_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_near_dups,
 )
+from go_muse_spark.operators.joins import asof_join
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
     frame_sample_plan,
@@ -331,6 +332,45 @@ def q_filter_label_values(spark, sf_dir):
         (F.col("event_type") == "click") & (F.col("user_id") % 10 == 3)
     ).select("event_id", "ts", F.col("user_id").cast("string").alias("user_id"),
              "event_type", "value")
+
+
+def q_asof_click_view(spark, sf_dir):
+    """As-of join (the point-in-time lookup Spark lacks as a built-in):
+    each click picks the user's latest view at-or-before it. Implemented
+    as ONE union + keyed window (no inequality-join blowup); the oracle
+    is DuckDB's native ASOF JOIN — an independent engine's
+    implementation of the same semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").cast("string").alias("uid"), "ts",
+        F.round("value", 6).alias("click_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").cast("string").alias("uid"), "ts",
+        F.round("value", 6).alias("view_value"),
+    )
+    joined = asof_join(clicks, views, on=["uid"], ts_col="ts",
+                       value_cols=["view_value"])
+    return joined.select(
+        "event_id", "uid", "ts", "click_value",
+        F.col("view_value_r").alias("view_value"),
+        F.col("ts_r").alias("view_ts"),
+    )
+
+
+def q_json_props_rollup(spark, sf_dir):
+    """JSON scalar functions over the turn payload (SURVEY §2b scalar
+    date/array/map/json row): extract props.k per event, aggregate per
+    event_type — typed extraction + grouping on a semi-structured
+    column, all JVM-side (get_json_object / json_extract_string)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
 
 
 def q_topk_abs_score(spark, sf_dir):
@@ -842,6 +882,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_label_groups": q_distinct_label_groups,
         "map_label_groups": q_map_label_groups,
         "filter_label_values": q_filter_label_values,
+        "json_props_rollup": q_json_props_rollup,
+        "asof_click_view": q_asof_click_view,
         "topk_abs_score": q_topk_abs_score,
         "results_filter": q_results_filter,
         "results_mean_abs": q_results_mean_abs,
@@ -1018,6 +1060,29 @@ FROM events GROUP BY 1, 2
         "filter_label_values": """
 SELECT event_id, ts, cast(user_id AS varchar) AS user_id, event_type, value
 FROM events WHERE event_type = 'click' AND user_id % 10 = 3
+""",
+        "asof_click_view": """
+WITH clicks AS (
+  SELECT event_id, cast(user_id AS varchar) AS uid, ts,
+         round(value, 6) AS click_value
+  FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT cast(user_id AS varchar) AS uid, ts,
+         round(value, 6) AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.uid, c.ts, c.click_value,
+       v.view_value AS view_value, v.ts AS view_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.uid = v.uid AND c.ts >= v.ts
+""",
+        "json_props_rollup": """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(cast(json_extract_string(props, '$.k') AS bigint)) AS k_sum,
+       min(cast(json_extract_string(props, '$.k') AS bigint)) AS k_min,
+       max(cast(json_extract_string(props, '$.k') AS bigint)) AS k_max
+FROM events GROUP BY 1
 """,
         "topk_abs_score": """
 SELECT event_id, round(value - 150.0, 6) AS score

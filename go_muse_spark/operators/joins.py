@@ -1,0 +1,121 @@
+"""Time-series join operators Spark lacks as built-ins.
+
+asof_join: each left row picks the latest right row at-or-before its
+timestamp within the same key — the point-in-time lookup every
+time-series store offers (and DuckDB ships natively as ASOF JOIN, which
+is exactly what makes it oracle-checkable here).
+
+Spark-first shape: NOT a range join (an inequality join explodes into
+O(|L| x |R|) per key before pruning) — instead the classic union+window
+composition:
+
+  1. tag and union both sides on an aligned schema (right payload rides
+     as nullable __r_* columns),
+  2. ONE hash exchange on the key + in-partition sort on
+     (ts, is_left) — right rows sort before left rows at equal ts, so
+     the match is inclusive (right.ts <= left.ts),
+  3. last(__r_*, ignorenulls) over rows UNBOUNDED PRECEDING..CURRENT
+     ROW forward-carries the latest right payload in O(n),
+  4. keep left rows, rename the carried payload.
+
+Cost at any scale: one shuffle of |L| + |R| rows and a linear window —
+same exchange count as a plain equi-join, no quadratic blowup. A hot
+key serializes inside its partition like any keyed window; mitigate by
+time-bucketing the key upstream if a single entity's history exceeds a
+task (the same answer the rollup tiers give everywhere else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_s: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward (most-recent-at-or-before) as-of join.
+
+    Returns every left row plus, for each name in value_cols, a column
+    ``{name}{suffix}`` holding the value from the latest right row with
+    ``right.ts_col <= left.ts_col`` and equal ``on`` keys, and
+    ``{ts_col}{suffix}`` with that row's timestamp — all NULL when no
+    right row precedes the left row (or the match is older than
+    ``tolerance_s`` seconds, when given).
+
+    Determinism: when several right rows share one (key, ts), which one
+    wins is unspecified — pre-aggregate the right side to one row per
+    (key, ts) if that can occur (mirrors DuckDB ASOF JOIN, which has the
+    same caveat).
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*on, ts_col)]
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    lcols = list(left.columns)
+
+    l2 = left.select(
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(rtypes[c]).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+        F.lit(True).alias("__is_left"),
+    )
+    r2 = right.select(
+        *[
+            (
+                F.col(c)
+                if (c in on or c == ts_col)
+                else F.lit(None).cast(ltypes[c])
+            ).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(False).alias("__is_left"),
+    )
+    u = l2.unionByName(r2)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+        F.last(
+            F.when(~F.col("__is_left"), F.col(ts_col)), ignorenulls=True
+        )
+        .over(w)
+        .alias("__m_ts"),
+    )
+    out = carried.filter(F.col("__is_left"))
+    if tolerance_s is not None:
+        fresh = (
+            F.col(ts_col).cast("double") - F.col("__m_ts").cast("double")
+        ) <= F.lit(float(tolerance_s))
+        out = out.select(
+            *lcols,
+            *[
+                F.when(fresh, F.col(f"__m_{c}")).alias(f"__m_{c}")
+                for c in value_cols
+            ],
+            F.when(fresh, F.col("__m_ts")).alias("__m_ts"),
+        )
+    return out.select(
+        *lcols,
+        *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("__m_ts").alias(f"{ts_col}{suffix}"),
+    )

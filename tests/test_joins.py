@@ -1,0 +1,61 @@
+"""asof_join semantics: backward match, inclusivity, nulls, tolerance."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.joins import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(5), 1), ("a", _ts(10), 2), ("a", _ts(20), 3),
+         ("b", _ts(7), 4)],
+        "k string, ts timestamp, lv long",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(10), 100.0), ("a", _ts(15), 150.0), ("b", _ts(9), 900.0)],
+        "k string, ts timestamp, rv double",
+    )
+    got = {
+        r["lv"]: (r["rv_r"], r["ts_r"])
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert got[1] == (None, None)            # nothing at-or-before ts=5
+    assert got[2] == (100.0, _ts(10))        # equal ts is INCLUSIVE
+    assert got[3] == (150.0, _ts(15))        # latest prior, not first
+    assert got[4] == (None, None)            # right row is in the future
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(100), 1)], "k string, ts timestamp, lv long"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(10), 5.0)], "k string, ts timestamp, rv double"
+    )
+    loose = asof_join(left, right, on=["k"], tolerance_s=1000).collect()[0]
+    tight = asof_join(left, right, on=["k"], tolerance_s=10).collect()[0]
+    assert loose["rv_r"] == 5.0
+    assert tight["rv_r"] is None and tight["ts_r"] is None
+
+
+def test_asof_one_exchange_plan(spark):
+    """The composition must stay a single keyed exchange — no inequality
+    join, no cartesian."""
+    left = spark.createDataFrame(
+        [("a", _ts(5), 1)], "k string, ts timestamp, lv long"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 2.0)], "k string, ts timestamp, rv double"
+    )
+    plan = asof_join(left, right, on=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
