@@ -27,6 +27,7 @@ from go_muse_spark.operators.compress import (
 )
 from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.rollup import (
+    counter_rate,
     rollup_all_tiers,
     rollup_from_finer,
     rollup_transcripts,
@@ -173,6 +174,44 @@ def q_rollup_1h(spark, sf_dir):
 def q_rollup_1d(spark, sf_dir):
     tiers = rollup_all_tiers(_tx(spark, sf_dir), sum_cols={"value_sum": "value"})
     return _rollup_out(tiers["1d"])
+
+
+def q_rollup_1h_quantiles(spark, sf_dir):
+    """Exact percentile aggregates per tier bucket (median + p90 of the
+    event value): the quantile side of the rollup family. Micro-unit
+    integers absorb the engines' last-ulp interpolation differences."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)") * 1e6, 0)
+        .cast("long")
+        .alias("p50_u"),
+        F.round(F.expr("percentile(value, 0.9)") * 1e6, 0)
+        .cast("long")
+        .alias("p90_u"),
+    )
+
+
+def q_counter_rate_1h(spark, sf_dir):
+    """PromQL-style rate(): per-user hourly delta + per-second rate of
+    the value_sum series with counter-reset correction (negative delta
+    => the post-reset value is the increase). Window lag over one keyed
+    exchange; the reset branch fires on this non-monotone gauge, so the
+    oracle exercises the correction rule, not just subtraction."""
+    rolled = rollup_transcripts(
+        _tx(spark, sf_dir), "1h", sum_cols={"value_sum": "value"}
+    )
+    rated = counter_rate(rolled, "value_sum", by=("conv_id",))
+    return rated.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("value_u"),
+        F.round(F.col("delta") * 1e6, 0).cast("long").alias("delta_u"),
+        F.round(F.col("rate_per_s") * 1e6, 0).cast("long").alias("rate_u"),
+    )
 
 
 def q_gapfill_ffill_1h(spark, sf_dir):
@@ -872,6 +911,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
+        "rollup_1h_quantiles": q_rollup_1h_quantiles,
+        "counter_rate_1h": q_counter_rate_1h,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -941,6 +982,34 @@ def _oracle_sql_base(stop_list: str) -> dict[str, str]:
         "rollup_1h": _ROLLUP_ORACLE.format(unit="hour"),
         "rollup_1d": _ROLLUP_ORACLE.format(unit="day"),
         "gapfill_zero_1h": _GAPFILL_ZERO_ORACLE,
+        "rollup_1h_quantiles": """
+SELECT cast(user_id AS varchar) AS user_id,
+       date_trunc('hour', ts) AS bucket_ts,
+       count(*) AS n,
+       cast(round(quantile_cont(value, 0.5) * 1e6) AS bigint) AS p50_u,
+       cast(round(quantile_cont(value, 0.9) * 1e6) AS bigint) AS p90_u
+FROM events GROUP BY 1, 2
+""",
+        "counter_rate_1h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         sum(value) AS value_sum
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT user_id, bucket_ts, value_sum,
+         value_sum - lag(value_sum) OVER w AS raw_delta,
+         epoch(bucket_ts) - epoch(lag(bucket_ts) OVER w) AS secs
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts)
+)
+SELECT user_id, bucket_ts,
+       cast(round(value_sum * 1e6) AS bigint) AS value_u,
+       cast(round((CASE WHEN raw_delta < 0 THEN value_sum
+                        ELSE raw_delta END) * 1e6) AS bigint) AS delta_u,
+       cast(round((CASE WHEN raw_delta < 0 THEN value_sum
+                        ELSE raw_delta END) / secs * 1e6) AS bigint) AS rate_u
+FROM d WHERE raw_delta IS NOT NULL
+""",
         "gapfill_ffill_1h": """
 WITH r AS (
   SELECT cast(user_id AS varchar) AS user_id,

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["TIERS", "rollup_transcripts", "rollup_from_finer", "rollup_all_tiers"]
+__all__ = [
+    "TIERS",
+    "rollup_transcripts",
+    "rollup_from_finer",
+    "rollup_all_tiers",
+    "counter_rate",
+]
 
 # tier -> (date_trunc unit, bucket seconds, finer tier for re-agg)
 TIERS: dict[str, tuple[str, int, str | None]] = {
@@ -98,3 +104,49 @@ def rollup_all_tiers(
     tiers["1h"] = rollup_from_finer(tiers["1m"], "1h", extra)
     tiers["1d"] = rollup_from_finer(tiers["1h"], "1d", extra)
     return tiers
+
+
+def counter_rate(
+    rolled,
+    value_col: str,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    counter: bool = True,
+):
+    """Per-series delta and per-second rate between consecutive buckets,
+    with counter-reset correction (the PromQL rate()/increase() rule):
+    a negative delta means the underlying counter restarted, so the
+    post-reset value itself is the increase.
+
+    Pure window functions (lag over one keyed sort) — a single exchange
+    on the series key, O(n) per partition, no Python. counter=False
+    gives plain gauge deltas (negative allowed). Rows without a
+    predecessor (each series' first bucket) are dropped, like every
+    rate() implementation.
+
+    Returns (by..., bucket_col, value, delta, rate_per_s).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(bucket_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(bucket_col).over(w)
+    raw_delta = F.col(value_col) - prev_v
+    delta = (
+        F.when(raw_delta < 0, F.col(value_col)).otherwise(raw_delta)
+        if counter
+        else raw_delta
+    )
+    secs = F.unix_timestamp(bucket_col) - F.unix_timestamp(prev_t)
+    return (
+        rolled.select(
+            *by,
+            bucket_col,
+            F.col(value_col).alias("value"),
+            delta.alias("delta"),
+            (delta / secs).alias("rate_per_s"),
+            prev_v.alias("__pv"),
+        )
+        .filter(F.col("__pv").isNotNull())
+        .drop("__pv")
+    )

@@ -47,3 +47,33 @@ def test_text_pure_function_of_identity():
         for c, i in zip(conv, idx)
     ]
     assert list(expect) == got
+
+
+def test_counter_rate_reset_correction(spark):
+    """PromQL increase() rule: a counter restart (value drops) counts the
+    post-reset value as the increase; gauge mode keeps the raw delta."""
+    import datetime as dt
+
+    from go_muse_spark.operators.rollup import counter_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c", t0 + dt.timedelta(hours=h), v)
+        for h, v in [(0, 10.0), (1, 25.0), (2, 5.0), (3, 11.0)]
+    ]  # 25 -> 5 is a reset
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_ts timestamp, cnt double"
+    )
+    got = {
+        r["bucket_ts"].hour: (r["delta"], r["rate_per_s"])
+        for r in counter_rate(df, "cnt").collect()
+    }
+    assert got[1] == (15.0, 15.0 / 3600)
+    assert got[2] == (5.0, 5.0 / 3600)  # reset: increase = post-reset value
+    assert got[3] == (6.0, 6.0 / 3600)
+    assert 0 not in got  # first bucket has no predecessor
+    gauge = {
+        r["bucket_ts"].hour: r["delta"]
+        for r in counter_rate(df, "cnt", counter=False).collect()
+    }
+    assert gauge[2] == -20.0
