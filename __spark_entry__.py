@@ -40,6 +40,7 @@ from go_muse_spark.operators.search import (
     series_bounds,
 )
 from go_muse_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_near_dups,
     ngram_jaccard_pairs,
@@ -462,6 +463,19 @@ def q_minhash_near_dups(spark, sf_dir):
     return minhash_near_dups(
         load_table(spark, sf_dir, "documents"), threshold=0.5
     )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate CLUSTERS: connected components by
+    iterative min-label propagation (keeper = smallest doc_id per
+    component). Pairs come from simhash blocking (hamming <= 3) so
+    components are non-trivial; the oracle resolves the same edge set
+    with a recursive-CTE transitive closure — an iterative Spark
+    algorithm checked against a declarative fixpoint."""
+    pairs = simhash_near_dups(
+        load_table(spark, sf_dir, "documents"), bits=16, max_hamming=3
+    )
+    return dedup_clusters(pairs)
 
 
 def q_simhash_fingerprints(spark, sf_dir):
@@ -930,6 +944,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "results_mean_abs": q_results_mean_abs,
         "dedup_exact": q_dedup_exact,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1230,6 +1245,33 @@ FROM cands
 JOIN toks ta ON doc_a = ta.doc_id
 JOIN toks tb ON doc_b = tb.doc_id
 WHERE round({X.jaccard('duck', 'ta.toks', 'tb.toks')}, 6) >= 0.5
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE hs AS MATERIALIZED (
+  SELECT doc_id, {X.shingle_hashes('duck', 3)} AS th FROM documents
+), fp AS MATERIALIZED (
+  SELECT doc_id, {X.simhash('duck', 16, src='th')} AS simhash FROM hs
+), banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {b} AS band, simhash & {((1 << 4) - 1) << (b * 4)} AS bh FROM fp"
+      for b in range(4)
+  )}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS n FROM edges
+), reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT n AS doc_id, min(m) AS canonical_id FROM reach GROUP BY n
 """,
         "simhash_fingerprints": f"""
 WITH hs AS MATERIALIZED (

@@ -33,6 +33,7 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
 ]
 
 
@@ -227,4 +228,64 @@ def ngram_jaccard_pairs(
             F.round(F.expr(j), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation, canonical id = the
+    smallest doc_id in each component (the keeper-election rule every
+    dedup pipeline needs downstream of candidate generation — without
+    it, A~B and B~C dedupe to two overlapping pairs instead of one
+    {A,B,C} group with one keeper).
+
+    Shape: a driver loop of join + min-aggregate rounds over the EDGE
+    table (both directions), each round one shuffle on the node id;
+    labels converge in O(component diameter) rounds — near-dup clusters
+    are shallow (dozens of docs linked through a few hubs), so 3-5
+    rounds in practice. Each round's label table is localCheckpointed:
+    iterative lineage otherwise grows exponentially. This is the
+    standard Spark connected-components shape (GraphX/GraphFrames do
+    the same joins); genuinely iterative, so the DuckDB oracle uses a
+    recursive CTE instead of replaying the loop.
+
+    Returns (doc_id, canonical_id) for every doc that appears in a pair.
+    """
+    e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("n", "b"), "b"
+        ).select(F.col("a").alias("n"), "lbl")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.lbl") != F.col("y.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("canonical_id")
     )

@@ -195,3 +195,32 @@ def test_ivf_assignment_and_topk(spark, emb):
     assert asg[3] == 3
     top = ann_ivf_topk(emb, 0, k=3, n_centroids=8, n_probe=2).collect()
     assert top and top[0]["vec_id"] == 7  # copy found in the probed lists
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must resolve to ONE cluster {A,B,C} with keeper A —
+    transitivity that pairwise output alone cannot express; disjoint
+    pairs stay separate components."""
+    from go_muse_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 30)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2, 20: 20, 30: 20}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A path graph (worst-case diameter) still converges to one label."""
+    from go_muse_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 13
