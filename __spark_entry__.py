@@ -309,7 +309,9 @@ def q_chunks_windowed_roundtrip_1h(spark, sf_dir):
     window, not one conversation) -> decode; same oracle as the per-conv
     encoder because the chunk bytes are identical by construction."""
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
-    chunks = encode_chunks_windowed(rolled, "1h", "turn_cnt", chunk_size=256)
+    chunks = encode_chunks_windowed(
+        rolled, "1h", "turn_cnt", chunk_size=256, materialize_input=True
+    )
     decoded = decode_chunks(chunks, "turn_cnt")
     return decoded.select(
         F.col("conv_id").alias("user_id"),
@@ -672,7 +674,9 @@ def q_muse_over_chunks_1h(spark, sf_dir):
     oracle (the codec round trip is exact and padded zero rows are no-ops
     in the zero-initialized scoring matrix)."""
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
-    chunks = encode_chunks_windowed(rolled, "1h", "turn_cnt", chunk_size=512)
+    chunks = encode_chunks_windowed(
+        rolled, "1h", "turn_cnt", chunk_size=512, materialize_input=True
+    )
     decoded = decode_chunks(chunks, "turn_cnt")
     # bounds from the PRE-encode rollup: per-conv dense fill never extends
     # past each conv's [min, max], so the global range is identical — and

@@ -152,6 +152,7 @@ def encode_chunks_windowed(
     tier_secs: int | None = None,
     parallelism: int | None = None,
     fill: str = "zero",
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Skew-proof chunk encoder: the unit of parallel work is one CHUNK
     WINDOW (<= chunk_size buckets), not one conversation.
@@ -196,6 +197,15 @@ def encode_chunks_windowed(
     df = rollup.select(
         "conv_id", "bucket_ts", F.col(value_col).cast("double").alias("__val")
     )
+    # this operator consumes its input THREE times (per-conv bounds, the
+    # window spine, and the row side of the spine join) — when the input
+    # is a lazy pipeline rather than a stored tier table, Catalyst
+    # re-executes that pipeline per consumer (no cross-consumer subtree
+    # reuse). materialize_input=True computes the narrow projection once;
+    # in production the input IS the persisted rollup tier, so the flag
+    # is the in-session stand-in for reading storage.
+    if materialize_input:
+        df = df.localCheckpoint(eager=True)
     b = df.groupBy("conv_id").agg(
         F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
     )
