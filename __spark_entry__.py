@@ -50,6 +50,7 @@ from go_muse_spark.operators.dedup import (
 from go_muse_spark.operators.joins import asof_join
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
+    extract_frame_features,
     frame_sample_plan,
 )
 from go_muse_spark.operators.similarity import (
@@ -288,6 +289,26 @@ def q_multimodal_frame_plan(spark, sf_dir):
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
+def q_multimodal_frame_features(spark, sf_dir):
+    """Video pipeline tail: sampling plan JOIN payloads -> fused
+    decode+resize+feature-extract per frame (stub decode seeded by
+    (content, frame_idx)). Exploded scalar rows; rows-only (counter-hash
+    pixels are not SQL)."""
+    feats = extract_frame_features(
+        _docs_as_media(spark, sf_dir), every_ms=1000, n_features=7, fake=True
+    )
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        F.posexplode("features").alias("feature_idx", "value"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        F.col("feature_idx").cast("long").alias("feature_idx"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("value_u"),
     )
 
 
@@ -938,6 +959,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_windowed_roundtrip_1h": q_chunks_windowed_roundtrip_1h,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
+        "multimodal_frame_features": q_multimodal_frame_features,
         "distinct_label_groups": q_distinct_label_groups,
         "map_label_groups": q_map_label_groups,
         "filter_label_values": q_filter_label_values,

@@ -28,6 +28,7 @@ __all__ = [
     "with_content_hash",
     "decode_image_features",
     "frame_sample_plan",
+    "extract_frame_features",
 ]
 
 MEDIA_SCHEMA = (
@@ -161,4 +162,87 @@ def frame_sample_plan(
             ).alias("frame_idx"),
         )
         .withColumn("frame_ts_ms", F.col("frame_idx") * F.lit(every_ms))
+    )
+
+
+def extract_frame_features(
+    media: DataFrame,
+    every_ms: int = 1000,
+    n_features: int = 8,
+    target: tuple[int, int] = (8, 8),
+    fake: bool = False,
+) -> DataFrame:
+    """Video pipeline tail: frame_sample_plan JOIN payloads -> per-frame
+    decode + resize + feature-extract, one mapInPandas stage.
+
+    The sampling PLAN is relational (frame_sample_plan); this operator
+    joins it back to the payload column (equi-join on media_id — the
+    plan side is narrow, so AQE broadcasts it at small scale and
+    co-partitions at large) and runs the decode per (payload, frame_idx)
+    batch-vectorized: the stub seeds a counter-based hash with
+    (content seed, frame_idx) and decodes straight AT the target
+    resolution — modeling the fused decode+resize every real video
+    reader does (never materialize full frames only to shrink them).
+    A real codec (PyAV/ffmpeg) would replace _fake_decode_batch; the
+    join/partition/batch plumbing is the production path.
+
+    Returns (media_id, frame_idx, features array<double>).
+    """
+    th, tw = target
+    plan = frame_sample_plan(media, every_ms)
+    joined = plan.join(
+        media.select("media_id", "payload"), "media_id"
+    ).select("media_id", "frame_idx", "payload")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires PyAV/ffmpeg (not in sandbox); "
+                    "pass fake=True for the deterministic stub"
+                )
+            m = len(pdf)
+            seeds = np.fromiter(
+                (
+                    int.from_bytes(bytes(p)[:8].ljust(8, b"\0"), "little")
+                    for p in pdf["payload"]
+                ),
+                dtype=_U64,
+                count=m,
+            )
+            fidx = pdf["frame_idx"].to_numpy(dtype=np.int64).astype(_U64)
+            frame_seeds = _splitmix64(seeds + fidx * _GOLD)
+            n_out = min(n_features, 7)
+            feats = np.empty((m, n_out), dtype=np.float64)
+            pixel_budget = 32_000_000
+            step = max(pixel_budget // max(th * tw * 3, 1), 1)
+            for off in range(0, m, step):
+                rows = slice(off, min(off + step, m))
+                imgs = _fake_decode_batch(frame_seeds[rows], tw, th)
+                f0 = imgs.mean(axis=(1, 2)) / 255.0
+                qs = (
+                    np.stack(
+                        [
+                            imgs[:, : th // 2, : tw // 2].mean(axis=(1, 2, 3)),
+                            imgs[:, : th // 2, tw // 2 :].mean(axis=(1, 2, 3)),
+                            imgs[:, th // 2 :, : tw // 2].mean(axis=(1, 2, 3)),
+                            imgs[:, th // 2 :, tw // 2 :].mean(axis=(1, 2, 3)),
+                        ],
+                        axis=1,
+                    )
+                    / 255.0
+                )
+                feats[rows] = np.concatenate([f0, qs], axis=1)[:, :n_out]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "features": list(feats),
+                }
+            )
+
+    return joined.mapInPandas(
+        op, "media_id string, frame_idx long, features array<double>"
     )

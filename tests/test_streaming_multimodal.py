@@ -227,3 +227,26 @@ def test_streaming_dense_forward_jump_guard(spark, tmp_path):
     # sparse emission: just the two observed buckets, no gap explosion
     assert len(rows) == 2
     assert all(not r["filled"] for r in rows)
+
+
+def test_extract_frame_features(spark, media):
+    """Plan JOIN payloads -> per-frame fused decode+resize+features:
+    one row per sampled frame, deterministic per (content, frame_idx),
+    distinct across frames of the same video."""
+    from go_muse_spark.operators.multimodal import extract_frame_features
+
+    rows = extract_frame_features(
+        media, every_ms=1000, n_features=7, fake=True
+    ).collect()
+    # m3 is the only video: 3500ms at 1000ms -> frames 0, 1, 2
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2]
+    assert all(r["media_id"] == "m3" and len(r["features"]) == 7 for r in rows)
+    by_frame = {r["frame_idx"]: tuple(r["features"]) for r in rows}
+    assert by_frame[0] != by_frame[1]  # frame seed mixes frame_idx
+    again = {
+        r["frame_idx"]: tuple(r["features"])
+        for r in extract_frame_features(
+            media, every_ms=1000, n_features=7, fake=True
+        ).collect()
+    }
+    assert again == by_frame  # deterministic
