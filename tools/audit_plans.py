@@ -15,7 +15,8 @@ from go_muse_spark.session import get_spark  # noqa: E402
 DEFAULT = [
     "rollup_1h", "gapfill_zero_1h", "muse_topk_1h", "muse_grouped_1h",
     "minhash_near_dups", "embedding_near_dups", "cosine_topk",
-    "topk_abs_score",
+    "topk_abs_score", "ann_ivf_topk", "asof_click_view",
+    "counter_rate_1h", "muse_over_chunks_1h",
 ]
 
 
