@@ -224,3 +224,41 @@ def test_dedup_clusters_long_chain_converges(spark):
         for r in dedup_clusters(pairs).collect()
     }
     assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Randomized cross-check against an independent union-find."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 40, size=(60, 2))
+        if a != b
+    ]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in __import__("go_muse_spark.operators.dedup", fromlist=["dedup_clusters"]).dedup_clusters(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(mem) for mem in comp.values() for n in mem}
+    assert got == want

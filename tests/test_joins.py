@@ -59,3 +59,46 @@ def test_asof_one_exchange_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against an independent implementation:
+    pandas.merge_asof(direction='backward') on the same data."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 80),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, 80), unit="s"),
+            "lv": np.arange(80),
+        }
+    ).drop_duplicates(["k", "ts"])
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 60),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, 60), unit="s"),
+            "rv": rng.normal(size=60).round(6),
+        }
+    ).drop_duplicates(["k", "ts"])
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right), on=["k"]
+        )
+        .toPandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("lv").reset_index(drop=True)
+    assert list(got["lv"]) == list(want["lv"])
+    a = got["rv_r"].fillna(-999).to_numpy()
+    b = want["rv"].fillna(-999).to_numpy()
+    assert (a == b).all()
