@@ -156,6 +156,49 @@ class ContinuousAggregates:
         store.log_checkpoint(rows)
         return metrics
 
+    # ---------------------------------------------------------- retention
+
+    def apply_retention(
+        self,
+        run_id: str,
+        now,
+        ttl_days: dict[str, int | None] | None = None,
+    ) -> dict[str, int]:
+        """Enforce per-tier retention: drop tier (and chunk) partitions
+        older than each tier's TTL — the downsample-then-expire policy a
+        retention engine exists for (fine tiers age out first, the 1d
+        tier is kept indefinitely by default). Partition-granular
+        deletes, logged to the checkpoint log like any other mutation so
+        lineage shows WHEN data was expired and by which run.
+
+        ttl_days: tier -> days to keep (None = keep forever). Defaults:
+        1m for 7 days, 1h for 90, 1d forever.
+        """
+        import datetime as dt
+
+        ttl = {"1m": 7, "1h": 90, "1d": None}
+        ttl.update(ttl_days or {})
+        today = now.date() if isinstance(now, dt.datetime) else now
+        metrics: dict[str, int] = {}
+        rows = []
+        seq = self.store.next_seq()
+        for tier, days in ttl.items():
+            if days is None or tier not in self.tiers:
+                continue
+            cutoff = today - dt.timedelta(days=days)
+            for tbl in (
+                tier_table(tier),
+                *( [f"chunks_{tier}"] if tier in self.chunk_tiers else [] ),
+            ):
+                dropped = self.store.drop_partitions_before(tbl, cutoff)
+                metrics[tbl] = len(dropped)
+                rows.append(
+                    (run_id, tbl, ",".join(dropped), None, 0, len(dropped), seq)
+                )
+        if rows:
+            self.store.log_checkpoint(rows)
+        return metrics
+
     # ------------------------------------------------------------- resume
 
     def unprocessed(self, source: DataFrame) -> DataFrame:

@@ -161,6 +161,33 @@ class ParquetTableStore:
             shutil.rmtree(stage, ignore_errors=True)
         return n
 
+    def drop_partitions_before(self, table: str, cutoff) -> list[str]:
+        """Retention enforcement: remove date partitions strictly older
+        than `cutoff` (a datetime.date). O(1) directory unlinks per
+        dropped partition — the parquet twin of Iceberg's
+        `DELETE WHERE part < cutoff` + expire_snapshots, which is what
+        the production backend runs. Returns the dropped partition names.
+        """
+        import shutil
+
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return []
+        dropped = []
+        for d in sorted(os.listdir(p)):
+            if not d.startswith("part="):
+                continue
+            try:
+                import datetime as _dt
+
+                day = _dt.date.fromisoformat(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if day < cutoff:
+                shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+                dropped.append(d)
+        return dropped
+
     # -------------------------------------------------------- checkpoints
 
     @property

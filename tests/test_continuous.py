@@ -168,3 +168,40 @@ def test_upsert_empty_delta_is_noop(spark, corpus, tmp_path):
     empty = corpus.filter(F.lit(False))
     assert store.upsert(empty, "t", ["conv_id", "turn_idx"], F.to_date("ts")) == 0
     assert store.read("t").count() == 30
+
+
+def test_apply_retention_expires_fine_tiers(spark, corpus, tmp_path):
+    """Downsample-then-expire: the 1m tier ages out first, 1h keeps a
+    longer window, 1d survives; drops are partition-granular and logged
+    to the checkpoint lineage."""
+    import datetime as dt
+
+    store = ParquetTableStore(spark, str(tmp_path / "store"))
+    ca = ContinuousAggregates(store, chunk_tiers=())
+    ca.ingest(corpus, "run-1")
+    hi = corpus.agg(F.max("ts")).collect()[0][0]
+
+    def parts(table):
+        return set(
+            r[0] for r in store.read(table).select("part").distinct().collect()
+        )
+
+    before_1m, before_1h, before_1d = (
+        parts(tier_table(t)) for t in ("1m", "1h", "1d")
+    )
+    # cutoff chosen so ~the older half of the corpus's days expire at 1m
+    span = (hi.date() - min(before_1m)).days
+    keep_1m = max(span // 2, 1)
+    metrics = ca.apply_retention(
+        "ret-1", hi, ttl_days={"1m": keep_1m, "1h": span + 2, "1d": None}
+    )
+    cutoff = hi.date() - dt.timedelta(days=keep_1m)
+    assert metrics[tier_table("1m")] == len(
+        [p for p in before_1m if p < cutoff]
+    ) > 0
+    assert parts(tier_table("1m")) == {p for p in before_1m if p >= cutoff}
+    assert parts(tier_table("1h")) == before_1h  # inside its window
+    assert parts(tier_table("1d")) == before_1d  # kept forever
+    ck = store.checkpoints().toPandas()
+    ret = ck[ck["run_id"] == "ret-1"]
+    assert set(ret["table"]) == {tier_table(t) for t in ("1m", "1h")}
