@@ -35,6 +35,7 @@ __all__ = [
     "encode_chunks_windowed",
     "encode_tiers_fused",
     "decode_chunks",
+    "compact_chunks",
     "CHUNK_SCHEMA",
 ]
 
@@ -526,3 +527,37 @@ def decode_chunks(chunks: DataFrame, value_col: str = "turn_cnt") -> DataFrame:
             )
 
     return chunks.mapInPandas(decode, out_schema)
+
+
+def compact_chunks(
+    chunks: DataFrame,
+    value_col: str = "turn_cnt",
+    chunk_size: int = 1024,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Chunk-table maintenance: rewrite fragmented chunks into full-size
+    ones (decode -> re-encode), per (conv_id, tier).
+
+    Incremental MERGE batches leave whatever chunk boundaries each batch
+    produced; like any LSM/TSDB compaction, periodically rewriting a
+    conversation's chunks restores the target chunk_size (better codec
+    ratios — the XOR window and dod widths are chosen per chunk — and
+    fewer rows to scan at search time). The decoded points are preserved
+    exactly (the codecs are bit-exact), so compaction commutes with
+    every read path. One conv_id exchange; at 10^12-turn scale run it
+    per affected-partition, off the ingest path, exactly like Iceberg's
+    rewrite_data_files.
+    """
+    tiers = [r[0] for r in chunks.select("tier").distinct().collect()]
+    if len(tiers) != 1:
+        raise ValueError(
+            f"compact one tier at a time (got {sorted(tiers)}); filter first"
+        )
+    decoded = decode_chunks(chunks, value_col)
+    return encode_chunks(
+        decoded.select("conv_id", "bucket_ts", value_col),
+        tiers[0],
+        value_col,
+        chunk_size=chunk_size,
+        parallelism=parallelism,
+    )

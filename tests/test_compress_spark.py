@@ -202,3 +202,30 @@ def test_encode_chunks_windowed_linear_carry(spark):
         )
 
     assert rows(per_conv) == rows(windowed)
+
+
+def test_compact_chunks_restores_chunk_size(spark):
+    """Fragmented chunks (small chunk_size, as interleaved merge batches
+    would leave) compact into full-size chunks with identical decoded
+    points and fewer rows."""
+    from go_muse_spark.operators.compress import compact_chunks
+    from go_muse_spark.operators.rollup import rollup_transcripts
+
+    tx = transcripts_for_tier(spark, "1m")
+    rolled = rollup_transcripts(tx, "1m")
+    fragmented = encode_chunks(rolled, "1m", "turn_cnt", chunk_size=3, fill="zero")
+    compacted = compact_chunks(fragmented, "turn_cnt", chunk_size=64)
+
+    def points(chunks_df):
+        from go_muse_spark.operators.compress import decode_chunks
+
+        return sorted(
+            (r["conv_id"], r["bucket_ts"], r["turn_cnt"])
+            for r in decode_chunks(chunks_df, "turn_cnt").collect()
+        )
+
+    assert points(fragmented) == points(compacted)
+    n_frag = fragmented.count()
+    n_comp = compacted.count()
+    assert n_comp < n_frag  # genuinely fewer, larger chunks
+    assert compacted.filter("n_points > 64").count() == 0
