@@ -28,6 +28,7 @@ from go_muse_spark.operators.compress import (
 from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.rollup import (
     counter_rate,
+    moving_aggregate,
     rollup_all_tiers,
     rollup_from_finer,
     rollup_transcripts,
@@ -213,6 +214,22 @@ def q_counter_rate_1h(spark, sf_dir):
         F.round(F.col("value") * 1e6, 0).cast("long").alias("value_u"),
         F.round(F.col("delta") * 1e6, 0).cast("long").alias("delta_u"),
         F.round(F.col("rate_per_s") * 1e6, 0).cast("long").alias("rate_u"),
+    )
+
+
+def q_moving_avg_24h(spark, sf_dir):
+    """Sliding complement of the tumbling tiers: trailing-24h moving
+    sum/avg/count per user over the 1h rollup (RANGE frame over event
+    time; absent buckets are absent, not zero)."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    mov = moving_aggregate(rolled, "turn_cnt", 24 * 3600)
+    return mov.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.col("value").cast("long").alias("turn_cnt"),
+        F.col("win_sum").cast("long").alias("sum_24h"),
+        F.round(F.col("win_avg") * 1e6, 0).cast("long").alias("avg_24h_u"),
+        F.col("win_n").alias("n_24h"),
     )
 
 
@@ -952,6 +969,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": q_rollup_1d,
         "rollup_1h_quantiles": q_rollup_1h_quantiles,
         "counter_rate_1h": q_counter_rate_1h,
+        "moving_avg_24h": q_moving_avg_24h,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1030,6 +1048,21 @@ SELECT cast(user_id AS varchar) AS user_id,
        cast(round(quantile_cont(value, 0.5) * 1e6) AS bigint) AS p50_u,
        cast(round(quantile_cont(value, 0.9) * 1e6) AS bigint) AS p90_u
 FROM events GROUP BY 1, 2
+""",
+        "moving_avg_24h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, bucket_ts, turn_cnt,
+       sum(turn_cnt) OVER w AS sum_24h,
+       cast(round(avg(turn_cnt) OVER w * 1e6) AS bigint) AS avg_24h_u,
+       count(*) OVER w AS n_24h
+FROM r
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(bucket_ts)
+             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
 """,
         "counter_rate_1h": """
 WITH r AS (

@@ -24,6 +24,7 @@ __all__ = [
     "rollup_from_finer",
     "rollup_all_tiers",
     "counter_rate",
+    "moving_aggregate",
 ]
 
 # tier -> (date_trunc unit, bucket seconds, finer tier for re-agg)
@@ -149,4 +150,42 @@ def counter_rate(
         )
         .filter(F.col("__pv").isNotNull())
         .drop("__pv")
+    )
+
+
+def moving_aggregate(
+    rolled,
+    value_col: str,
+    window_secs: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+):
+    """Trailing sliding-window aggregates over a tier: for every bucket,
+    the sum/avg/count of `value_col` across the buckets in the preceding
+    `window_secs` (inclusive of the current bucket) — the tumbling
+    tiers' sliding complement (24h moving average over the 1h tier,
+    etc.).
+
+    A RANGE frame over unix seconds, so gaps count as absent (not zero):
+    the aggregate sees the buckets that exist, exactly like a stream
+    processor's sliding window over event time. One exchange on the
+    series key, O(n log n) sort, built-in window aggregation — no
+    Python.
+
+    Returns (by..., bucket_col, value, win_sum, win_avg, win_n).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.unix_timestamp(bucket_col))
+        .rangeBetween(-(window_secs - 1), 0)
+    )
+    return rolled.select(
+        *by,
+        bucket_col,
+        F.col(value_col).alias("value"),
+        F.sum(value_col).over(w).alias("win_sum"),
+        F.avg(value_col).over(w).alias("win_avg"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
     )
