@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "muse_topk_1h",
     "muse_grouped_1h",
     "muse_over_chunks_1h",
+    "asof_click_view",
+    "counter_rate_1h",
+    "moving_avg_24h",
+    "ann_ivf_topk",
+    "dedup_clusters",
 ]
 
 
