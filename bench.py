@@ -56,8 +56,9 @@ BENCH_QUERIES = [
     "asof_click_view",
     "counter_rate_1h",
     "moving_avg_24h",
-    "ann_ivf_topk",
-    "dedup_clusters",
+    # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
+    # here: their wall at sf0.1 is codegen-compile / driver-loop fixed
+    # cost (9s / 38s), which would drown the signal this list exists for
 ]
 
 
