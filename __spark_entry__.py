@@ -425,9 +425,13 @@ def q_asof_click_view(spark, sf_dir):
         "event_id", F.col("user_id").cast("string").alias("uid"), "ts",
         F.round("value", 6).alias("click_value"),
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").cast("string").alias("uid"), "ts",
-        F.round("value", 6).alias("view_value"),
+    # pre-aggregate to one row per (uid, ts): equal-ts right rows are an
+    # unspecified-winner case in BOTH engines (asof_join docstring /
+    # DuckDB ASOF), so the deterministic max makes the oracle hash stable
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").cast("string").alias("uid"), "ts")
+        .agg(F.round(F.max("value"), 6).alias("view_value"))
     )
     joined = asof_join(clicks, views, on=["uid"], ts_col="ts",
                        value_cols=["view_value"])
@@ -444,7 +448,9 @@ def q_json_props_rollup(spark, sf_dir):
     event_type — typed extraction + grouping on a semi-structured
     column, all JVM-side (get_json_object / json_extract_string)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast on BOTH sides: a malformed props.k becomes NULL (skipped
+    # by the aggregates) instead of an ANSI cast error in either engine
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS bigint)")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("k_sum"),
@@ -1211,8 +1217,8 @@ WITH clicks AS (
   FROM events WHERE event_type = 'click'
 ), views AS (
   SELECT cast(user_id AS varchar) AS uid, ts,
-         round(value, 6) AS view_value
-  FROM events WHERE event_type = 'view'
+         round(max(value), 6) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
 )
 SELECT c.event_id, c.uid, c.ts, c.click_value,
        v.view_value AS view_value, v.ts AS view_ts
@@ -1222,9 +1228,9 @@ FROM clicks c ASOF LEFT JOIN views v
         "json_props_rollup": """
 SELECT event_type,
        count(*) AS n_events,
-       sum(cast(json_extract_string(props, '$.k') AS bigint)) AS k_sum,
-       min(cast(json_extract_string(props, '$.k') AS bigint)) AS k_min,
-       max(cast(json_extract_string(props, '$.k') AS bigint)) AS k_max
+       sum(try_cast(json_extract_string(props, '$.k') AS bigint)) AS k_sum,
+       min(try_cast(json_extract_string(props, '$.k') AS bigint)) AS k_min,
+       max(try_cast(json_extract_string(props, '$.k') AS bigint)) AS k_max
 FROM events GROUP BY 1
 """,
         "topk_abs_score": """

@@ -534,6 +534,7 @@ def compact_chunks(
     value_col: str = "turn_cnt",
     chunk_size: int = 1024,
     parallelism: int | None = None,
+    tier: str | None = None,
 ) -> DataFrame:
     """Chunk-table maintenance: rewrite fragmented chunks into full-size
     ones (decode -> re-encode), per (conv_id, tier).
@@ -548,15 +549,22 @@ def compact_chunks(
     per affected-partition, off the ingest path, exactly like Iceberg's
     rewrite_data_files.
     """
-    tiers = [r[0] for r in chunks.select("tier").distinct().collect()]
-    if len(tiers) != 1:
-        raise ValueError(
-            f"compact one tier at a time (got {sorted(tiers)}); filter first"
-        )
+    if tier is None:
+        # discovery is an eager action that executes the upstream
+        # lineage once — pass tier= explicitly when the input is a lazy
+        # pipeline rather than a stored chunk table
+        tiers = [r[0] for r in chunks.select("tier").distinct().collect()]
+        if len(tiers) > 1:
+            raise ValueError(
+                f"compact one tier at a time (got {sorted(tiers)}); filter first"
+            )
+        if not tiers:  # empty selection -> empty result, not an error
+            return chunks.sparkSession.createDataFrame([], CHUNK_SCHEMA)
+        tier = tiers[0]
     decoded = decode_chunks(chunks, value_col)
     return encode_chunks(
         decoded.select("conv_id", "bucket_ts", value_col),
-        tiers[0],
+        tier,
         value_col,
         chunk_size=chunk_size,
         parallelism=parallelism,

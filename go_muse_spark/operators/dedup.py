@@ -286,6 +286,13 @@ def dedup_clusters(
         labels = new
         if changed == 0:
             break
+    else:
+        # returning unconverged labels would silently split one
+        # component into overlapping "clusters" — fail loudly instead
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters; raise it)"
+        )
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("canonical_id")
     )

@@ -51,23 +51,37 @@ def asof_join(
     right row precedes the left row (or the match is older than
     ``tolerance_s`` seconds, when given).
 
+    The matched values and ``{ts_col}{suffix}`` always come from one
+    single right row — a right row whose payload is NULL still IS the
+    match for later left rows (DuckDB ASOF semantics), it is not skipped
+    in favor of an older non-null value.
+
     Determinism: when several right rows share one (key, ts), which one
     wins is unspecified — pre-aggregate the right side to one row per
     (key, ts) if that can occur (mirrors DuckDB ASOF JOIN, which has the
     same caveat).
     """
+    from pyspark.sql.types import StructField, StructType
+
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*on, ts_col)]
     rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
     lcols = list(left.columns)
 
+    # the matched right row travels as ONE struct (its ts + every value
+    # column), so the carried values and the carried timestamp always
+    # come from the SAME row — per-column ignorenulls would skip a right
+    # row whose payload is NULL for one column and stitch together a row
+    # that never existed (DuckDB ASOF matches the latest row regardless
+    # of payload NULLs, and so does this).
+    r_struct_t = StructType(
+        [StructField("__ts", rtypes[ts_col])]
+        + [StructField(c, rtypes[c]) for c in value_cols]
+    )
     l2 = left.select(
         *[F.col(c) for c in lcols],
-        *[
-            F.lit(None).cast(rtypes[c]).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(r_struct_t).alias("__r"),
         F.lit(True).alias("__is_left"),
     )
     r2 = right.select(
@@ -79,7 +93,10 @@ def asof_join(
             ).alias(c)
             for c in lcols
         ],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(
+            F.col(ts_col).alias("__ts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__r"),
         F.lit(False).alias("__is_left"),
     )
     u = l2.unionByName(r2)
@@ -90,32 +107,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
-        F.last(
-            F.when(~F.col("__is_left"), F.col(ts_col)), ignorenulls=True
-        )
-        .over(w)
-        .alias("__m_ts"),
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
     )
     out = carried.filter(F.col("__is_left"))
     if tolerance_s is not None:
         fresh = (
-            F.col(ts_col).cast("double") - F.col("__m_ts").cast("double")
+            F.col(ts_col).cast("double") - F.col("__m.__ts").cast("double")
         ) <= F.lit(float(tolerance_s))
-        out = out.select(
-            *lcols,
-            *[
-                F.when(fresh, F.col(f"__m_{c}")).alias(f"__m_{c}")
-                for c in value_cols
-            ],
-            F.when(fresh, F.col("__m_ts")).alias("__m_ts"),
-        )
+        out = out.withColumn("__m", F.when(fresh, F.col("__m")))
     return out.select(
         *lcols,
-        *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in value_cols],
-        F.col("__m_ts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("__m.__ts").alias(f"{ts_col}{suffix}"),
     )

@@ -66,6 +66,41 @@ def _fake_decode_batch(
     return px.astype(np.uint8).reshape(-1, height, width, 3)
 
 
+
+def _payload_seeds(payloads, m: int) -> np.ndarray:
+    """(m,) uint64 content seeds: first 8 payload bytes, little-endian."""
+    return np.fromiter(
+        (
+            int.from_bytes(bytes(p)[:8].ljust(8, b"\0"), "little")
+            for p in payloads
+        ),
+        dtype=_U64,
+        count=m,
+    )
+
+
+_N_STUB_FEATURES = 7  # 3 channel means + 4 quadrant means
+
+
+def _channel_quadrant_features(imgs: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(g, H, W, 3) uint8 -> (g, 7) float64: channel + quadrant means,
+    one batched reduction (shared by the image and frame feature ops)."""
+    f0 = imgs.mean(axis=(1, 2)) / 255.0
+    qs = (
+        np.stack(
+            [
+                imgs[:, : h // 2, : w // 2].mean(axis=(1, 2, 3)),
+                imgs[:, : h // 2, w // 2 :].mean(axis=(1, 2, 3)),
+                imgs[:, h // 2 :, : w // 2].mean(axis=(1, 2, 3)),
+                imgs[:, h // 2 :, w // 2 :].mean(axis=(1, 2, 3)),
+            ],
+            axis=1,
+        )
+        / 255.0
+    )
+    return np.concatenate([f0, qs], axis=1)
+
+
 def decode_image_features(
     media: DataFrame, n_features: int = 8, fake: bool = False
 ) -> DataFrame:
@@ -92,21 +127,15 @@ def decode_image_features(
                     "pass fake=True for the deterministic stub"
                 )
             m = len(pdf)
-            seeds = np.fromiter(
-                (
-                    int.from_bytes(bytes(p)[:8].ljust(8, b"\0"), "little")
-                    for p in pdf["payload"]
-                ),
-                dtype=_U64,
-                count=m,
-            )
+            seeds = _payload_seeds(pdf["payload"], m)
             widths = np.asarray(
                 [int(meta["width"] or 16) for meta in pdf["meta"]], dtype=np.int64
             )
             heights = np.asarray(
                 [int(meta["height"] or 16) for meta in pdf["meta"]], dtype=np.int64
             )
-            n_out = min(n_features, 7)  # 3 channel + 4 quadrant means
+            # n_features caps at the 7 available stub features
+            n_out = min(n_features, _N_STUB_FEATURES)
             feats = np.empty((m, n_out), dtype=np.float64)
             # group by shape -> vectorized decode+reduce per group, with a
             # pixel budget bounding the decoded stack (a 10k-row Arrow
@@ -122,20 +151,7 @@ def decode_image_features(
                 for off in range(0, len(all_rows), step):
                     rows = all_rows[off : off + step]
                     imgs = _fake_decode_batch(seeds[rows], w, h)
-                    f0 = imgs.mean(axis=(1, 2)) / 255.0  # (g, 3) channels
-                    qs = (
-                        np.stack(
-                            [
-                                imgs[:, : h // 2, : w // 2].mean(axis=(1, 2, 3)),
-                                imgs[:, : h // 2, w // 2 :].mean(axis=(1, 2, 3)),
-                                imgs[:, h // 2 :, : w // 2].mean(axis=(1, 2, 3)),
-                                imgs[:, h // 2 :, w // 2 :].mean(axis=(1, 2, 3)),
-                            ],
-                            axis=1,
-                        )
-                        / 255.0
-                    )  # (g, 4) quadrant means
-                    feats[rows] = np.concatenate([f0, qs], axis=1)[:, :n_out]
+                    feats[rows] = _channel_quadrant_features(imgs, h, w)[:, :n_out]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -204,37 +220,18 @@ def extract_frame_features(
                     "pass fake=True for the deterministic stub"
                 )
             m = len(pdf)
-            seeds = np.fromiter(
-                (
-                    int.from_bytes(bytes(p)[:8].ljust(8, b"\0"), "little")
-                    for p in pdf["payload"]
-                ),
-                dtype=_U64,
-                count=m,
-            )
+            seeds = _payload_seeds(pdf["payload"], m)
             fidx = pdf["frame_idx"].to_numpy(dtype=np.int64).astype(_U64)
             frame_seeds = _splitmix64(seeds + fidx * _GOLD)
-            n_out = min(n_features, 7)
+            # n_features caps at the 7 available stub features
+            n_out = min(n_features, _N_STUB_FEATURES)
             feats = np.empty((m, n_out), dtype=np.float64)
             pixel_budget = 32_000_000
             step = max(pixel_budget // max(th * tw * 3, 1), 1)
             for off in range(0, m, step):
                 rows = slice(off, min(off + step, m))
                 imgs = _fake_decode_batch(frame_seeds[rows], tw, th)
-                f0 = imgs.mean(axis=(1, 2)) / 255.0
-                qs = (
-                    np.stack(
-                        [
-                            imgs[:, : th // 2, : tw // 2].mean(axis=(1, 2, 3)),
-                            imgs[:, : th // 2, tw // 2 :].mean(axis=(1, 2, 3)),
-                            imgs[:, th // 2 :, : tw // 2].mean(axis=(1, 2, 3)),
-                            imgs[:, th // 2 :, tw // 2 :].mean(axis=(1, 2, 3)),
-                        ],
-                        axis=1,
-                    )
-                    / 255.0
-                )
-                feats[rows] = np.concatenate([f0, qs], axis=1)[:, :n_out]
+                feats[rows] = _channel_quadrant_features(imgs, th, tw)[:, :n_out]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -176,6 +176,8 @@ class ContinuousAggregates:
         """
         import datetime as dt
 
+        from go_muse_spark.operators.rollup import TIERS
+
         ttl = {"1m": 7, "1h": 90, "1d": None}
         ttl.update(ttl_days or {})
         today = now.date() if isinstance(now, dt.datetime) else now
@@ -186,14 +188,30 @@ class ContinuousAggregates:
             if days is None or tier not in self.tiers:
                 continue
             cutoff = today - dt.timedelta(days=days)
-            for tbl in (
-                tier_table(tier),
-                *( [f"chunks_{tier}"] if tier in self.chunk_tiers else [] ),
-            ):
-                dropped = self.store.drop_partitions_before(tbl, cutoff)
-                metrics[tbl] = len(dropped)
+            dropped = self.store.drop_partitions_before(
+                tier_table(tier), cutoff
+            )
+            metrics[tier_table(tier)] = len(dropped)
+            rows.append(
+                (run_id, tier_table(tier), ",".join(dropped), None, 0,
+                 len(dropped), seq)
+            )
+            if tier in self.chunk_tiers:
+                # chunk partitions are keyed by chunk START date, but a
+                # chunk extends up to chunk_size buckets past its start —
+                # shift the cutoff back by that span so no chunk holding
+                # in-retention buckets is deleted (the tail of expired
+                # chunks lingers until its whole span ages out; a
+                # compaction pass can trim it eagerly)
+                span_days = -(-self.chunk_size * TIERS[tier][1] // 86_400)
+                c_cutoff = cutoff - dt.timedelta(days=span_days)
+                dropped = self.store.drop_partitions_before(
+                    f"chunks_{tier}", c_cutoff
+                )
+                metrics[f"chunks_{tier}"] = len(dropped)
                 rows.append(
-                    (run_id, tbl, ",".join(dropped), None, 0, len(dropped), seq)
+                    (run_id, f"chunks_{tier}", ",".join(dropped), None, 0,
+                     len(dropped), seq)
                 )
         if rows:
             self.store.log_checkpoint(rows)

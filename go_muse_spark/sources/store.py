@@ -184,7 +184,10 @@ class ParquetTableStore:
             except ValueError:
                 continue
             if day < cutoff:
-                shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+                try:
+                    shutil.rmtree(os.path.join(p, d))
+                except OSError:
+                    continue  # never report a drop that didn't happen
                 dropped.append(d)
         return dropped
 

@@ -205,3 +205,39 @@ def test_apply_retention_expires_fine_tiers(spark, corpus, tmp_path):
     ck = store.checkpoints().toPandas()
     ret = ck[ck["run_id"] == "ret-1"]
     assert set(ret["table"]) == {tier_table(t) for t in ("1m", "1h")}
+
+
+def test_retention_never_drops_in_window_chunk_buckets(spark, corpus, tmp_path):
+    """Chunk partitions are keyed by chunk START date but span chunk_size
+    buckets: retention must shift the chunk cutoff back by that span so
+    in-retention buckets stay decodable."""
+    import datetime as dt
+
+    from go_muse_spark.operators.compress import decode_chunks
+
+    store = ParquetTableStore(spark, str(tmp_path / "store"))
+    ca = ContinuousAggregates(store, chunk_tiers=("1h",), chunk_size=24)
+    ca.ingest(corpus, "run-1")
+    hi = corpus.agg(F.max("ts")).collect()[0][0]
+    keep_days = 2
+    ca.apply_retention(
+        "ret-1", hi, ttl_days={"1m": None, "1h": keep_days, "1d": None}
+    )
+    cutoff = hi.date() - dt.timedelta(days=keep_days)
+    kept_rollup = {
+        (r["conv_id"], r["bucket_ts"])
+        for r in store.read(tier_table("1h"))
+        .filter(F.to_date("bucket_ts") >= F.lit(cutoff))
+        .select("conv_id", "bucket_ts")
+        .collect()
+    }
+    kept_chunks = {
+        (r["conv_id"], r["bucket_ts"])
+        for r in decode_chunks(store.read("chunks_1h"), "turn_cnt")
+        .filter(
+            (F.to_date("bucket_ts") >= F.lit(cutoff)) & (F.col("turn_cnt") > 0)
+        )
+        .select("conv_id", "bucket_ts")
+        .collect()
+    }
+    assert kept_rollup <= kept_chunks  # no in-window bucket lost

@@ -102,3 +102,19 @@ def test_asof_matches_pandas_merge_asof(spark):
     a = got["rv_r"].fillna(-999).to_numpy()
     b = want["rv"].fillna(-999).to_numpy()
     assert (a == b).all()
+
+
+def test_asof_null_payload_row_is_still_the_match(spark):
+    """A right row with a NULL payload IS the latest match (DuckDB ASOF
+    semantics): the join must not stitch an older value onto a newer
+    timestamp."""
+    left = spark.createDataFrame(
+        [("a", _ts(12), 1)], "k string, ts timestamp, lv long"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(5), 5.0), ("a", _ts(10), None)],
+        "k string, ts timestamp, rv double",
+    )
+    row = asof_join(left, right, on=["k"]).collect()[0]
+    assert row["ts_r"] == _ts(10)
+    assert row["rv_r"] is None  # the ts-10 row's value, not ts-5's 5.0
