@@ -60,6 +60,7 @@ from go_muse_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dups,
 )
+from go_muse_spark.functions import fakepx as PX
 from go_muse_spark.functions import text as X
 from go_muse_spark.labels import label_id_map
 from go_muse_spark.session import ship_package
@@ -288,7 +289,8 @@ def q_multimodal_features(spark, sf_dir):
     Spark plumbing (schema, batch shape, UDF signature) is the real path.
     Output is exploded to (media_id, feature_idx, value) rows so the
     driver's order-insensitive hash has scalar columns to canonicalize.
-    Not SQL-expressible (splitmix64 pixels inside the stub) -> rows-only."""
+    The stub pixels are mod-P LCG arithmetic (functions/fakepx.py), so
+    the DuckDB oracle replays decode + channel/quadrant means exactly."""
     feats = decode_image_features(_docs_as_media(spark, sf_dir), 7, fake=True)
     return feats.select(
         "media_id", F.posexplode("features").alias("feature_idx", "value")
@@ -312,8 +314,8 @@ def q_multimodal_frame_plan(spark, sf_dir):
 def q_multimodal_frame_features(spark, sf_dir):
     """Video pipeline tail: sampling plan JOIN payloads -> fused
     decode+resize+feature-extract per frame (stub decode seeded by
-    (content, frame_idx)). Exploded scalar rows; rows-only (counter-hash
-    pixels are not SQL)."""
+    (content, frame_idx)). Exploded scalar rows; the mod-P stub pixels
+    are replayed by the DuckDB oracle at the 8x8 target resolution."""
     feats = extract_frame_features(
         _docs_as_media(spark, sf_dir), every_ms=1000, n_features=7, fake=True
     )
@@ -1063,7 +1065,7 @@ WITH r AS (
   FROM events GROUP BY 1, 2
 )
 SELECT user_id, bucket_ts, turn_cnt,
-       sum(turn_cnt) OVER w AS sum_24h,
+       cast(sum(turn_cnt) OVER w AS bigint) AS sum_24h,
        cast(round(avg(turn_cnt) OVER w * 1e6) AS bigint) AS avg_24h_u,
        count(*) OVER w AS n_24h
 FROM r
@@ -1088,7 +1090,7 @@ SELECT user_id, bucket_ts,
                         ELSE raw_delta END) * 1e6) AS bigint) AS delta_u,
        cast(round((CASE WHEN raw_delta < 0 THEN value_sum
                         ELSE raw_delta END) / secs * 1e6) AS bigint) AS rate_u
-FROM d WHERE raw_delta IS NOT NULL
+FROM d WHERE secs IS NOT NULL
 """,
         "gapfill_ffill_1h": """
 WITH r AS (
@@ -1156,6 +1158,78 @@ FROM documents,
         greatest(cast(floor((doc_id % 7 + 1) * 1500 / 1000) AS bigint) - 1, 0)
      )) AS t(frame_idx)
 WHERE doc_id % 5 = 0
+""",
+        # replay of the stub decode (functions/fakepx.py mod-P LCG) +
+        # the batched channel/quadrant mean reduction, bit-for-bit: the
+        # seed is the Horner fold of the first 8 payload bytes (= ASCII
+        # text chars), pixel p of an (h, w, 3) image is the two-round
+        # LCG of (seed, p) mod 256, features 0-2 are channel means and
+        # 3-6 quadrant means, all divided by 255 in the same IEEE order
+        # numpy uses (sum/count, /255.0, *1e6, round)
+        "multimodal_features": f"""
+WITH m AS (
+  SELECT cast(doc_id AS varchar) AS media_id,
+         {PX.sql_seed('text')} AS seed,
+         8 + doc_id % 9 AS w,
+         8 + doc_id % 5 AS h
+  FROM documents
+), px AS (
+  SELECT media_id, w, h,
+         p % 3 AS chan,
+         p // (w * 3) AS r,
+         (p // 3) % w AS c,
+         {PX.sql_pixel('seed', 'p')} AS v
+  FROM m, unnest(generate_series(0, h * w * 3 - 1)) AS t(p)
+), f AS (
+  SELECT media_id, cast(chan AS bigint) AS feature_idx,
+         (cast(sum(v) AS double) / count(*)) / 255.0 AS value
+  FROM px GROUP BY 1, 2
+  UNION ALL
+  SELECT media_id,
+         cast(3 + (CASE WHEN r < h // 2 THEN 0 ELSE 2 END)
+                + (CASE WHEN c < w // 2 THEN 0 ELSE 1 END) AS bigint),
+         (cast(sum(v) AS double) / count(*)) / 255.0
+  FROM px GROUP BY 1, 2
+)
+SELECT media_id, feature_idx,
+       cast(round(value * 1000000.0, 0) AS bigint) AS value_u
+FROM f
+""",
+        # frame twin: per-frame seed = LCG(content seed, frame_idx),
+        # decoded at the fused 8x8 target resolution (h = w = 8)
+        "multimodal_frame_features": f"""
+WITH m AS (
+  SELECT cast(doc_id AS varchar) AS media_id,
+         {PX.sql_seed('text')} AS seed,
+         (doc_id % 7 + 1) * 1500 AS duration_ms
+  FROM documents WHERE doc_id % 5 = 0
+), fr AS (
+  SELECT media_id, frame_idx,
+         {PX.sql_frame_seed('seed', 'frame_idx')} AS fseed
+  FROM m, unnest(generate_series(0,
+        greatest(cast(floor(duration_ms / 1000) AS bigint) - 1, 0)
+     )) AS t(frame_idx)
+), px AS (
+  SELECT media_id, frame_idx,
+         p % 3 AS chan,
+         p // 24 AS r,
+         (p // 3) % 8 AS c,
+         {PX.sql_pixel('fseed', 'p')} AS v
+  FROM fr, unnest(generate_series(0, 191)) AS t(p)
+), f AS (
+  SELECT media_id, frame_idx, cast(chan AS bigint) AS feature_idx,
+         (cast(sum(v) AS double) / count(*)) / 255.0 AS value
+  FROM px GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT media_id, frame_idx,
+         cast(3 + (CASE WHEN r < 4 THEN 0 ELSE 2 END)
+                + (CASE WHEN c < 4 THEN 0 ELSE 1 END) AS bigint),
+         (cast(sum(v) AS double) / count(*)) / 255.0
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT media_id, frame_idx, feature_idx,
+       cast(round(value * 1000000.0, 0) AS bigint) AS value_u
+FROM f
 """,
         "embedding_near_dups": f"""
 WITH b AS MATERIALIZED (
@@ -1228,7 +1302,7 @@ FROM clicks c ASOF LEFT JOIN views v
         "json_props_rollup": """
 SELECT event_type,
        count(*) AS n_events,
-       sum(try_cast(json_extract_string(props, '$.k') AS bigint)) AS k_sum,
+       cast(sum(try_cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS k_sum,
        min(try_cast(json_extract_string(props, '$.k') AS bigint)) AS k_min,
        max(try_cast(json_extract_string(props, '$.k') AS bigint)) AS k_max
 FROM events GROUP BY 1

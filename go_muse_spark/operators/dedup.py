@@ -58,13 +58,28 @@ def exact_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Raise tiny-input parallelism before a CPU-heavy derivation.
+
+    A small parquet file arrives as ONE scan split, so the shingle-hash
+    expressions would run on one core of the whole session (measured:
+    the entire minhash pipeline serialized behind a 1-task stage at
+    bench scale). Repartitioning 5k text rows costs ~nothing; at
+    production scale the scan already yields >= defaultParallelism
+    splits and this is a guarded no-op (no shuffle added)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, th: array<bigint>) — the shared heavy pass: distinct word
     n-gram shingles, polynomial-hashed. Signature computation, LSH
     banding, AND exact-Jaccard verification all derive from this one
     column (the expression builders repeat their source textually, which
     would otherwise recompute the hashing per consumer)."""
-    return docs.select(
+    return _widen(docs).select(
         "doc_id", F.expr(X.shingle_hashes("spark", n)).alias("th")
     )
 
@@ -208,7 +223,7 @@ def ngram_jaccard_pairs(
     the LSH paths; it does not survive a hot block at 10^12-doc scale.
     """
     sh = _materialize(
-        docs.select(
+        _widen(docs).select(
             "doc_id",
             F.col(block_col).alias("blk"),
             F.expr(X.shingle_hashes("spark", n)).alias("sh"),

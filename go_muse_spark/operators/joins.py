@@ -69,6 +69,19 @@ def asof_join(
     ltypes = {f.name: f.dataType for f in left.schema.fields}
     lcols = list(left.columns)
 
+    # fail loudly instead of emitting duplicate/shadowed columns: the
+    # output adds {value}{suffix} + {ts_col}{suffix} next to every left
+    # column, and three internal names ride through the union
+    reserved = {"__r", "__is_left", "__m"}
+    out_names = {f"{c}{suffix}" for c in value_cols} | {f"{ts_col}{suffix}"}
+    clash = (reserved | out_names) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join: left column(s) {sorted(clash)} collide with "
+            f"output suffix {suffix!r} or reserved internal names — "
+            "rename them or pass a different suffix"
+        )
+
     # the matched right row travels as ONE struct (its ts + every value
     # column), so the carried values and the carried timestamp always
     # come from the SAME row — per-column ignorenulls would skip a right

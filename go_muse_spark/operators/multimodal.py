@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from go_muse_spark.functions import fakepx as PX
+
 __all__ = [
     "MEDIA_SCHEMA",
     "with_content_hash",
@@ -42,41 +44,21 @@ def with_content_hash(media: DataFrame) -> DataFrame:
     return media.withColumn("content_hash", F.sha2(F.col("payload"), 256))
 
 
-_U64 = np.uint64
-_GOLD = _U64(0x9E3779B97F4A7C15)
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Counter-based splitmix64 finalizer over uint64 arrays (mod 2^64)."""
-    z = x + _GOLD
-    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
-    return z ^ (z >> _U64(31))
-
-
 def _fake_decode_batch(
     seeds: np.ndarray, width: int, height: int
 ) -> np.ndarray:
     """Deterministic stand-in decode for a batch of same-shape images:
-    (m,) uint64 content seeds -> (m, H, W, 3) uint8 pixels, one vectorized
-    counter-based hash over the whole batch (no per-item RNG loop)."""
-    n_pix = height * width * 3
-    ctr = np.arange(n_pix, dtype=_U64)[None, :]
-    px = _splitmix64(seeds[:, None] * _GOLD + ctr) & _U64(0xFF)
-    return px.astype(np.uint8).reshape(-1, height, width, 3)
-
+    (m,) int64 content seeds -> (m, H, W, 3) uint8 pixels, one vectorized
+    counter-based mod-P LCG over the whole batch (no per-item RNG loop).
+    The arithmetic lives in functions/fakepx.py because the DuckDB
+    oracle replays it bit-for-bit in SQL — that is what makes the
+    feature queries value-checkable rather than rows-only."""
+    return PX.np_pixels(seeds, width, height)
 
 
 def _payload_seeds(payloads, m: int) -> np.ndarray:
-    """(m,) uint64 content seeds: first 8 payload bytes, little-endian."""
-    return np.fromiter(
-        (
-            int.from_bytes(bytes(p)[:8].ljust(8, b"\0"), "little")
-            for p in payloads
-        ),
-        dtype=_U64,
-        count=m,
-    )
+    """(m,) int64 content seeds: first 8 payload bytes, Horner mod P."""
+    return PX.np_seeds(payloads, m)
 
 
 _N_STUB_FEATURES = 7  # 3 channel means + 4 quadrant means
@@ -221,8 +203,8 @@ def extract_frame_features(
                 )
             m = len(pdf)
             seeds = _payload_seeds(pdf["payload"], m)
-            fidx = pdf["frame_idx"].to_numpy(dtype=np.int64).astype(_U64)
-            frame_seeds = _splitmix64(seeds + fidx * _GOLD)
+            fidx = pdf["frame_idx"].to_numpy(dtype=np.int64)
+            frame_seeds = PX.np_frame_seeds(seeds, fidx)
             # n_features caps at the 7 available stub features
             n_out = min(n_features, _N_STUB_FEATURES)
             feats = np.empty((m, n_out), dtype=np.float64)

@@ -139,6 +139,10 @@ def counter_rate(
         else raw_delta
     )
     secs = F.unix_timestamp(bucket_col) - F.unix_timestamp(prev_t)
+    # first-row detection uses lag of the BUCKET column (never NULL), not
+    # lag of the value: a predecessor bucket carrying a NULL value is
+    # still a predecessor row — its delta is NULL, but the row survives
+    # (matches the oracle's predecessor-existence filter).
     return (
         rolled.select(
             *by,
@@ -146,10 +150,10 @@ def counter_rate(
             F.col(value_col).alias("value"),
             delta.alias("delta"),
             (delta / secs).alias("rate_per_s"),
-            prev_v.alias("__pv"),
+            prev_t.alias("__pt"),
         )
-        .filter(F.col("__pv").isNotNull())
-        .drop("__pv")
+        .filter(F.col("__pt").isNotNull())
+        .drop("__pt")
     )
 
 

@@ -160,8 +160,16 @@ def ivf_assignments(
             f"(({X.dot_product('spark', 'embedding', c, dims)})"
             f" / (__selfn * sqrt({X.dot_product('spark', c, c, dims)})))"
         )
+        # zero-norm guard: a zero vector (row or centroid) makes the
+        # cosine 0/0 -> NULL, and a NULL field inside the argmax struct
+        # would silently drop the row from the index. coalesce to -2.0
+        # (below any real cosine) so every sim stays comparable; a
+        # zero-norm ROW then lands deterministically on the lowest cid
+        # (all sims equal -> max negcid wins), and a zero-norm CENTROID
+        # is never preferred over a real one.
         entries.append(
-            f"struct({sim} as sim, {-int(r['vec_id'])} as negcid)"
+            f"struct(coalesce({sim}, cast(-2.0 as double)) as sim,"
+            f" {-int(r['vec_id'])} as negcid)"
         )
     best = f"array_max(array({', '.join(entries)}))"
     return pre.select(

@@ -192,9 +192,12 @@ class ContinuousAggregates:
                 tier_table(tier), cutoff
             )
             metrics[tier_table(tier)] = len(dropped)
-            rows.append(
-                (run_id, tier_table(tier), ",".join(dropped), None, 0,
-                 len(dropped), seq)
+            # one checkpoint row per (run_id, table, partition) dropped —
+            # the same shape every other log row uses; a run that drops
+            # nothing logs nothing (so is_committed stays false for it)
+            rows.extend(
+                (run_id, tier_table(tier), p, None, 0, 1, seq)
+                for p in dropped
             )
             if tier in self.chunk_tiers:
                 # chunk partitions are keyed by chunk START date, but a
@@ -209,9 +212,9 @@ class ContinuousAggregates:
                     f"chunks_{tier}", c_cutoff
                 )
                 metrics[f"chunks_{tier}"] = len(dropped)
-                rows.append(
-                    (run_id, f"chunks_{tier}", ",".join(dropped), None, 0,
-                     len(dropped), seq)
+                rows.extend(
+                    (run_id, f"chunks_{tier}", p, None, 0, 1, seq)
+                    for p in dropped
                 )
         if rows:
             self.store.log_checkpoint(rows)

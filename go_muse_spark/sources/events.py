@@ -23,7 +23,7 @@ def events_as_transcripts(events: DataFrame) -> DataFrame:
     """Rename into the transcript contract; keeps `value` for sum rollups."""
     return events.select(
         F.col("user_id").cast("string").alias("conv_id"),
-        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_id").cast("long").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
         F.lit("").alias("tool"),

@@ -133,10 +133,13 @@ class ParquetTableStore:
         # staging dir (so the lazy read of the current table never races
         # its own overwrite — no localCheckpoint materializing affected
         # partitions through executor storage), then each staged
-        # partition directory replaces its live twin. This is the same
-        # O(affected partitions) metadata swap an Iceberg MERGE commit
-        # performs natively with snapshot manifests; the row count comes
-        # from staged parquet footers, not a recompute.
+        # partition directory replaces its live twin via a two-phase
+        # rename (live -> _old_, staged -> live). Not a single atomic
+        # snapshot like a real Iceberg MERGE commit — a crash mid-swap
+        # can leave some partitions new and some old — but it is
+        # crash-RECOVERABLE: no point of failure loses data (see the
+        # swap-loop comment below). The row count comes from staged
+        # parquet footers, not a recompute.
         import shutil
         import uuid
 
@@ -149,16 +152,38 @@ class ParquetTableStore:
                 if d.startswith(f"{partition_name}=")
             ]
             if not staged:  # empty delta -> no-op merge (0 rows, no swap)
+                shutil.rmtree(stage, ignore_errors=True)
                 return 0
             n = self.spark.read.parquet(stage).count()
             dest = self.path(table)
             os.makedirs(dest, exist_ok=True)
+            # Two-phase swap so a crash at ANY point leaves every
+            # partition with at least one complete copy: each live
+            # partition dir is first renamed aside to a Spark-invisible
+            # "_old_" twin (leading underscore => ignored by partition
+            # discovery), then the staged dir is renamed in. The _old_
+            # copies are deleted only after EVERY swap succeeded; on a
+            # mid-loop failure the except path keeps both the staging
+            # dir and the _old_ copies on disk for recovery instead of
+            # rolling them into the finally-cleanup (the round-2 bug:
+            # rmtree(live)+failed rename lost the partition outright).
+            olds = []
             for d in staged:
                 tgt = os.path.join(dest, d)
-                shutil.rmtree(tgt, ignore_errors=True)
+                old = os.path.join(dest, "_old_" + d)
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(tgt):
+                    os.rename(tgt, old)
+                    olds.append(old)
                 os.rename(os.path.join(stage, d), tgt)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+            for old in olds:
+                shutil.rmtree(old, ignore_errors=True)
+        except BaseException:
+            # deliberate: do NOT clean the stage or _old_ dirs — they
+            # are the recovery copies. Underscore prefixes keep both
+            # invisible to every reader.
+            raise
+        shutil.rmtree(stage, ignore_errors=True)
         return n
 
     def drop_partitions_before(self, table: str, cutoff) -> list[str]:

@@ -51,7 +51,10 @@ def stream_ingest(
 
 
 def streaming_dense_1m(
-    stream: DataFrame, tier_secs: int = 60, max_gap_buckets: int = 100_000
+    stream: DataFrame,
+    tier_secs: int = 60,
+    max_gap_buckets: int = 100_000,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator: low-latency DENSE 1m turn-rate emission.
 

@@ -204,7 +204,12 @@ def test_apply_retention_expires_fine_tiers(spark, corpus, tmp_path):
     assert parts(tier_table("1d")) == before_1d  # kept forever
     ck = store.checkpoints().toPandas()
     ret = ck[ck["run_id"] == "ret-1"]
-    assert set(ret["table"]) == {tier_table(t) for t in ("1m", "1h")}
+    # one checkpoint row per (table, dropped partition); tiers that
+    # dropped nothing (1h here) log nothing
+    assert set(ret["table"]) == {tier_table("1m")}
+    assert sorted(ret["part"]) == sorted(
+        f"part={p}" for p in before_1m if p < cutoff
+    )
 
 
 def test_retention_never_drops_in_window_chunk_buckets(spark, corpus, tmp_path):
