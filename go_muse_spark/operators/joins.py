@@ -20,9 +20,11 @@ composition:
 
 Cost at any scale: one shuffle of |L| + |R| rows and a linear window —
 same exchange count as a plain equi-join, no quadratic blowup. A hot
-key serializes inside its partition like any keyed window; mitigate by
-time-bucketing the key upstream if a single entity's history exceeds a
-task (the same answer the rollup tiers give everywhere else).
+key serializes inside its partition like any keyed window; pass
+bucket_secs to switch to the skew-proof variant, which partitions on
+(key, time-bucket) and restores cross-bucket matches through a tiny
+forward-filled boundary spine — any single task is then bounded by one
+bucket of one key.
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_s: float | None = None,
     suffix: str = "_r",
+    bucket_secs: int | None = None,
 ) -> DataFrame:
     """Backward (most-recent-at-or-before) as-of join.
 
@@ -60,6 +63,11 @@ def asof_join(
     wins is unspecified — pre-aggregate the right side to one row per
     (key, ts) if that can occur (mirrors DuckDB ASOF JOIN, which has the
     same caveat).
+
+    bucket_secs: when set, use the skew-proof (key, time-bucket)
+    partitioning (see module docstring) — results are identical to the
+    plain path; choose a bucket a few times the median match gap so
+    most matches resolve in-bucket.
     """
     from pyspark.sql.types import StructField, StructType
 
@@ -72,7 +80,7 @@ def asof_join(
     # fail loudly instead of emitting duplicate/shadowed columns: the
     # output adds {value}{suffix} + {ts_col}{suffix} next to every left
     # column, and three internal names ride through the union
-    reserved = {"__r", "__is_left", "__m"}
+    reserved = {"__r", "__is_left", "__m", "__b", "__carry"}
     out_names = {f"{c}{suffix}" for c in value_cols} | {f"{ts_col}{suffix}"}
     clash = (reserved | out_names) & set(lcols)
     if clash:
@@ -114,18 +122,72 @@ def asof_join(
     )
     u = l2.unionByName(r2)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.select(
-        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
-    )
-    out = carried.filter(F.col("__is_left"))
+    if bucket_secs is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = u.select(
+            "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
+        )
+        out = carried.filter(F.col("__is_left"))
+    else:
+        # Skew-proof variant: a single hot key serializes the plain path
+        # inside one window task. Partitioning on (key, time-bucket)
+        # caps any task at one bucket of one key; the cross-bucket match
+        # is restored by a tiny per-(key, bucket) boundary spine whose
+        # carry is forward-filled along buckets — the same __carry
+        # pattern the windowed chunk encoder uses
+        # (operators/compress.py encode_chunks_windowed).
+        #   exchanges: the big union moves ONCE on (key, bucket); the
+        #   spine tables are O(#key x #active-buckets) rows (partial-agg
+        #   reduced map-side), orders of magnitude smaller than the data.
+        # via an intermediate timestamp cast: TIMESTAMP_NTZ inputs
+        # cannot cast straight to double (no-op for plain TIMESTAMP)
+        epoch = F.col(ts_col).cast("timestamp").cast("double")
+        ub = u.withColumn(
+            "__b", (epoch / F.lit(float(bucket_secs))).cast("long")
+        )
+        # last right row per (key, bucket): structs order by __ts first,
+        # so max() is the latest; equal-ts winner unspecified, same
+        # caveat as the plain path
+        bnd = (
+            ub.filter(~F.col("__is_left"))
+            .groupBy(*on, "__b")
+            .agg(F.max("__r").alias("__last"))
+        )
+        # spine over EVERY (key, bucket) either side touches, so a left
+        # bucket with no right rows still receives the carry
+        spine_keys = ub.select(*on, "__b").distinct()
+        w_prev = (
+            Window.partitionBy(*on)
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        spine = (
+            spine_keys.join(bnd, [*on, "__b"], "left")
+            .withColumn(
+                "__carry", F.last("__last", ignorenulls=True).over(w_prev)
+            )
+            .select(*on, "__b", "__carry")
+        )
+        w_in = (
+            Window.partitionBy(*on, "__b")
+            .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = ub.join(spine, [*on, "__b"], "left").select(
+            "*",
+            F.coalesce(
+                F.last("__r", ignorenulls=True).over(w_in), F.col("__carry")
+            ).alias("__m"),
+        )
+        out = carried.filter(F.col("__is_left"))
     if tolerance_s is not None:
         fresh = (
-            F.col(ts_col).cast("double") - F.col("__m.__ts").cast("double")
+            F.col(ts_col).cast("timestamp").cast("double")
+            - F.col("__m.__ts").cast("timestamp").cast("double")
         ) <= F.lit(float(tolerance_s))
         out = out.withColumn("__m", F.when(fresh, F.col("__m")))
     return out.select(

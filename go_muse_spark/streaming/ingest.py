@@ -75,8 +75,12 @@ def streaming_dense_1m(
     (filled=false) without regressing state; authoritative repair of
     closed buckets is the MERGE path's job (stream_ingest) — this
     operator is the engine's low-latency dense view, not its store.
-    State is one (long, long) pair per ACTIVE conversation, bounded by
-    processing-time timeout eviction at cluster scale if desired.
+    State is one (long, long) pair per conversation; with
+    idle_timeout_ms set, a conversation idle for that much PROCESSING
+    time is evicted (state bounded by recently-active convs, not total
+    conv cardinality — required at 10^12-turn scale where conv ids are
+    unbounded). An evicted conversation that revives is re-emitted from
+    its first new bucket exactly like a fresh conversation.
 
     max_gap_buckets guards the dense loop against corrupt far-future
     timestamps: a frontier jump wider than this emits the batch's
@@ -95,6 +99,14 @@ def streaming_dense_1m(
 
     def op(key, pdfs, state):
         conv_id = key[0]
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # eviction: the conversation went idle past the timeout —
+            # drop its (last_bucket, last_cnt) pair. If it revives, the
+            # no-state path below re-emits from its first new bucket
+            # (filled=false) with no dense bridge across the idle span;
+            # authoritative repair of that span is the MERGE path's job.
+            state.remove()
+            return
         counts: dict[int, int] = {}
         for pdf in pdfs:
             if not len(pdf):
@@ -133,6 +145,11 @@ def streaming_dense_1m(
                 out_f.append(b not in counts)
         if last is None or new_max > last:
             state.update((int(new_max), int(counts[new_max])))
+        if idle_timeout_ms is not None:
+            # re-arm on every batch that touches the key: the clock is
+            # PROCESSING time, so state size is bounded by (active convs
+            # in the last idle_timeout_ms), not total conv cardinality
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "conv_id": conv_id,
@@ -146,12 +163,17 @@ def streaming_dense_1m(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return stream.groupBy("conv_id").applyInPandasWithState(
         op,
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 

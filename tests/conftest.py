@@ -10,3 +10,9 @@ def spark():
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    """Driver-provided parquet fixtures (smallest scale factor)."""
+    return "/root/testdata/sf0.001"

@@ -214,16 +214,18 @@ def test_dedup_clusters_transitive(spark):
 
 
 def test_dedup_clusters_long_chain_converges(spark):
-    """A path graph (worst-case diameter) still converges to one label."""
+    """A path graph (worst-case diameter) must converge in O(log d)
+    rounds, not O(d): the pointer-jump step makes a 40-edge chain
+    resolve within 10 rounds (plain propagation would need 40)."""
     from go_muse_spark.operators.dedup import dedup_clusters
 
-    chain = [(i, i + 1) for i in range(12)]
+    chain = [(i, i + 1) for i in range(40)]
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
     got = {
         r["doc_id"]: r["canonical_id"]
-        for r in dedup_clusters(pairs).collect()
+        for r in dedup_clusters(pairs, max_iters=10).collect()
     }
-    assert set(got.values()) == {0} and len(got) == 13
+    assert set(got.values()) == {0} and len(got) == 41
 
 
 def test_dedup_clusters_matches_union_find(spark):
@@ -262,3 +264,85 @@ def test_dedup_clusters_matches_union_find(spark):
         comp.setdefault(find(n), []).append(n)
     want = {n: min(mem) for mem in comp.values() for n in mem}
     assert got == want
+
+
+# --------------------------------------------------------- ANN recall
+
+
+def _recall_at_k(spark, emb, query_ids, k, method):
+    """Mean recall@k of an ANN method vs the exact cosine_topk."""
+    from go_muse_spark.operators.similarity import cosine_topk
+
+    total = 0.0
+    for qid in query_ids:
+        exact = {r["vec_id"] for r in cosine_topk(emb, qid, k).collect()}
+        approx = {r["vec_id"] for r in method(emb, qid, k).collect()}
+        total += len(exact & approx) / k
+    return total / len(query_ids)
+
+
+def test_ann_recall_clustered_regime(spark):
+    """Recall@10 floor in the regime ANN indexes are built for: clustered
+    embeddings (real text/image embeddings concentrate on manifolds;
+    within-cluster neighbors dominate top-k). Vectors 0..7 land one per
+    cluster so the IVF deterministic-sample centroids cover every
+    cluster; multi-probe LSH and 2-probe IVF must both clear 0.8."""
+    import numpy as np
+
+    from go_muse_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dims = 8, 40, 64
+    centers = rng.normal(size=(n_clusters, dims)) * 3.0
+    rows = []
+    # vec 0..7: one seed vector per cluster (the IVF centroid sample),
+    # then the bulk round-robins the clusters
+    for i in range(n_clusters * per):
+        c = i % n_clusters
+        v = centers[c] + rng.normal(size=dims) * 0.45
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    queries = [16, 57, 123]
+    r_multi = _recall_at_k(
+        spark, emb, queries, 10,
+        lambda e, q, k: ann_lsh_topk(e, q, k, planes=8, multi_probe=True),
+    )
+    r_ivf = _recall_at_k(
+        spark, emb, queries, 10,
+        lambda e, q, k: ann_ivf_topk(e, q, k, n_centroids=8, n_probe=2),
+    )
+    assert r_multi >= 0.8, f"multi-probe LSH recall@10 {r_multi:.2f} < 0.8"
+    assert r_ivf >= 0.8, f"IVF n_probe=2 recall@10 {r_ivf:.2f} < 0.8"
+
+
+def test_ann_recall_isotropic_beats_scan_fraction(spark, sf_dir):
+    """On the driver's ISOTROPIC embeddings (top-10 neighbors at cosine
+    ~0.3 — no cluster structure) high recall at a small scan fraction is
+    information-theoretically off the table for any bucketed index; the
+    honest claim is that hyperplane LSH still beats scanning a random
+    subset of the same size: recall@10 must exceed the fraction of the
+    table the probes cover (multi-probe at planes=4 covers ~5/16)."""
+    from go_muse_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    queries = [0, 101, 313]
+    scanned = 0
+    for qid in queries:
+        scanned += (
+            ann_lsh_topk(emb, qid, n, planes=4, multi_probe=True).count()
+        )
+    scan_frac = scanned / (3 * (n - 1))
+    recall = _recall_at_k(
+        spark, emb, queries, 10,
+        lambda e, q, k: ann_lsh_topk(e, q, k, planes=4, multi_probe=True),
+    )
+    # LSH buckets correlate with cosine, so recall > random-subset rate
+    assert recall > scan_frac, (
+        f"recall@10 {recall:.2f} <= scan fraction {scan_frac:.2f} — "
+        "the index is no better than a random subset"
+    )

@@ -118,3 +118,79 @@ def test_asof_null_payload_row_is_still_the_match(spark):
     row = asof_join(left, right, on=["k"]).collect()[0]
     assert row["ts_r"] == _ts(10)
     assert row["rv_r"] is None  # the ts-10 row's value, not ts-5's 5.0
+
+
+def test_asof_column_collision_raises(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [("a", _ts(5), 1.0)], "k string, ts timestamp, rv_r double"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 2.0)], "k string, ts timestamp, rv double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"])
+
+
+def test_asof_bucketed_parity_randomized(spark):
+    """The skew-proof (key, time-bucket) variant must return exactly the
+    plain path's rows for every bucket width — including widths far
+    smaller than the match gaps, where most matches resolve through the
+    carried boundary spine rather than in-bucket."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    keys = ["a", "b", "c"]
+    left = spark.createDataFrame(
+        [
+            (keys[int(k)], _ts(int(s)), i)
+            for i, (k, s) in enumerate(
+                zip(rng.integers(0, 3, 120), rng.integers(0, 500, 120))
+            )
+        ],
+        "k string, ts timestamp, lv long",
+    )
+    right = spark.createDataFrame(
+        [
+            (keys[int(k)], _ts(int(s)), float(i))
+            for i, (k, s) in enumerate(
+                zip(rng.integers(0, 3, 60), rng.integers(0, 500, 60))
+            )
+        ],
+        "k string, ts timestamp, rv double",
+    )
+    # dedupe right to one row per (key, ts): equal-ts winner is
+    # unspecified in BOTH paths, so parity needs a deterministic right
+    right = right.groupBy("k", "ts").agg(F.max("rv").alias("rv"))
+
+    def rows(df):
+        return sorted(
+            (r["lv"], r["rv_r"], r["ts_r"]) for r in df.collect()
+        )
+
+    plain = rows(asof_join(left, right, on=["k"]))
+    for bucket in (7, 60, 10_000):
+        got = rows(asof_join(left, right, on=["k"], bucket_secs=bucket))
+        assert got == plain, f"bucket_secs={bucket} diverges"
+    # tolerance composes with the bucketed path too
+    tol_plain = rows(asof_join(left, right, on=["k"], tolerance_s=30))
+    tol_b = rows(
+        asof_join(left, right, on=["k"], tolerance_s=30, bucket_secs=7)
+    )
+    assert tol_b == tol_plain
+
+
+def test_asof_bucketed_no_cartesian_plan(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(5), 1)], "k string, ts timestamp, lv long"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 2.0)], "k string, ts timestamp, rv double"
+    )
+    plan = (
+        asof_join(left, right, on=["k"], bucket_secs=60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

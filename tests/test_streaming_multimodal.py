@@ -229,6 +229,89 @@ def test_streaming_dense_forward_jump_guard(spark, tmp_path):
     assert all(not r["filled"] for r in rows)
 
 
+def test_streaming_dense_idle_state_eviction(spark, tmp_path):
+    """With idle_timeout_ms, a conversation idle past the (processing
+    time) timeout is evicted from state; when it revives it re-emits
+    from its first NEW bucket like a fresh conversation — no dense
+    zero-bridge across the idle span. This is what bounds state to
+    recently-active convs instead of total conv cardinality."""
+    import datetime as dt
+    import time
+
+    import pandas as pd
+
+    from go_muse_spark.streaming.ingest import streaming_dense_1m
+
+    src = tmp_path / "turns3"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 30)
+    schema = (
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def turns(conv, minutes):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": range(len(minutes)),
+                    "role": "user",
+                    "text": "x",
+                    "tool": "",
+                    "ts": [t0 + dt.timedelta(minutes=m) for m in minutes],
+                }
+            ),
+            schema,
+        )
+
+    turns("c1", [0]).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        streaming_dense_1m(stream, idle_timeout_ms=1_000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dense_evict")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+
+    # NOTE: once a processing-time timeout is armed the engine keeps
+    # scheduling timeout-check batches, so processAllAvailable() never
+    # observes a quiescent stream — poll the sink with a deadline
+    def wait_for(pred, what, deadline_s=90):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            rows = spark.sql("select * from dense_evict").collect()
+            if pred(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    try:
+        wait_for(lambda rs: len(rs) == 1, "minute-0 row")
+        # idle past the timeout: a timeout-check batch evicts c1's state
+        time.sleep(3.0)
+        # c1 revives at minute 5: with state evicted there must be NO
+        # zero-filled bridge rows for minutes 1-4
+        turns("c1", [5]).write.parquet(str(src / "f2"))
+        rows = wait_for(
+            lambda rs: any(r["bucket_ts"].minute == 5 for r in rs),
+            "revival row",
+        )
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["conv_id"], r["bucket_ts"].minute, r["turn_cnt"], r["filled"])
+        for r in rows
+    )
+    assert got == [
+        ("c1", 0, 1, False),
+        ("c1", 5, 1, False),
+    ]
+
+
 def test_extract_frame_features(spark, media):
     """Plan JOIN payloads -> per-frame fused decode+resize+features:
     one row per sampled frame, deterministic per (content, frame_idx),
