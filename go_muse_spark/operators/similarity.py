@@ -267,6 +267,16 @@ def embedding_near_dups(
     differ by a single hyperplane still meet. Each qualifying pair meets
     on exactly one probe (its bucket XOR is 0 or one bit), so no dedup
     pass is needed; fan-out is a linear (planes+1)x on one narrow side.
+
+    Recall/cost: a cosine-theta pair collides on one plane with
+    p = 1 - theta/pi, so a same-bucket hit is p^planes and the
+    hamming-<=1 probe set catches p^planes * (1 + planes*(1-p)/p).
+    Near-dups at cosine 0.9 (p ~ 0.857): planes=8 -> 0.29 same-bucket,
+    0.68 with multi-probe; the derived planes=log2(N/target) trades
+    exactly this recall against the bounded ~target^2/2 per-bucket
+    pairing cost, so at higher N (more planes) multi_probe=True is the
+    recommended default. Measured floors live in
+    tests/test_dedup_similarity.py (ANN recall section).
     """
     if planes is None:
         planes = derive_planes(emb.count(), target_bucket_size)
