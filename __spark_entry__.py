@@ -444,6 +444,33 @@ def q_asof_click_view(spark, sf_dir):
     )
 
 
+def q_asof_click_view_bucketed(spark, sf_dir):
+    """The skew-proof as-of variant: (uid, time-bucket) partitioning
+    with a forward-filled boundary spine (operators/joins.py), so one
+    hot uid's history never serializes in a single task. Same semantics
+    as asof_click_view — and the same DuckDB native ASOF JOIN oracle,
+    which is exactly the parity claim (bucket width deliberately far
+    smaller than the event span so most matches cross buckets and the
+    carry path is what the oracle checks)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").cast("string").alias("uid"), "ts",
+        F.round("value", 6).alias("click_value"),
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").cast("string").alias("uid"), "ts")
+        .agg(F.round(F.max("value"), 6).alias("view_value"))
+    )
+    joined = asof_join(clicks, views, on=["uid"], ts_col="ts",
+                       value_cols=["view_value"], bucket_secs=6 * 3600)
+    return joined.select(
+        "event_id", "uid", "ts", "click_value",
+        F.col("view_value_r").alias("view_value"),
+        F.col("ts_r").alias("view_ts"),
+    )
+
+
 def q_json_props_rollup(spark, sf_dir):
     """JSON scalar functions over the turn payload (SURVEY §2b scalar
     date/array/map/json row): extract props.k per event, aggregate per
@@ -991,6 +1018,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_label_values": q_filter_label_values,
         "json_props_rollup": q_json_props_rollup,
         "asof_click_view": q_asof_click_view,
+        "asof_click_view_bucketed": q_asof_click_view_bucketed,
         "topk_abs_score": q_topk_abs_score,
         "results_filter": q_results_filter,
         "results_mean_abs": q_results_mean_abs,
@@ -1285,6 +1313,23 @@ SELECT event_id, ts, cast(user_id AS varchar) AS user_id, event_type, value
 FROM events WHERE event_type = 'click' AND user_id % 10 = 3
 """,
         "asof_click_view": """
+WITH clicks AS (
+  SELECT event_id, cast(user_id AS varchar) AS uid, ts,
+         round(value, 6) AS click_value
+  FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT cast(user_id AS varchar) AS uid, ts,
+         round(max(value), 6) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.uid, c.ts, c.click_value,
+       v.view_value AS view_value, v.ts AS view_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.uid = v.uid AND c.ts >= v.ts
+""",
+        # identical oracle on purpose: the bucketed engine path must
+        # reproduce the plain as-of semantics exactly
+        "asof_click_view_bucketed": """
 WITH clicks AS (
   SELECT event_id, cast(user_id AS varchar) AS uid, ts,
          round(value, 6) AS click_value

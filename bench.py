@@ -54,8 +54,10 @@ BENCH_QUERIES = [
     "muse_grouped_1h",
     "muse_over_chunks_1h",
     "asof_click_view",
+    "asof_click_view_bucketed",
     "counter_rate_1h",
     "moving_avg_24h",
+    "multimodal_features",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed
     # cost (9s / 38s), which would drown the signal this list exists for
@@ -183,17 +185,22 @@ def main() -> None:
             muse_wall = min(muse_wall, time.time() - t0)
 
     # ---------------- per-query timings on the driver fixtures
-    # best-of-2 per query: the second run amortizes Python-worker spawn
-    # and JIT noise, which dominate at local bench scale
+    # INTERLEAVED min-of-3: the whole list runs three times and each
+    # query keeps its min — a multi-second co-tenant noise burst (this
+    # host's documented failure mode; round-2 recorded rollup_1m at
+    # 7.4s vs 0.7s actual) then pollutes one round of many queries
+    # instead of every attempt of one query, so round-over-round
+    # comparisons track the code, not the hypervisor
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in [] if skip_queries else BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(0 if skip_queries else 3):
+        for name in BENCH_QUERIES:
             t0 = time.time()
             noop_write(qmap[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            wall = time.time() - t0
+            timings[name] = round(
+                min(timings.get(name, float("inf")), wall), 3
+            )
 
     out = {
         "metric": "pipeline_wall_sec",

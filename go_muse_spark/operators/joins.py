@@ -44,6 +44,7 @@ def asof_join(
     tolerance_s: float | None = None,
     suffix: str = "_r",
     bucket_secs: int | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Backward (most-recent-at-or-before) as-of join.
 
@@ -67,7 +68,13 @@ def asof_join(
     bucket_secs: when set, use the skew-proof (key, time-bucket)
     partitioning (see module docstring) — results are identical to the
     plain path; choose a bucket a few times the median match gap so
-    most matches resolve in-bucket.
+    most matches resolve in-bucket. The bucketed plan consumes the
+    unioned input THREE times (boundary agg, spine keys, main join) —
+    the shuffled bytes still move once, but a lazy upstream pipeline is
+    re-EXECUTED per consumer (Catalyst has no cross-consumer subtree
+    reuse); pass materialize_input=True to compute the union once when
+    the inputs are expensive pipelines rather than table scans (same
+    trade as encode_chunks_windowed's flag).
     """
     from pyspark.sql.types import StructField, StructType
 
@@ -88,6 +95,13 @@ def asof_join(
             f"asof_join: left column(s) {sorted(clash)} collide with "
             f"output suffix {suffix!r} or reserved internal names — "
             "rename them or pass a different suffix"
+        )
+    clash_r = (reserved | {"__ts"}) & set(value_cols)
+    if clash_r:
+        raise ValueError(
+            f"asof_join: right value column(s) {sorted(clash_r)} collide "
+            "with reserved internal names (the match struct carries its "
+            "timestamp as __ts) — rename them"
         )
 
     # the matched right row travels as ONE struct (its ts + every value
@@ -149,13 +163,16 @@ def asof_join(
         ub = u.withColumn(
             "__b", (epoch / F.lit(float(bucket_secs))).cast("long")
         )
-        # last right row per (key, bucket): structs order by __ts first,
-        # so max() is the latest; equal-ts winner unspecified, same
-        # caveat as the plain path
+        if materialize_input:
+            ub = ub.localCheckpoint(eager=True)
+        # last right row per (key, bucket), picked by max_by on the
+        # timestamp alone — ordering the whole struct would require
+        # every payload column to be orderable (maps are not);
+        # equal-ts winner unspecified, same caveat as the plain path
         bnd = (
             ub.filter(~F.col("__is_left"))
             .groupBy(*on, "__b")
-            .agg(F.max("__r").alias("__last"))
+            .agg(F.expr("max_by(__r, __r.__ts)").alias("__last"))
         )
         # spine over EVERY (key, bucket) either side touches, so a left
         # bucket with no right rows still receives the carry

@@ -68,6 +68,45 @@ class ParquetTableStore:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    def _recover(self, table: str) -> None:
+        """Converge the table back to a committed state after a crashed
+        two-phase swap (single-writer store, like any MERGE target):
+
+        * backup ``part=X`` with NO live ``part=X`` — the crash hit
+          between the two renames; the backup is the only surviving
+          copy, so roll it back to live. (The staged twin may also
+          survive in an orphaned staging dir, but which staging dir
+          matches is not recorded — rolling BACK is the conservative
+          choice; the failed delta re-merges on redelivery.)
+        * backup ``part=X`` WITH a live ``part=X`` — the swap committed
+          and only the post-commit cleanup was lost; drop the backup.
+        * orphaned ``_stage_{table}_*`` dirs — swept.
+
+        Runs at the top of every upsert so routine operation repairs the
+        crash window instead of silently merging against a table with a
+        missing partition (and then deleting its only copy).
+        """
+        import shutil
+
+        p = self.path(table)
+        backup = os.path.join(self.root, f"_backup_{table}")
+        if os.path.isdir(backup):
+            for d in os.listdir(backup):
+                live = os.path.join(p, d)
+                old = os.path.join(backup, d)
+                if os.path.isdir(live):
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.makedirs(p, exist_ok=True)
+                    os.rename(old, live)
+            shutil.rmtree(backup, ignore_errors=True)
+        if os.path.isdir(self.root):
+            for d in os.listdir(self.root):
+                if d.startswith(f"_stage_{table}_"):
+                    shutil.rmtree(
+                        os.path.join(self.root, d), ignore_errors=True
+                    )
+
     def dup_key_count(self, delta: DataFrame, keys: list[str]) -> int:
         """Number of extra rows sharing a key within one delta (one small
         partial-agg shuffle on the delta only, never the table)."""
@@ -106,6 +145,7 @@ class ParquetTableStore:
         """
         if on_dup not in ("replace", "error"):
             raise ValueError(f"unknown on_dup mode {on_dup!r}")
+        self._recover(table)
         if on_dup == "error":
             dups = self.dup_key_count(delta, keys)
             if dups:
@@ -159,18 +199,22 @@ class ParquetTableStore:
             os.makedirs(dest, exist_ok=True)
             # Two-phase swap so a crash at ANY point leaves every
             # partition with at least one complete copy: each live
-            # partition dir is first renamed aside to a Spark-invisible
-            # "_old_" twin (leading underscore => ignored by partition
-            # discovery), then the staged dir is renamed in. The _old_
-            # copies are deleted only after EVERY swap succeeded; on a
-            # mid-loop failure the except path keeps both the staging
-            # dir and the _old_ copies on disk for recovery instead of
-            # rolling them into the finally-cleanup (the round-2 bug:
-            # rmtree(live)+failed rename lost the partition outright).
+            # partition dir is first renamed aside into a SIBLING backup
+            # dir (outside the table path — an in-place "_old_part=..."
+            # name would be parsed by partition discovery as a new
+            # partition COLUMN and pollute reads), then the staged dir
+            # is renamed in. The backups are deleted only after EVERY
+            # swap succeeded; on a mid-loop failure the except path
+            # keeps both the staging dir and the backups on disk, and
+            # _recover() rolls them back on the next upsert (the
+            # round-2 bug: rmtree(live)+failed rename lost the
+            # partition outright).
+            backup = os.path.join(self.root, f"_backup_{table}")
+            os.makedirs(backup, exist_ok=True)
             olds = []
             for d in staged:
                 tgt = os.path.join(dest, d)
-                old = os.path.join(dest, "_old_" + d)
+                old = os.path.join(backup, d)
                 shutil.rmtree(old, ignore_errors=True)
                 if os.path.isdir(tgt):
                     os.rename(tgt, old)
@@ -179,11 +223,11 @@ class ParquetTableStore:
             for old in olds:
                 shutil.rmtree(old, ignore_errors=True)
         except BaseException:
-            # deliberate: do NOT clean the stage or _old_ dirs — they
-            # are the recovery copies. Underscore prefixes keep both
-            # invisible to every reader.
+            # deliberate: do NOT clean the stage or backup dirs — they
+            # are the recovery copies _recover() repairs from.
             raise
         shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
         return n
 
     def drop_partitions_before(self, table: str, cutoff) -> list[str]:

@@ -246,3 +246,66 @@ def test_retention_never_drops_in_window_chunk_buckets(spark, corpus, tmp_path):
         .collect()
     }
     assert kept_rollup <= kept_chunks  # no in-window bucket lost
+
+
+def test_upsert_recovers_interrupted_swap(spark, tmp_path):
+    """Crash simulation: a partition renamed aside to _old_ but whose
+    staged replacement never landed (the mid-swap crash window). The
+    next upsert must first roll the _old_ copy back so the merge sees —
+    and keeps — the pre-crash rows, instead of silently rebuilding the
+    partition from the new delta alone and deleting the only copy."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    store = ParquetTableStore(spark, str(tmp_path / "store"))
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c2"],
+                "turn_idx": [0, 0],
+                "ts": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02")],
+                "v": [1.0, 2.0],
+            }
+        )
+    )
+    keys = ["conv_id", "turn_idx"]
+    part = F.to_date("ts")
+    store.upsert(base, "t", keys, part)
+    assert store.read("t").count() == 2
+
+    # simulate the crash: one live partition renamed aside into the
+    # sibling backup dir, staged copy lost (the mid-swap window)
+    dest = store.path("t")
+    backup = os.path.join(store.root, "_backup_t")
+    os.makedirs(backup, exist_ok=True)
+    pdir = "part=2024-01-01"
+    os.rename(os.path.join(dest, pdir), os.path.join(backup, pdir))
+    assert store.read("t").count() == 1  # backup is reader-invisible
+
+    # delta targets the CRASHED partition's date — without recovery the
+    # merge would rebuild part=2024-01-01 from this row alone
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c3"],
+                "turn_idx": [0],
+                "ts": [pd.Timestamp("2024-01-01")],
+                "v": [3.0],
+            }
+        )
+    )
+    store.upsert(delta, "t", keys, part)
+    got = sorted(r["conv_id"] for r in store.read("t").collect())
+    assert got == ["c1", "c2", "c3"], (
+        "pre-crash rows lost: recovery must roll backup partitions back "
+        "before merging"
+    )
+    # recovery also cleaned the backup dir up
+    assert not os.path.isdir(backup)
+    # orphaned staging dirs from the crashed run are swept too
+    stale = os.path.join(store.root, "_stage_t_deadbeef")
+    os.makedirs(stale, exist_ok=True)
+    store.upsert(delta, "t", keys, part)
+    assert not os.path.isdir(stale)

@@ -333,3 +333,23 @@ def test_extract_frame_features(spark, media):
         ).collect()
     }
     assert again == by_frame  # deterministic
+
+
+def test_documents_fixture_is_ascii(sf_dir):
+    """The multimodal oracle reads seed bytes as DuckDB CHARACTER code
+    points while the engine folds raw UTF-8 BYTES — equivalent only for
+    ASCII text (documented in functions/fakepx.py). This canary turns a
+    silent oracle divergence after a fixture regeneration with
+    non-ASCII text into a named failure pointing at the cause."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE octet_length(encode(text)) != length(text)"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{n} non-ASCII document(s): the fakepx SQL seed (char code "
+        "points) no longer matches the engine seed (UTF-8 bytes) — "
+        "switch sql_seed to byte-accurate extraction or re-ASCII the "
+        "fixture"
+    )
