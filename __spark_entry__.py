@@ -532,6 +532,32 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_prep(spark, sf_dir):
+    """Composed training-data preparation pipeline — the shape a corpus
+    build actually runs: exact-dedup by content hash (keeper = min
+    doc_id), quality-filter (distinct-token ratio >= 0.5), then per-
+    source token budget aggregates. Composition of exact_dedup(by_hash)
+    + the quality expressions + a hash agg; the hash-keyed dedup keeps
+    the dedup exchange at digest width (the 100-TB shape). Aggregates
+    are integer sums, so the oracle hash is exact by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs, by_hash=True).select("keeper_id")
+    kept = docs.join(keep, docs["doc_id"] == keep["keeper_id"]).drop(
+        "keeper_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    staged = kept.select(
+        "source",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    ).filter(F.col("n_uniq") / F.col("n_toks") >= 0.5)
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_uniq").cast("long").alias("total_uniq_tokens"),
+    )
+
+
 def q_minhash_near_dups(spark, sf_dir):
     """MinHash(16) + LSH(4 bands) candidates, verified by exact token-set
     Jaccard >= 0.5. Oracle replays the identical arithmetic in DuckDB."""
@@ -1023,6 +1049,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "results_filter": q_results_filter,
         "results_mean_abs": q_results_mean_abs,
         "dedup_exact": q_dedup_exact,
+        "corpus_prep": q_corpus_prep,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1381,6 +1408,20 @@ FROM passed
         "dedup_exact": """
 SELECT text, count(*) AS n_dups, min(doc_id) AS keeper_id
 FROM documents GROUP BY text
+""",
+        "corpus_prep": """
+WITH keepers AS (
+  SELECT min(doc_id) AS keeper_id FROM documents GROUP BY sha256(text)
+), f AS (
+  SELECT d.source,
+         len(string_split(d.text, ' ')) AS n_toks,
+         len(list_distinct(string_split(d.text, ' '))) AS n_uniq
+  FROM documents d JOIN keepers k ON d.doc_id = k.keeper_id
+)
+SELECT source, count(*) AS n_docs,
+       cast(sum(n_toks) AS bigint) AS total_tokens,
+       cast(sum(n_uniq) AS bigint) AS total_uniq_tokens
+FROM f WHERE n_uniq * 1.0 / n_toks >= 0.5 GROUP BY source
 """,
         "token_stats": """
 SELECT doc_id,

@@ -51,8 +51,26 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def exact_dedup(docs: DataFrame, content_col: str = "text") -> DataFrame:
-    """One row per distinct content: keeper (min doc_id) + dup count."""
+def exact_dedup(
+    docs: DataFrame, content_col: str = "text", by_hash: bool = False
+) -> DataFrame:
+    """One row per distinct content: keeper (min doc_id) + dup count.
+
+    by_hash=True groups on sha2-256 of the content and returns
+    (content_hash, n_dups, keeper_id) WITHOUT the content column — the
+    shape that survives 100 TB: the exchange then moves a 64-char digest
+    per row instead of the full document text (documents average KBs;
+    mostly-unique corpora get no map-side combine, so the shuffle is
+    ~input-sized either way — what matters is the row WIDTH). Collision
+    risk at 2^-128 is below hardware error rates. The default keeps the
+    content column for small-corpus ergonomics."""
+    if by_hash:
+        return docs.groupBy(
+            F.sha2(F.col(content_col), 256).alias("content_hash")
+        ).agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_id"),
+        )
     return docs.groupBy(content_col).agg(
         F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_id")
     )

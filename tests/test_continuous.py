@@ -309,3 +309,27 @@ def test_upsert_recovers_interrupted_swap(spark, tmp_path):
     os.makedirs(stale, exist_ok=True)
     store.upsert(delta, "t", keys, part)
     assert not os.path.isdir(stale)
+
+
+def test_iceberg_sql_builders():
+    """The Iceberg backend's SQL generation is pure and asserted here —
+    execution needs the runtime jar (absent in-sandbox), but what ships
+    to a cluster is exactly this text."""
+    import datetime as dt
+
+    from go_muse_spark.sources.store import IcebergTableStore as S
+
+    m = S.merge_sql("cat.ns.agg_1m", ["conv_id", "bucket_ts"])
+    assert m == (
+        "MERGE INTO cat.ns.agg_1m t USING _delta_src s "
+        "ON t.conv_id = s.conv_id AND t.bucket_ts = s.bucket_ts "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    r = S.retention_sql("cat.ns.agg_1m", dt.date(2024, 3, 1))
+    assert r == "DELETE FROM cat.ns.agg_1m WHERE part < DATE '2024-03-01'"
+    e = S.expire_snapshots_sql("cat", "ns.agg_1m", "2024-03-01 00:00:00")
+    assert e == (
+        "CALL cat.system.expire_snapshots(table => 'ns.agg_1m', "
+        "older_than => TIMESTAMP '2024-03-01 00:00:00')"
+    )

@@ -346,3 +346,20 @@ def test_ann_recall_isotropic_beats_scan_fraction(spark, sf_dir):
         f"recall@10 {recall:.2f} <= scan fraction {scan_frac:.2f} — "
         "the index is no better than a random subset"
     )
+
+
+def test_exact_dedup_by_hash_matches_content_grouping(spark, docs):
+    from go_muse_spark.operators.dedup import exact_dedup
+
+    by_text = sorted(
+        (r["n_dups"], r["keeper_id"])
+        for r in exact_dedup(docs).collect()
+    )
+    by_hash = sorted(
+        (r["n_dups"], r["keeper_id"])
+        for r in exact_dedup(docs, by_hash=True).collect()
+    )
+    assert by_hash == by_text
+    cols = exact_dedup(docs, by_hash=True).columns
+    # the digest-width shape: no content column in the output
+    assert cols == ["content_hash", "n_dups", "keeper_id"]
