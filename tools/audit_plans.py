@@ -16,6 +16,7 @@ DEFAULT = [
     "rollup_1h", "gapfill_zero_1h", "muse_topk_1h", "muse_grouped_1h",
     "minhash_near_dups", "embedding_near_dups", "cosine_topk",
     "topk_abs_score", "ann_ivf_topk", "asof_click_view",
+    "asof_click_view_bucketed", "corpus_prep",
     "counter_rate_1h", "muse_over_chunks_1h",
 ]
 
