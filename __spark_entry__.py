@@ -49,6 +49,7 @@ from go_muse_spark.operators.dedup import (
     simhash_near_dups,
 )
 from go_muse_spark.operators.joins import asof_join
+from go_muse_spark.operators.sessions import session_stats
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
     extract_frame_features,
@@ -468,6 +469,25 @@ def q_asof_click_view_bucketed(spark, sf_dir):
         "event_id", "uid", "ts", "click_value",
         F.col("view_value_r").alias("view_value"),
         F.col("ts_r").alias("view_ts"),
+    )
+
+
+def q_sessionize_8h(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): split each
+    user's event stream at >8h quiet gaps, then per-session aggregates.
+    Runs the SKEW-PROOF (key, time-bucket) variant — boundary-timestamp
+    carry + prefix-sum numbering spine — against an oracle that replays
+    the plain lag/running-sum fixpoint, so the bucketed decomposition
+    is what the oracle checks (same claim shape as
+    asof_click_view_bucketed)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return session_stats(
+        ev,
+        ["user_id"],
+        ts_col="ts",
+        gap_s=8 * 3600,
+        value_col="value",
+        bucket_secs=24 * 3600,
     )
 
 
@@ -1045,6 +1065,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_rollup": q_json_props_rollup,
         "asof_click_view": q_asof_click_view,
         "asof_click_view_bucketed": q_asof_click_view_bucketed,
+        "sessionize_8h": q_sessionize_8h,
         "topk_abs_score": q_topk_abs_score,
         "results_filter": q_results_filter,
         "results_mean_abs": q_results_mean_abs,
@@ -1370,6 +1391,28 @@ SELECT c.event_id, c.uid, c.ts, c.click_value,
        v.view_value AS view_value, v.ts AS view_ts
 FROM clicks c ASOF LEFT JOIN views v
   ON c.uid = v.uid AND c.ts >= v.ts
+""",
+        # plain window fixpoint; the engine side runs the bucketed
+        # spine decomposition — equality IS the parity claim
+        "sessionize_8h": """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 28800.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, cast(session_id AS bigint) AS session_id,
+       count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+       cast(floor(epoch(max(ts)) - epoch(min(ts))) AS bigint) AS duration_s,
+       round(sum(value), 3) AS value_sum
+FROM sess GROUP BY user_id, session_id
 """,
         "json_props_rollup": """
 SELECT event_type,

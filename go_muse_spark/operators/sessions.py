@@ -1,0 +1,175 @@
+"""Gap-based sessionization — the time-series segmentation operator.
+
+Splits each key's event stream into sessions at every quiet gap longer
+than ``gap_s`` seconds: the standard building block for activity
+analysis over an events table (and a pure-SQL-expressible fixpoint, so
+the DuckDB oracle replays it exactly).
+
+Spark-first shape (plain path): ONE hash exchange on the key, then two
+linear windows in the same sort —
+
+  1. ``lag(ts)`` marks rows whose gap from their predecessor exceeds
+     ``gap_s`` (or that have no predecessor) as session STARTS,
+  2. a running ``sum`` of the start flags numbers the sessions 1..k
+     per key.
+
+Cost at any scale: one shuffle of the input and an O(n) in-partition
+pass — the same exchange count as a plain keyed aggregation. Equal
+timestamps are safe: two rows at the same ts have gap 0 from each
+other, so their session assignment does not depend on their relative
+sort order (the output is deterministic even though the sort is not).
+
+A hot key serializes inside one window task, exactly like asof_join's
+plain path; pass ``bucket_secs`` for the skew-proof variant, which
+partitions the heavy pass on (key, time-bucket) and restores the two
+cross-bucket dependencies — the previous bucket's last timestamp (for
+the boundary gap test) and the number of sessions started in earlier
+buckets (a prefix sum) — through a tiny per-(key, bucket) spine, the
+same __carry composition asof_join and encode_chunks_windowed use.
+Any single task is then bounded by one bucket of one key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "session_stats"]
+
+
+def sessionize(
+    df: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    session_col: str = "session_id",
+    bucket_secs: int | None = None,
+) -> DataFrame:
+    """Assign 1-based session numbers per key.
+
+    A row starts a new session when it has no predecessor within the
+    same ``on`` key or when ``ts - prev_ts > gap_s`` (a gap of exactly
+    ``gap_s`` stays in the session — the half-open convention DuckDB's
+    window replay shares). Adds ``session_col`` (long); every input
+    column passes through unchanged.
+
+    bucket_secs: when set, use the skew-proof (key, time-bucket)
+    partitioning (see module docstring) — results are identical to the
+    plain path; choose a bucket several times ``gap_s`` so most rows
+    resolve in-bucket.
+    """
+    reserved = {"__gap_new", "__b", "__prev_ts", "__carry_ts", "__off",
+                session_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"sessionize: input column(s) {sorted(clash)} collide with "
+            f"the output column {session_col!r} or reserved internal "
+            "names — rename them or pass a different session_col"
+        )
+    # via an intermediate timestamp cast: TIMESTAMP_NTZ cannot cast
+    # straight to double (no-op for plain TIMESTAMp)
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+
+    if bucket_secs is None:
+        w = Window.partitionBy(*on).orderBy(ts_col)
+        prev = F.lag(epoch).over(w)
+        is_new = (
+            prev.isNull() | ((epoch - prev) > F.lit(float(gap_s)))
+        ).cast("long")
+        run = (
+            Window.partitionBy(*on)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.select(
+            "*", F.sum(is_new).over(run).alias(session_col)
+        ).withColumn(session_col, F.col(session_col).cast("long"))
+
+    # Skew-proof variant. The big input moves ONCE, on (key, bucket);
+    # everything cross-bucket rides a spine of O(#key x #active-bucket)
+    # rows (partial-agg reduced map-side).
+    b = F.lit(float(bucket_secs))
+    withb = df.withColumn("__b", (epoch / b).cast("long"))
+
+    # spine pass 1: last timestamp per (key, bucket), forward-carried to
+    # the NEXT bucket so each bucket's first row can run the gap test
+    # against its true predecessor even across empty buckets
+    last_ts = withb.groupBy(*on, "__b").agg(F.max(epoch).alias("__last"))
+    w_prev = (
+        Window.partitionBy(*on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = last_ts.select(
+        *on, "__b", F.max("__last").over(w_prev).alias("__carry_ts")
+    )
+
+    # heavy pass: in-bucket flags, with the carried boundary timestamp
+    # standing in as the first row's predecessor (__carry_ts NULL on the
+    # key's first bucket -> no predecessor -> new session, matching the
+    # plain path)
+    w_in = Window.partitionBy(*on, "__b").orderBy(ts_col)
+    joined = withb.join(carry, [*on, "__b"], "left")
+    prev_in = F.coalesce(F.lag(epoch).over(w_in), F.col("__carry_ts"))
+    is_new = (
+        prev_in.isNull() | ((epoch - prev_in) > F.lit(float(gap_s)))
+    ).cast("long")
+    flagged = joined.select("*", is_new.alias("__gap_new"))
+
+    # spine pass 2: sessions started in EARLIER buckets (an exclusive
+    # prefix sum over the per-bucket flag counts) -> the key-global
+    # numbering offset for each bucket
+    per_bucket = flagged.groupBy(*on, "__b").agg(
+        F.sum("__gap_new").alias("__n_new")
+    )
+    off = per_bucket.select(
+        *on,
+        "__b",
+        F.coalesce(F.sum("__n_new").over(w_prev), F.lit(0)).alias("__off"),
+    )
+
+    w_run = (
+        Window.partitionBy(*on, "__b")
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        flagged.join(off, [*on, "__b"], "left")
+        .select(
+            *df.columns,
+            (F.col("__off") + F.sum("__gap_new").over(w_run))
+            .cast("long")
+            .alias(session_col),
+        )
+    )
+    return out
+
+
+def session_stats(
+    df: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    value_col: str | None = None,
+    bucket_secs: int | None = None,
+) -> DataFrame:
+    """Per-session aggregates: one row per (key..., session_id) with
+    n_events, start_ts, end_ts, duration_s (long seconds), and — when
+    ``value_col`` is given — value_sum rounded to 3 decimals (the same
+    float-stability convention the rollup contract queries use)."""
+    s = sessionize(df, on, ts_col, gap_s, bucket_secs=bucket_secs)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (
+            F.max(F.col(ts_col).cast("timestamp").cast("double"))
+            - F.min(F.col(ts_col).cast("timestamp").cast("double"))
+        )
+        .cast("long")
+        .alias("duration_s"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 3).alias("value_sum"))
+    return s.groupBy(*on, "session_id").agg(*aggs)

@@ -1,0 +1,152 @@
+"""Sessionization: pandas cross-check, plain-vs-bucketed parity, skew."""
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.sessions import session_stats, sessionize
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["uid", "ts", "value"])
+    )
+
+
+def _pandas_sessionize(rows, gap_s):
+    """Independent reference: per-key linear scan."""
+    out = {}
+    by_key = {}
+    for uid, ts, _v in rows:
+        by_key.setdefault(uid, []).append(ts)
+    for uid, tss in by_key.items():
+        sid, prev = 0, None
+        for ts in sorted(tss):
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                sid += 1
+            out[(uid, ts)] = sid
+            prev = ts
+    return out
+
+
+def _randrows(seed, n_keys=7, n=400, max_step=7200):
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        uid = rng.randrange(n_keys)
+        ts = T0 + dt.timedelta(seconds=rng.randrange(max_step * 50))
+        rows.append((uid, ts, float(rng.randrange(100))))
+    return rows
+
+
+def test_sessionize_matches_pandas(spark):
+    rows = _randrows(1)
+    got = {
+        (r["uid"], r["ts"]): r["session_id"]
+        for r in sessionize(_mk(spark, rows), ["uid"], gap_s=1800)
+        .collect()
+    }
+    want = _pandas_sessionize(rows, 1800)
+    assert got == want
+    # every key starts at session 1 and numbers are contiguous
+    by_key = {}
+    for (uid, _ts), sid in got.items():
+        by_key.setdefault(uid, set()).add(sid)
+    for sids in by_key.values():
+        assert sids == set(range(1, max(sids) + 1))
+
+
+@pytest.mark.parametrize("seed", [2, 3])
+@pytest.mark.parametrize("bucket", [3600, 7 * 3600, 86400])
+def test_bucketed_parity(spark, seed, bucket):
+    rows = _randrows(seed)
+    df = _mk(spark, rows)
+    plain = sessionize(df, ["uid"], gap_s=1800).collect()
+    buck = sessionize(df, ["uid"], gap_s=1800, bucket_secs=bucket).collect()
+    key = lambda r: (r["uid"], r["ts"], r["value"])
+    assert sorted(map(key, plain)) == sorted(map(key, buck))
+    assert {key(r): r["session_id"] for r in plain} == {
+        key(r): r["session_id"] for r in buck
+    }
+
+
+def test_gap_boundary_is_inclusive(spark):
+    # a gap of EXACTLY gap_s stays in the session; gap_s+1 splits
+    rows = [
+        (1, T0, 1.0),
+        (1, T0 + dt.timedelta(seconds=600), 1.0),
+        (1, T0 + dt.timedelta(seconds=1201), 1.0),
+    ]
+    got = sorted(
+        (r["ts"], r["session_id"])
+        for r in sessionize(_mk(spark, rows), ["uid"], gap_s=600).collect()
+    )
+    assert [s for _, s in got] == [1, 1, 2]
+
+
+def test_equal_ts_share_session(spark):
+    rows = [
+        (1, T0, 1.0),
+        (1, T0, 2.0),
+        (1, T0 + dt.timedelta(seconds=9000), 3.0),
+        (1, T0 + dt.timedelta(seconds=9000), 4.0),
+    ]
+    for bucket in (None, 3600):
+        got = sessionize(
+            _mk(spark, rows), ["uid"], gap_s=1800, bucket_secs=bucket
+        ).collect()
+        sids = {r["value"]: r["session_id"] for r in got}
+        assert sids[1.0] == sids[2.0] == 1
+        assert sids[3.0] == sids[4.0] == 2
+
+
+def test_hot_key_bucketed(spark):
+    # one key owns 90% of rows; bucketed path must agree with plain
+    rng = random.Random(9)
+    rows = []
+    t = T0
+    for i in range(600):
+        t += dt.timedelta(seconds=rng.randrange(3600))
+        rows.append((0 if i % 10 else 1, t, float(i)))
+    df = _mk(spark, rows)
+    plain = {
+        (r["uid"], r["ts"]): r["session_id"]
+        for r in sessionize(df, ["uid"], gap_s=1200).collect()
+    }
+    buck = {
+        (r["uid"], r["ts"]): r["session_id"]
+        for r in sessionize(
+            df, ["uid"], gap_s=1200, bucket_secs=4 * 3600
+        ).collect()
+    }
+    assert plain == buck
+
+
+def test_session_stats(spark):
+    rows = [
+        (1, T0, 1.0),
+        (1, T0 + dt.timedelta(seconds=60), 2.5),
+        (1, T0 + dt.timedelta(seconds=7200), 4.0),
+    ]
+    got = {
+        r["session_id"]: r
+        for r in session_stats(
+            _mk(spark, rows), ["uid"], gap_s=1800, value_col="value"
+        ).collect()
+    }
+    assert got[1]["n_events"] == 2
+    assert got[1]["duration_s"] == 60
+    assert got[1]["value_sum"] == 3.5
+    assert got[2]["n_events"] == 1
+    assert got[2]["duration_s"] == 0
+
+
+def test_reserved_collision_raises(spark):
+    df = _mk(spark, [(1, T0, 1.0)]).withColumn("session_id", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        sessionize(df, ["uid"])
