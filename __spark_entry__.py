@@ -48,7 +48,7 @@ from go_muse_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_near_dups,
 )
-from go_muse_spark.operators.joins import asof_join
+from go_muse_spark.operators.joins import asof_join, interval_join
 from go_muse_spark.operators.sessions import session_stats
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
@@ -469,6 +469,34 @@ def q_asof_click_view_bucketed(spark, sf_dir):
         "event_id", "uid", "ts", "click_value",
         F.col("view_value_r").alias("view_value"),
         F.col("ts_r").alias("view_ts"),
+    )
+
+
+def q_interval_click_attrib(spark, sf_dir):
+    """Containment/range join (operators/joins.py interval_join): every
+    click inside ANY user's [purchase, purchase+4h] window — the
+    attribution query shape. The engine runs the bucket-explode
+    equi-join (no inequality-join blowup); the oracle is DuckDB's own
+    planner on the raw inequality join, so the binning decomposition is
+    checked against an independent range-join implementation.
+    Overlapping windows multi-match by design."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    joined = interval_join(
+        clicks, purchases, on=["user_id"], bucket_secs=4 * 3600
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "click_value",
+        F.col("purchase_id_w").alias("purchase_id"),
+        F.col("start_ts_w").alias("purchase_ts"),
     )
 
 
@@ -1066,6 +1094,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_view": q_asof_click_view,
         "asof_click_view_bucketed": q_asof_click_view_bucketed,
         "sessionize_8h": q_sessionize_8h,
+        "interval_click_attrib": q_interval_click_attrib,
         "topk_abs_score": q_topk_abs_score,
         "results_filter": q_results_filter,
         "results_mean_abs": q_results_mean_abs,
@@ -1391,6 +1420,16 @@ SELECT c.event_id, c.uid, c.ts, c.click_value,
        v.view_value AS view_value, v.ts AS view_ts
 FROM clicks c ASOF LEFT JOIN views v
   ON c.uid = v.uid AND c.ts >= v.ts
+""",
+        # DuckDB plans the raw inequality join itself (IEJoin); the
+        # engine's bucket-explode equi-join must reproduce it exactly
+        "interval_click_attrib": """
+SELECT c.event_id, c.user_id, c.ts, round(c.value, 6) AS click_value,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 4 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """,
         # plain window fixpoint; the engine side runs the bucketed
         # spine decomposition — equality IS the parity claim

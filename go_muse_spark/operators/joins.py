@@ -32,7 +32,96 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_secs: int = 3600,
+    suffix: str = "_w",
+    max_span_buckets: int = 10_000,
+) -> DataFrame:
+    """Containment (range) join: every (point, interval) pair with equal
+    ``on`` keys and ``start_col <= ts <= end_col`` (closed on both
+    ends). Overlapping intervals are allowed — a point inside k
+    intervals emits k rows. Output = all point columns + each interval
+    payload column as ``{name}{suffix}`` plus ``{start_col}{suffix}`` /
+    ``{end_col}{suffix}``.
+
+    Spark-first shape: a raw inequality join is a per-key cartesian
+    pruned AFTER the blowup — instead each interval EXPLODES into the
+    time buckets it covers (``sequence`` of floor(start/b)..floor(end/b))
+    and joins the points' single bucket as a plain equi-join on
+    (key, bucket), with the exact containment predicate as a post-join
+    filter. This is the binning strategy behind Databricks' range-join
+    hint, expressed in open DataFrame ops.
+
+    Cost at any scale: the points move once; the intervals are
+    replicated ~(span/bucket_secs + 1)× — choose ``bucket_secs`` near
+    the typical interval span so the factor stays ~2. Hot (key, bucket)
+    cells are bounded by bucket width, not by key history. Pathological
+    rows (end < start, or a span wider than ``max_span_buckets``
+    buckets) raise rather than silently exploding the plan.
+    """
+    payload = [
+        c for c in intervals.columns if c not in (*on, start_col, end_col)
+    ]
+    reserved = {"__b", "__bs", "__be"}
+    out_names = {f"{c}{suffix}" for c in (*payload, start_col, end_col)}
+    clash = (reserved | out_names) & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"interval_join: point column(s) {sorted(clash)} collide "
+            f"with output suffix {suffix!r} or reserved internal names"
+        )
+
+    b = float(bucket_secs)
+
+    def _bucket(col):
+        return (col.cast("timestamp").cast("double") / F.lit(b)).cast("long")
+
+    p = points.withColumn("__b", _bucket(F.col(ts_col)))
+    iv = intervals.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.col(start_col).alias(f"{start_col}{suffix}"),
+        F.col(end_col).alias(f"{end_col}{suffix}"),
+        *[F.col(c) for c in on],
+        _bucket(F.col(start_col)).alias("__bs"),
+        _bucket(F.col(end_col)).alias("__be"),
+    )
+    # malformed intervals fail loudly: raise_error inside the filter
+    # predicate cannot be pruned away by the optimizer
+    ok = (F.col("__be") >= F.col("__bs")) & (
+        (F.col("__be") - F.col("__bs")) < F.lit(max_span_buckets)
+    )
+    iv = iv.filter(
+        F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    "interval_join: interval with end < start or span > "
+                    f"{max_span_buckets} buckets of {bucket_secs}s"
+                )
+            )
+        )
+    )
+    exploded = iv.withColumn(
+        "__b", F.explode(F.sequence(F.col("__bs"), F.col("__be")))
+    ).drop("__bs", "__be")
+    joined = p.join(exploded, [*on, "__b"], "inner").filter(
+        (F.col(ts_col) >= F.col(f"{start_col}{suffix}"))
+        & (F.col(ts_col) <= F.col(f"{end_col}{suffix}"))
+    )
+    return joined.select(
+        *points.columns,
+        *[F.col(f"{c}{suffix}") for c in payload],
+        F.col(f"{start_col}{suffix}"),
+        F.col(f"{end_col}{suffix}"),
+    )
 
 
 def asof_join(

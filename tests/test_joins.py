@@ -194,3 +194,142 @@ def test_asof_bucketed_no_cartesian_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------- interval_join
+
+
+def test_interval_containment_and_overlap(spark):
+    from go_muse_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [("a", _ts(5), 1), ("a", _ts(100), 2), ("a", _ts(250), 3),
+         ("b", _ts(5), 4)],
+        "k string, ts timestamp, pid long",
+    )
+    # two overlapping windows on key a; none on b at t=5
+    ivs = spark.createDataFrame(
+        [("a", _ts(0), _ts(120), 10), ("a", _ts(90), _ts(300), 20),
+         ("b", _ts(50), _ts(60), 30)],
+        "k string, start_ts timestamp, end_ts timestamp, wid long",
+    )
+    got = sorted(
+        (r["pid"], r["wid_w"])
+        for r in interval_join(pts, ivs, on=["k"], bucket_secs=60).collect()
+    )
+    # pid 1 -> w10 only; pid 2 -> BOTH (overlap); pid 3 -> w20; pid 4 -> none
+    assert got == [(1, 10), (2, 10), (2, 20), (3, 20)]
+
+
+def test_interval_closed_bounds(spark):
+    from go_muse_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [("a", _ts(0), 1), ("a", _ts(120), 2), ("a", _ts(121), 3)],
+        "k string, ts timestamp, pid long",
+    )
+    ivs = spark.createDataFrame(
+        [("a", _ts(0), _ts(120), 10)],
+        "k string, start_ts timestamp, end_ts timestamp, wid long",
+    )
+    got = sorted(
+        r["pid"]
+        for r in interval_join(pts, ivs, on=["k"], bucket_secs=7).collect()
+    )
+    assert got == [1, 2]  # both ends inclusive, 121 outside
+
+
+def test_interval_matches_bruteforce_randomized(spark):
+    import random
+
+    from go_muse_spark.operators.joins import interval_join
+
+    rng = random.Random(17)
+    pts_rows = [
+        (str(rng.randrange(4)), _ts(rng.randrange(5000)), i)
+        for i in range(300)
+    ]
+    ivs_rows = []
+    for j in range(60):
+        s = rng.randrange(5000)
+        ivs_rows.append(
+            (str(rng.randrange(4)), _ts(s), _ts(s + rng.randrange(900)), j)
+        )
+    pts = spark.createDataFrame(
+        pts_rows, "k string, ts timestamp, pid long"
+    )
+    ivs = spark.createDataFrame(
+        ivs_rows, "k string, start_ts timestamp, end_ts timestamp, wid long"
+    )
+    want = sorted(
+        (p[2], w[3])
+        for p in pts_rows
+        for w in ivs_rows
+        if p[0] == w[0] and w[1] <= p[1] <= w[2]
+    )
+    for bucket in (60, 333, 3600):
+        got = sorted(
+            (r["pid"], r["wid_w"])
+            for r in interval_join(
+                pts, ivs, on=["k"], bucket_secs=bucket
+            ).collect()
+        )
+        assert got == want, bucket
+
+
+def test_interval_no_cartesian_plan(spark):
+    from go_muse_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [("a", _ts(5), 1)], "k string, ts timestamp, pid long"
+    )
+    ivs = spark.createDataFrame(
+        [("a", _ts(0), _ts(60), 9)],
+        "k string, start_ts timestamp, end_ts timestamp, wid long",
+    )
+    plan = (
+        interval_join(pts, ivs, on=["k"], bucket_secs=60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_malformed_raises(spark):
+    import pytest
+
+    from go_muse_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [("a", _ts(5), 1)], "k string, ts timestamp, pid long"
+    )
+    bad = spark.createDataFrame(
+        [("a", _ts(60), _ts(0), 9)],
+        "k string, start_ts timestamp, end_ts timestamp, wid long",
+    )
+    with pytest.raises(Exception, match="interval_join"):
+        interval_join(pts, bad, on=["k"], bucket_secs=60).collect()
+    wide = spark.createDataFrame(
+        [("a", _ts(0), _ts(10_000_000), 9)],
+        "k string, start_ts timestamp, end_ts timestamp, wid long",
+    )
+    with pytest.raises(Exception, match="interval_join"):
+        interval_join(
+            pts, wide, on=["k"], bucket_secs=60, max_span_buckets=100
+        ).collect()
+
+
+def test_interval_collision_raises(spark):
+    import pytest
+
+    from go_muse_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [("a", _ts(5), 1, 0)], "k string, ts timestamp, pid long, wid_w long"
+    )
+    ivs = spark.createDataFrame(
+        [("a", _ts(0), _ts(60), 9)],
+        "k string, start_ts timestamp, end_ts timestamp, wid long",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(pts, ivs, on=["k"], bucket_secs=60)
