@@ -49,6 +49,7 @@ from go_muse_spark.operators.dedup import (
     simhash_near_dups,
 )
 from go_muse_spark.operators.joins import asof_join, interval_join
+from go_muse_spark.operators.sampling import sample_rates_sql, stratified_sample
 from go_muse_spark.operators.sessions import session_stats
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
@@ -469,6 +470,21 @@ def q_asof_click_view_bucketed(spark, sf_dir):
         "event_id", "uid", "ts", "click_value",
         F.col("view_value_r").alias("view_value"),
         F.col("ts_r").alias("view_ts"),
+    )
+
+
+_SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.25, "fr": 0.1, "de": 1.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified down-sampling (operators/sampling.py):
+    cap the head language, keep all of a tail one, selection keyed on a
+    content hash so it is partitioning-independent and dedup-consistent
+    (no RNG anywhere — the oracle replays the identical predicate).
+    Map-only: zero exchanges."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, _SAMPLE_RATES).select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -1095,6 +1111,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_view_bucketed": q_asof_click_view_bucketed,
         "sessionize_8h": q_sessionize_8h,
         "interval_click_attrib": q_interval_click_attrib,
+        "stratified_sample": q_stratified_sample,
         "topk_abs_score": q_topk_abs_score,
         "results_filter": q_results_filter,
         "results_mean_abs": q_results_mean_abs,
@@ -1420,6 +1437,10 @@ SELECT c.event_id, c.uid, c.ts, c.click_value,
        v.view_value AS view_value, v.ts AS view_ts
 FROM clicks c ASOF LEFT JOIN views v
   ON c.uid = v.uid AND c.ts >= v.ts
+""",
+        "stratified_sample": f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE {sample_rates_sql(_SAMPLE_RATES)}
 """,
         # DuckDB plans the raw inequality join itself (IEJoin); the
         # engine's bucket-explode equi-join must reproduce it exactly

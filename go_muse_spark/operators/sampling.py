@@ -1,0 +1,75 @@
+"""Deterministic stratified sampling — the corpus down-sampling stage
+of a training-data pipeline (e.g. cap head languages, keep all of a
+tail language), built so the SAME rows are selected on every run, on
+any cluster, at any partitioning.
+
+Spark-first shape: a map-only filter — zero shuffles, no RNG, no
+sampleBy (whose Bernoulli draws are partitioning-dependent). Each row's
+fate is a pure function of its CONTENT: keep iff
+``hash(key) % denom < rate[stratum] * denom``, with the polynomial
+mod-P char hash from functions/text.py (dual-dialect, so the DuckDB
+oracle replays the selection bit-for-bit). Content-keyed sampling is
+also dedup-consistent: byte-identical duplicates land on the same side
+of the cut, so sampling and dedup commute.
+
+At 100 TB this is the only sampling shape that survives: per-executor
+RNG sampling changes the selected set whenever the file split layout
+changes, while hash-mod selection is reproducible from the data alone
+and costs one scan with the filter evaluated in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from go_muse_spark.functions import text as X
+
+__all__ = ["stratified_sample", "sample_rates_sql"]
+
+
+def _keep_cond(
+    bucket: Column, strata_col: str, rates: dict[str, float], denom: int
+) -> Column:
+    cond = F.lit(False)
+    for stratum, rate in sorted(rates.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0,1]: {rate}")
+        thr = int(round(rate * denom))
+        cond = cond | ((F.col(strata_col) == stratum) & (bucket < thr))
+    return cond
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_sql: str | None = None,
+    denom: int = 1000,
+) -> DataFrame:
+    """Keep each row iff ``hash(key) % denom < round(rate * denom)`` for
+    its stratum's rate; strata absent from ``rates`` (or NULL) are
+    dropped (rate 0). ``key_sql`` is a Spark SQL expression for the
+    sampling key hash domain — default: the dual-dialect polynomial
+    char hash of ``text``. Rates are quantized to 1/denom.
+
+    Deterministic, partitioning-independent, map-only (no exchange:
+    the filter evaluates inside the scan stage's codegen).
+    """
+    if key_sql is None:
+        key_sql = X.char_hash("spark", "text")
+    bucket = F.expr(key_sql) % F.lit(denom)
+    return df.filter(_keep_cond(bucket, strata_col, rates, denom))
+
+
+def sample_rates_sql(
+    rates: dict[str, float], strata_col: str = "lang", denom: int = 1000
+) -> str:
+    """The DuckDB-dialect WHERE predicate replaying stratified_sample's
+    selection (for oracle SQL construction)."""
+    bucket = f"({X.char_hash('duck', 'text')}) % {denom}"
+    parts = [
+        f"({strata_col} = '{s}' AND {bucket} < {int(round(r * denom))})"
+        for s, r in sorted(rates.items())
+    ]
+    return "(" + " OR ".join(parts) + ")"

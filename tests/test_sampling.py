@@ -1,0 +1,88 @@
+"""stratified_sample: determinism, rates, dedup-consistency, plan."""
+
+import random
+import string
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.sampling import stratified_sample
+
+
+def _docs(spark, n=800, seed=5):
+    rng = random.Random(seed)
+    langs = ["en", "es", "zh"]
+    rows = [
+        (
+            i,
+            " ".join(
+                "".join(rng.choices(string.ascii_lowercase, k=5))
+                for _ in range(8)
+            ),
+            langs[rng.randrange(3)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+
+
+def test_partitioning_independent(spark):
+    df = _docs(spark)
+    rates = {"en": 0.5, "es": 0.2}
+    a = sorted(
+        r["doc_id"] for r in stratified_sample(df, rates).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(7), rates).collect()
+    )
+    c = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.coalesce(1), rates).collect()
+    )
+    assert a == b == c and len(a) > 0
+
+
+def test_rates_and_missing_strata(spark):
+    df = _docs(spark)
+    totals = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got = stratified_sample(df, {"en": 0.5, "es": 1.0}).collect()
+    by_lang = {}
+    for r in got:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert "zh" not in by_lang  # absent stratum -> dropped
+    assert by_lang["es"] == totals["es"]  # rate 1.0 keeps all
+    frac = by_lang["en"] / totals["en"]
+    assert 0.35 < frac < 0.65  # hash-uniformity, loose bound
+
+
+def test_duplicates_sample_together(spark):
+    df = _docs(spark, n=100)
+    dup = df.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = df.unionByName(dup)
+    kept = stratified_sample(both, {"en": 0.4, "es": 0.4, "zh": 0.4})
+    # every kept text appears an even number of times (both copies)
+    counts = [
+        r["n"]
+        for r in kept.groupBy("text").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert counts and all(n % 2 == 0 for n in counts)
+
+
+def test_map_only_plan(spark):
+    df = _docs(spark, n=10)
+    plan = (
+        stratified_sample(df, {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bad_rate_raises(spark):
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(_docs(spark, n=5), {"en": 1.5}).collect()
