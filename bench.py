@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "muse_over_chunks_1h",
     "asof_click_view",
     "asof_click_view_bucketed",
+    "sessionize_8h",
+    "interval_click_attrib",
+    "stratified_sample",
     "counter_rate_1h",
     "moving_avg_24h",
     "multimodal_features",

@@ -44,6 +44,7 @@ def sessionize(
     gap_s: float = 1800.0,
     session_col: str = "session_id",
     bucket_secs: int | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Assign 1-based session numbers per key.
 
@@ -56,7 +57,13 @@ def sessionize(
     bucket_secs: when set, use the skew-proof (key, time-bucket)
     partitioning (see module docstring) — results are identical to the
     plain path; choose a bucket several times ``gap_s`` so most rows
-    resolve in-bucket.
+    resolve in-bucket. The bucketed plan consumes the input THREE times
+    (boundary-ts spine, numbering spine, main pass) — Catalyst has no
+    cross-consumer subtree reuse, so a lazy upstream pipeline re-EXECUTES
+    per consumer; pass ``materialize_input=True`` to localCheckpoint the
+    bucketed input and the flagged pass once (the same trade as
+    asof_join's flag) when the input is an expensive pipeline rather
+    than a table scan.
     """
     reserved = {"__gap_new", "__b", "__prev_ts", "__carry_ts", "__off",
                 session_col}
@@ -91,6 +98,8 @@ def sessionize(
     # rows (partial-agg reduced map-side).
     b = F.lit(float(bucket_secs))
     withb = df.withColumn("__b", (epoch / b).cast("long"))
+    if materialize_input:
+        withb = withb.localCheckpoint(eager=True)
 
     # spine pass 1: last timestamp per (key, bucket), forward-carried to
     # the NEXT bucket so each bucket's first row can run the gap test
@@ -116,6 +125,10 @@ def sessionize(
         prev_in.isNull() | ((epoch - prev_in) > F.lit(float(gap_s)))
     ).cast("long")
     flagged = joined.select("*", is_new.alias("__gap_new"))
+    if materialize_input:
+        # the flagged (post-window) pass feeds both the numbering spine
+        # and the final join — materialize it once too
+        flagged = flagged.localCheckpoint(eager=True)
 
     # spine pass 2: sessions started in EARLIER buckets (an exclusive
     # prefix sum over the per-bucket flag counts) -> the key-global

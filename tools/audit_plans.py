@@ -17,6 +17,7 @@ DEFAULT = [
     "minhash_near_dups", "embedding_near_dups", "cosine_topk",
     "topk_abs_score", "ann_ivf_topk", "asof_click_view",
     "asof_click_view_bucketed", "corpus_prep",
+    "sessionize_8h", "interval_click_attrib", "stratified_sample",
     "counter_rate_1h", "muse_over_chunks_1h",
 ]
 
