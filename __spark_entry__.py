@@ -48,6 +48,11 @@ from go_muse_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_near_dups,
 )
+from go_muse_spark.operators.downsample import (
+    ewma,
+    m4_downsample,
+    top_series_per_bucket,
+)
 from go_muse_spark.operators.joins import asof_join, interval_join
 from go_muse_spark.operators.sampling import sample_rates_sql, stratified_sample
 from go_muse_spark.operators.sessions import session_stats
@@ -233,6 +238,61 @@ def q_moving_avg_24h(spark, sf_dir):
         F.col("win_sum").cast("long").alias("sum_24h"),
         F.round(F.col("win_avg") * 1e6, 0).cast("long").alias("avg_24h_u"),
         F.col("win_n").alias("n_24h"),
+    )
+
+
+def q_m4_1d(spark, sf_dir):
+    """M4 visualization downsample (Jugel et al., VLDB 2014): per user
+    and per 1-day pixel bucket over the 1h tier, the (ts, value) of the
+    first/last/min/max points — the four tuples that make line
+    rendering at that resolution error-free. Tie rules the oracle
+    replays: min -> earliest ts, max -> latest ts. One hash aggregate,
+    all-algebraic (struct min/max), map-side partials."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    m4 = m4_downsample(rolled, "turn_cnt", 86400)
+    return m4.select(
+        F.col("conv_id").alias("user_id"),
+        F.unix_timestamp("px_ts").alias("px_epoch"),
+        "n_points",
+        "first_ts",
+        F.col("first_v").alias("first_cnt"),
+        "last_ts",
+        F.col("last_v").alias("last_cnt"),
+        "min_ts",
+        F.col("min_v").alias("min_cnt"),
+        "max_ts",
+        F.col("max_v").alias("max_cnt"),
+    )
+
+
+def q_ewma_1h(spark, sf_dir):
+    """Trailing EWMA (dyadic 2^-k decay, window 8 buckets) over the 1h
+    tier. Shuffle-sort-free plan: map-side explode of each point into
+    the 8 target buckets it feeds, one hash aggregate, phantom targets
+    dropped by the k=0 existence flag. Dyadic weights + integral inputs
+    => both sums are exact, so the only rounding is the final divide,
+    identical in any IEEE engine."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    sm = ewma(rolled, "turn_cnt", 3600, window_buckets=8)
+    return sm.select(
+        F.col("conv_id").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("value").cast("long").alias("turn_cnt"),
+        F.round(F.col("ewma") * 1e6, 0).cast("long").alias("ewma_u"),
+        F.round(F.col("w_norm") * 1e6, 0).cast("long").alias("w_norm_u"),
+    )
+
+
+def q_top_users_1d(spark, sf_dir):
+    """Heavy hitters per window: the 5 most active users each day
+    (rank over the 1d tier, value desc / user asc tiebreak)."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1d")
+    top = top_series_per_bucket(rolled, "turn_cnt", 5)
+    return top.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.col("value").cast("long").alias("turn_cnt"),
+        "rnk",
     )
 
 
@@ -1095,6 +1155,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_quantiles": q_rollup_1h_quantiles,
         "counter_rate_1h": q_counter_rate_1h,
         "moving_avg_24h": q_moving_avg_24h,
+        "m4_1d": q_m4_1d,
+        "ewma_1h": q_ewma_1h,
+        "top_users_1d": q_top_users_1d,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1193,6 +1256,79 @@ SELECT user_id, bucket_ts, turn_cnt,
 FROM r
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch(bucket_ts)
              RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+""",
+        "m4_1d": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT user_id,
+         epoch(bucket_ts) - (cast(epoch(bucket_ts) AS bigint) % 86400)
+           AS px_epoch,
+         bucket_ts, turn_cnt
+  FROM r
+), rk AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, px_epoch
+                       ORDER BY bucket_ts ASC) AS rf,
+    row_number() OVER (PARTITION BY user_id, px_epoch
+                       ORDER BY bucket_ts DESC) AS rl,
+    row_number() OVER (PARTITION BY user_id, px_epoch
+                       ORDER BY turn_cnt ASC, bucket_ts ASC) AS rmin,
+    row_number() OVER (PARTITION BY user_id, px_epoch
+                       ORDER BY turn_cnt DESC, bucket_ts DESC) AS rmax
+  FROM p
+)
+SELECT user_id, cast(px_epoch AS bigint) AS px_epoch,
+       count(*) AS n_points,
+       max(CASE WHEN rf = 1 THEN bucket_ts END) AS first_ts,
+       max(CASE WHEN rf = 1 THEN turn_cnt END) AS first_cnt,
+       max(CASE WHEN rl = 1 THEN bucket_ts END) AS last_ts,
+       max(CASE WHEN rl = 1 THEN turn_cnt END) AS last_cnt,
+       max(CASE WHEN rmin = 1 THEN bucket_ts END) AS min_ts,
+       max(CASE WHEN rmin = 1 THEN turn_cnt END) AS min_cnt,
+       max(CASE WHEN rmax = 1 THEN bucket_ts END) AS max_ts,
+       max(CASE WHEN rmax = 1 THEN turn_cnt END) AS max_cnt
+FROM rk GROUP BY user_id, px_epoch
+""",
+        "ewma_1h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id,
+         cast(epoch(bucket_ts) AS bigint) + k * 3600 AS bucket_epoch,
+         turn_cnt * pow(2.0, -k) AS contrib,
+         pow(2.0, -k) AS w,
+         CASE WHEN k = 0 THEN turn_cnt END AS own_v,
+         CASE WHEN k = 0 THEN 1 ELSE 0 END AS own
+  FROM r CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k)
+)
+SELECT user_id, bucket_epoch,
+       max(own_v) AS turn_cnt,
+       cast(round(sum(contrib) / sum(w) * 1e6) AS bigint) AS ewma_u,
+       cast(round(sum(w) * 1e6) AS bigint) AS w_norm_u
+FROM c GROUP BY user_id, bucket_epoch
+HAVING max(own) = 1
+""",
+        "top_users_1d": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('day', ts) AS bucket_ts,
+         count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+), rk AS (
+  SELECT user_id, bucket_ts, turn_cnt,
+         row_number() OVER (PARTITION BY bucket_ts
+                            ORDER BY turn_cnt DESC, user_id ASC) AS rnk
+  FROM r
+)
+SELECT user_id, bucket_ts, turn_cnt, cast(rnk AS int) AS rnk
+FROM rk WHERE rnk <= 5
 """,
         "counter_rate_1h": """
 WITH r AS (

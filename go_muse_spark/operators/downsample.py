@@ -1,0 +1,176 @@
+"""Visualization / sketch downsampling over the retention tiers.
+
+m4_downsample implements the M4 aggregation (Jugel, Jerzak, Hackenbroich,
+Markl: "M4: A Visualization-Oriented Time Series Data Aggregation",
+VLDB 2014): for each series and each coarse output bucket ("pixel
+column"), keep exactly the four extremum tuples — first, last, min and
+max of (ts, value) — which is sufficient for error-free line rendering
+at that horizontal resolution. This is the standard render-path
+downsample in time-series stores (Grafana/Influx/Timescale all ship a
+variant); the reference engine has no render path, so this extends the
+tier model the way a dashboard in front of it would need.
+
+ewma is the trailing exponentially-weighted moving average over a tier,
+the sliding complement to moving_aggregate's uniform window: each
+existing bucket k steps back weighs 2^-k (dyadic decay => every weight,
+product and partial sum is exact in IEEE double for integer inputs, so
+the result is bit-reproducible across engines), truncated at
+window_buckets. Gap-aware like a stream processor: absent buckets
+contribute nothing and the normalizer only counts buckets present.
+
+top_series_per_bucket keeps the N heaviest series per time bucket
+(heavy hitters per window) — one ranked window, deterministic tiebreak.
+
+All three are single-exchange relational plans:
+- m4_downsample: one hash aggregate on (series, out_bucket); all
+  aggregates are algebraic min/max over structs, so Catalyst emits a
+  map-side partial aggregate and shuffle volume is O(series x pixels),
+  not O(points). At 100 TB the input tier is already partitioned by
+  series key; AQE coalesces the tiny output.
+- ewma: a W-way map-side explode (W = window_buckets, small constant)
+  followed by one hash aggregate on (series, target_bucket) — shuffle
+  O(W x points) with partial aggregation, no window sort at all, and
+  the existence filter (bool_or of the k=0 term) drops phantom targets
+  without a join back to the input.
+- top_series_per_bucket: one exchange on the bucket, one sort, rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["m4_downsample", "ewma", "top_series_per_bucket"]
+
+
+def m4_downsample(
+    rolled: DataFrame,
+    value_col: str,
+    out_secs: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """M4 aggregation: per (series, out_secs pixel bucket), the (ts, v)
+    tuples of the first, last, minimum and maximum points.
+
+    Tie rules (the part an oracle must replay exactly): value ties on
+    the minimum resolve to the EARLIEST ts, value ties on the maximum
+    to the LATEST ts — both fall out of lexicographic struct ordering,
+    so all four argmin/argmax aggregates stay algebraic (min/max over
+    struct), keeping the map-side partial aggregate. first/last need no
+    tiebreak: (series, bucket_ts) is unique in a tier table.
+
+    Returns (by..., px_ts, n_points, first_ts, first_v, last_ts,
+    last_v, min_ts, min_v, max_ts, max_v).
+    """
+    ts = F.unix_timestamp(F.col(bucket_col))
+    px = F.from_unixtime(ts - ts % F.lit(out_secs)).cast("timestamp")
+    v = F.col(value_col)
+    t = F.col(bucket_col)
+    return (
+        rolled.groupBy(*by, px.alias("px_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(F.struct(t.alias("t"), v.alias("v"))).alias("__first"),
+            F.max(F.struct(t.alias("t"), v.alias("v"))).alias("__last"),
+            F.min(F.struct(v.alias("v"), t.alias("t"))).alias("__min"),
+            F.max(F.struct(v.alias("v"), t.alias("t"))).alias("__max"),
+        )
+        .select(
+            *by,
+            "px_ts",
+            "n_points",
+            F.col("__first.t").alias("first_ts"),
+            F.col("__first.v").alias("first_v"),
+            F.col("__last.t").alias("last_ts"),
+            F.col("__last.v").alias("last_v"),
+            F.col("__min.t").alias("min_ts"),
+            F.col("__min.v").alias("min_v"),
+            F.col("__max.t").alias("max_ts"),
+            F.col("__max.v").alias("max_v"),
+        )
+    )
+
+
+def ewma(
+    rolled: DataFrame,
+    value_col: str,
+    bucket_secs: int,
+    window_buckets: int = 8,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Trailing EWMA with dyadic decay over a tier.
+
+    For each existing bucket t:
+        ewma(t) = sum_{k=0..W-1, bucket t-k exists} v(t-k) * 2^-k
+                / sum_{k=0..W-1, bucket t-k exists}          2^-k
+
+    Instead of a per-series window sort + per-frame rescan (O(n W log n)
+    with an exchange + sort), each input row is exploded into the W
+    target buckets it contributes to (map-side, no shuffle) and ONE hash
+    aggregate on (series, target) sums contributions — partial aggregation
+    applies, there is no sort anywhere, and the plan is a pure
+    scan -> explode -> partial agg -> exchange -> final agg pipeline.
+    A target bucket that has no point of its own gets no k=0 term; the
+    bool_or(k=0) filter drops those phantom targets, which is what makes
+    the operator gap-aware without joining back against the input.
+
+    2^-k weights are exact dyadic doubles and the inputs are integral, so
+    both sums are exact regardless of addition order — the division is
+    the only rounding step and IEEE-identical in any engine.
+
+    Returns (by..., bucket_col, value, ewma, w_norm).
+    """
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    k = F.explode(F.sequence(F.lit(0), F.lit(window_buckets - 1))).alias("k")
+    src = rolled.select(
+        *by,
+        F.unix_timestamp(F.col(bucket_col)).alias("__t"),
+        F.col(value_col).alias("__v"),
+        k,
+    )
+    w = F.pow(F.lit(2.0), -F.col("k"))
+    tgt = F.col("__t") + F.col("k") * F.lit(bucket_secs)
+    return (
+        src.groupBy(*by, tgt.alias("__tgt"))
+        .agg(
+            F.sum(F.col("__v") * w).alias("__num"),
+            F.sum(w).alias("w_norm"),
+            F.max(F.when(F.col("k") == 0, F.col("__v"))).alias("value"),
+            F.max((F.col("k") == 0).cast("int")).alias("__own"),
+        )
+        .filter(F.col("__own") == 1)
+        .select(
+            *by,
+            F.from_unixtime("__tgt").cast("timestamp").alias(bucket_col),
+            "value",
+            (F.col("__num") / F.col("w_norm")).alias("ewma"),
+            "w_norm",
+        )
+    )
+
+
+def top_series_per_bucket(
+    rolled: DataFrame,
+    value_col: str,
+    n: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Heavy hitters: the n series with the largest value in each time
+    bucket (rank with ties broken by series key ascending, so the result
+    is deterministic and oracle-replayable). One exchange on the bucket;
+    at scale the per-bucket group is bounded by series cardinality and
+    AQE's skew handling splits a hot bucket."""
+    w = Window.partitionBy(bucket_col).orderBy(
+        F.col(value_col).desc(), *[F.col(c).asc() for c in by]
+    )
+    return (
+        rolled.select(
+            *by, bucket_col, F.col(value_col).alias("value"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= n)
+    )

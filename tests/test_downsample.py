@@ -1,0 +1,145 @@
+"""m4_downsample / ewma / top_series_per_bucket: semantics vs a plain
+pandas reimplementation, tie rules, gap-awareness, plan shape."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.downsample import (
+    ewma,
+    m4_downsample,
+    top_series_per_bucket,
+)
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+def _tier(spark, rows):
+    """rows: (conv, hour_offset, value) -> 1h-tier DataFrame."""
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (c, T0 + dt.timedelta(hours=h), v)
+                for c, h, v in rows
+            ],
+            columns=["conv_id", "bucket_ts", "turn_cnt"],
+        )
+    )
+
+
+def test_m4_picks_four_extrema(spark):
+    # one conv, one day pixel: first at h0, last at h23, min at h5, max at h7
+    rows = [("a", 0, 10), ("a", 5, 1), ("a", 7, 99), ("a", 23, 50)]
+    out = m4_downsample(_tier(spark, rows), "turn_cnt", 86400).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_points"] == 4
+    assert (r["first_ts"].hour, r["first_v"]) == (0, 10)
+    assert (r["last_ts"].hour, r["last_v"]) == (23, 50)
+    assert (r["min_ts"].hour, r["min_v"]) == (5, 1)
+    assert (r["max_ts"].hour, r["max_v"]) == (7, 99)
+
+
+def test_m4_tie_rules(spark):
+    # duplicate min value at h2 and h9 -> earliest wins;
+    # duplicate max value at h3 and h11 -> latest wins
+    rows = [("a", 2, 1), ("a", 9, 1), ("a", 3, 8), ("a", 11, 8)]
+    r = m4_downsample(_tier(spark, rows), "turn_cnt", 86400).collect()[0]
+    assert r["min_ts"].hour == 2
+    assert r["max_ts"].hour == 11
+
+
+def test_m4_splits_pixels_and_series(spark):
+    rows = [("a", 0, 1), ("a", 25, 2), ("b", 0, 3)]
+    out = m4_downsample(_tier(spark, rows), "turn_cnt", 86400)
+    got = {(r["conv_id"], r["px_ts"].day) for r in out.collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 1)}
+
+
+def test_m4_single_aggregate_plan(spark):
+    plan = m4_downsample(
+        _tier(spark, [("a", 0, 1)]), "turn_cnt", 86400
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # partial agg before the shuffle
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_ewma_exact_values(spark):
+    # conv a: buckets h0..h2 with a gap at h1 -> at h2 the window sees
+    # h2 (w=1) and h0 (w=1/4): ewma = (v2 + v0/4) / (1 + 1/4)
+    rows = [("a", 0, 8), ("a", 2, 2)]
+    out = {
+        r["bucket_ts"].hour: r
+        for r in ewma(
+            _tier(spark, rows), "turn_cnt", 3600, window_buckets=4
+        ).collect()
+    }
+    assert set(out) == {0, 2}  # phantom h1/h3 targets dropped
+    assert out[0]["ewma"] == pytest.approx(8.0)
+    assert out[0]["w_norm"] == 1.0
+    assert out[2]["ewma"] == pytest.approx((2 + 8 * 0.25) / 1.25)
+    assert out[2]["w_norm"] == 1.25
+
+
+def test_ewma_truncates_at_window(spark):
+    # window 2: at h5 only h5/h4 can contribute; h0 is out of range
+    rows = [("a", 0, 100), ("a", 4, 4), ("a", 5, 2)]
+    out = {
+        r["bucket_ts"].hour: r["ewma"]
+        for r in ewma(
+            _tier(spark, rows), "turn_cnt", 3600, window_buckets=2
+        ).collect()
+    }
+    assert out[5] == pytest.approx((2 + 4 * 0.5) / 1.5)
+
+
+def test_ewma_matches_pandas_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (c, h, rng.randrange(1, 50))
+        for c in "ab"
+        for h in sorted(rng.sample(range(48), 30))
+    ]
+    got = {
+        (r["conv_id"], r["bucket_ts"]): r["ewma"]
+        for r in ewma(
+            _tier(spark, rows), "turn_cnt", 3600, window_buckets=8
+        ).collect()
+    }
+    by_conv: dict = {}
+    for c, h, v in rows:
+        by_conv.setdefault(c, {})[h] = v
+    assert len(got) == len(rows)
+    for c, series in by_conv.items():
+        for h, v in series.items():
+            num = den = 0.0
+            for k in range(8):
+                if h - k in series:
+                    num += series[h - k] * 2.0**-k
+                    den += 2.0**-k
+            key = (c, T0 + dt.timedelta(hours=h))
+            assert got[key] == pytest.approx(num / den, abs=1e-12)
+
+
+def test_ewma_no_sort_in_plan(spark):
+    plan = ewma(
+        _tier(spark, [("a", 0, 1)]), "turn_cnt", 3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan  # explode+hash-agg, not a window sort
+    assert plan.count("Exchange") == 1
+
+
+def test_top_series_per_bucket(spark):
+    rows = [("a", 0, 5), ("b", 0, 9), ("c", 0, 9), ("d", 0, 1), ("a", 24, 2)]
+    out = top_series_per_bucket(_tier(spark, rows), "turn_cnt", 2).collect()
+    day1 = sorted(
+        (r["rnk"], r["conv_id"]) for r in out if r["bucket_ts"].day == 1
+    )
+    # tie on 9 -> series key ascending: b before c; top-2 excludes a, d
+    assert day1 == [(1, "b"), (2, "c")]
+    day2 = [(r["rnk"], r["conv_id"]) for r in out if r["bucket_ts"].day == 2]
+    assert day2 == [(1, "a")]
