@@ -56,6 +56,7 @@ from go_muse_spark.operators.downsample import (
 from go_muse_spark.operators.joins import asof_join, interval_join
 from go_muse_spark.operators.sampling import sample_rates_sql, stratified_sample
 from go_muse_spark.operators.sessions import session_stats
+from go_muse_spark.operators.stats import rolling_zscore, series_corr
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
     extract_frame_features,
@@ -293,6 +294,39 @@ def q_top_users_1d(spark, sf_dir):
         "bucket_ts",
         F.col("value").cast("long").alias("turn_cnt"),
         "rnk",
+    )
+
+
+def q_zscore_24h(spark, sf_dir):
+    """Threshold-alerting primitive: trailing-24h z-score per hourly
+    point (history excludes the point under test; < 8 history buckets
+    or zero variance -> NULL). Pooled integer sums make z bit-identical
+    in any IEEE engine — no per-engine stddev built-ins."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    zs = rolling_zscore(
+        rolled, "turn_cnt", 24 * 3600, 3600, min_points=8, threshold=3.0
+    )
+    return zs.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.col("value").cast("long").alias("turn_cnt"),
+        "n_hist",
+        F.round(F.col("z") * 1e6, 0).cast("long").alias("z_u"),
+        F.col("is_anom").cast("int").alias("anom"),
+    )
+
+
+def q_corr_traffic_value(spark, sf_dir):
+    """Per-user Pearson correlation between hourly turn count and hourly
+    value sum (pooled-sums formula, single all-algebraic aggregate)."""
+    rolled = rollup_transcripts(
+        _tx(spark, sf_dir), "1h", sum_cols={"value_sum": "value"}
+    )
+    cr = series_corr(rolled, "turn_cnt", "value_sum", min_points=3)
+    return cr.select(
+        F.col("conv_id").alias("user_id"),
+        "n_points",
+        F.round(F.col("corr") * 1e6, 0).cast("long").alias("corr_u"),
     )
 
 
@@ -1158,6 +1192,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_1d": q_m4_1d,
         "ewma_1h": q_ewma_1h,
         "top_users_1d": q_top_users_1d,
+        "zscore_24h": q_zscore_24h,
+        "corr_traffic_value": q_corr_traffic_value,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1314,6 +1350,58 @@ SELECT user_id, bucket_epoch,
        cast(round(sum(w) * 1e6) AS bigint) AS w_norm_u
 FROM c GROUP BY user_id, bucket_epoch
 HAVING max(own) = 1
+""",
+        "zscore_24h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT user_id, bucket_ts, turn_cnt,
+         count(*) OVER w AS n_hist,
+         sum(cast(turn_cnt AS double)) OVER w AS s,
+         sum(cast(turn_cnt AS double) * cast(turn_cnt AS double)) OVER w
+           AS ssq
+  FROM r
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(bucket_ts)
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+), z AS (
+  SELECT user_id, bucket_ts, turn_cnt, n_hist,
+         CASE WHEN n_hist >= 8
+                   AND (ssq - s * s / n_hist) / (n_hist - 1) > 0
+              THEN (turn_cnt - s / n_hist)
+                   / sqrt((ssq - s * s / n_hist) / (n_hist - 1))
+         END AS z
+  FROM h
+)
+SELECT user_id, bucket_ts, turn_cnt,
+       cast(n_hist AS bigint) AS n_hist,
+       cast(round(z * 1e6) AS bigint) AS z_u,
+       cast(coalesce(abs(z) >= 3.0, false) AS int) AS anom
+FROM z
+""",
+        "corr_traffic_value": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         cast(count(*) AS double) AS x,
+         sum(value) AS y
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT user_id, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM r GROUP BY user_id
+)
+SELECT user_id, cast(n AS bigint) AS n_points,
+       cast(round(
+         CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+                   AND n * syy - sy * sy > 0
+              THEN (n * sxy - sx * sy)
+                   / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy)
+         END * 1e6) AS bigint) AS corr_u
+FROM a
 """,
         "top_users_1d": """
 WITH r AS (
