@@ -56,7 +56,9 @@ from go_muse_spark.operators.downsample import (
 from go_muse_spark.operators.joins import asof_join, interval_join
 from go_muse_spark.operators.sampling import sample_rates_sql, stratified_sample
 from go_muse_spark.operators.sessions import session_stats
+from go_muse_spark.operators.olap import dimensional_rollup
 from go_muse_spark.operators.stats import rolling_zscore, series_corr
+from go_muse_spark.operators.terms import tfidf_top_terms
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
     extract_frame_features,
@@ -327,6 +329,42 @@ def q_corr_traffic_value(spark, sf_dir):
         F.col("conv_id").alias("user_id"),
         "n_points",
         F.round(F.col("corr") * 1e6, 0).cast("long").alias("corr_u"),
+    )
+
+
+def q_rollup_dims(spark, sf_dir):
+    """OLAP hierarchy aggregation: count + value sum at every prefix of
+    (event_type, day) — per (type, day), per type, grand total — in ONE
+    scan + ONE shuffle via GROUPING SETS expansion; grouping_id
+    separates rolled-up NULLs from data NULLs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day_ts"), "value"
+    )
+    out = dimensional_rollup(
+        ev,
+        ("event_type", "day_ts"),
+        {
+            "n": F.count(F.lit(1)),
+            "value_u": F.round(F.sum("value") * 1e6, 0).cast("long"),
+        },
+    )
+    return out.select("event_type", "day_ts", "grp", "n", "value_u")
+
+
+def q_tfidf_top3(spark, sf_dir):
+    """Top-3 characterizing terms per document by tf*ln(N/df) — all
+    whole-stage-codegen relational ops (explode, two hash aggs, a
+    vocabulary join, one ranked window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    top = tfidf_top_terms(docs, n_docs, k=3)
+    return top.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tfidf") * 1e6, 0).cast("long").alias("tfidf_u"),
+        "rnk",
     )
 
 
@@ -1194,6 +1232,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_1d": q_top_users_1d,
         "zscore_24h": q_zscore_24h,
         "corr_traffic_value": q_corr_traffic_value,
+        "rollup_dims": q_rollup_dims,
+        "tfidf_top3": q_tfidf_top3,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1402,6 +1442,37 @@ SELECT user_id, cast(n AS bigint) AS n_points,
                    / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy)
          END * 1e6) AS bigint) AS corr_u
 FROM a
+""",
+        "rollup_dims": """
+SELECT event_type, date_trunc('day', ts) AS day_ts,
+       cast(grouping(event_type, date_trunc('day', ts)) AS bigint) AS grp,
+       count(*) AS n,
+       cast(round(sum(value) * 1e6) AS bigint) AS value_u
+FROM events
+GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+""",
+        "tfidf_top3": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+), d AS (
+  SELECT term, count(*) AS df FROM t GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), s AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * ln(cast(n.n_docs AS double) / d.df) AS tfidf
+  FROM t JOIN d USING (term) CROSS JOIN n
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM s
+)
+SELECT doc_id, term, cast(tf AS bigint) AS tf, cast(df AS bigint) AS df,
+       cast(round(tfidf * 1e6) AS bigint) AS tfidf_u, cast(rnk AS int) AS rnk
+FROM rk WHERE rnk <= 3
 """,
         "top_users_1d": """
 WITH r AS (

@@ -60,6 +60,13 @@ BENCH_QUERIES = [
     "stratified_sample",
     "counter_rate_1h",
     "moving_avg_24h",
+    "m4_1d",
+    "ewma_1h",
+    "top_users_1d",
+    "zscore_24h",
+    "corr_traffic_value",
+    "rollup_dims",
+    "tfidf_top3",
     "multimodal_features",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed

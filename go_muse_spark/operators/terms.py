@@ -1,0 +1,65 @@
+"""TF-IDF term ranking over the documents corpus.
+
+The training-data-pipeline complement to functions/text.py's per-doc
+scores: which terms CHARACTERIZE a document relative to the corpus.
+Used for topic tagging, near-dup triage ("same top terms, different
+hash"), and quality filtering (documents whose top terms are all
+stopword-grade have low idf mass).
+
+Plan shape at 100 TB: tokenize is a map-side explode (no shuffle);
+term frequency is one hash aggregate on (doc, term) with map-side
+partials; document frequency re-aggregates the (doc, term) pairs by
+term (strictly smaller input); the tf x idf join shuffles on term —
+vocabulary-sized keys, so hot terms are bounded by doc count and AQE
+skew-split handles the head of the Zipf curve; top-k per doc is a
+ranked window over the doc key. No Python anywhere — every step is
+whole-stage-codegen relational ops.
+
+Numeric contract: tf/df/N are exact integers; idf = ln(N/df) and the
+tf*idf product are evaluated by the same libm on any engine reading
+the same doubles, and the contract query rounds at 1e-6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["tfidf_top_terms"]
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    n_docs: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Top-k terms per document by tf * ln(N/df), ties broken by term
+    ascending. `n_docs` is passed in (a bounded scalar the caller
+    already knows or reads once) so the plan stays a pure pipeline.
+
+    Returns (id_col, term, tf, df, tfidf, rnk).
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), sep)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_t, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -1,0 +1,99 @@
+"""dimensional_rollup / tfidf_top_terms: level semantics, grouping_id,
+idf math vs numpy, plan shape."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.olap import dimensional_rollup
+from go_muse_spark.operators.terms import tfidf_top_terms
+
+
+def _ev(spark):
+    rows = [
+        ("click", "d1", 1.0),
+        ("click", "d1", 2.0),
+        ("click", "d2", 4.0),
+        ("view", "d1", 8.0),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["etype", "day", "value"])
+    )
+
+
+def test_rollup_levels(spark):
+    out = dimensional_rollup(
+        _ev(spark), ("etype", "day"), {"n": F.count(F.lit(1)), "s": F.sum("value")}
+    ).collect()
+    got = {(r["etype"], r["day"], r["grp"]): (r["n"], r["s"]) for r in out}
+    # leaf level (grp=0), per-type (grp=1, day NULL), total (grp=3)
+    assert got[("click", "d1", 0)] == (2, 3.0)
+    assert got[("click", "d2", 0)] == (1, 4.0)
+    assert got[("view", "d1", 0)] == (1, 8.0)
+    assert got[("click", None, 1)] == (3, 7.0)
+    assert got[("view", None, 1)] == (1, 8.0)
+    assert got[(None, None, 3)] == (4, 15.0)
+    assert len(got) == 6  # rollup: no (None, day) slices
+
+
+def test_cube_adds_day_slices(spark):
+    out = dimensional_rollup(
+        _ev(spark), ("etype", "day"), {"n": F.count(F.lit(1))}, cube=True
+    ).collect()
+    got = {(r["etype"], r["day"], r["grp"]): r["n"] for r in out}
+    assert got[(None, "d1", 2)] == 3  # the slice rollup cannot produce
+    assert got[(None, "d2", 2)] == 1
+    assert len(got) == 8
+
+
+def test_rollup_one_exchange(spark):
+    plan = (
+        dimensional_rollup(
+            _ev(spark), ("etype", "day"), {"n": F.count(F.lit(1))}
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Expand" in plan  # grouping-sets expansion, single scan
+
+
+def test_tfidf_values_and_ranks(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "apple banana apple"),
+                (1, "banana cherry"),
+                (2, "cherry cherry date"),
+                (3, "apple"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = tfidf_top_terms(docs, n_docs=4, k=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple tf=2 df=2 idf=ln2 -> 2ln2 ; banana tf=1 df=2 -> ln2
+    d0 = sorted(by_doc[0], key=lambda r: r["rnk"])
+    assert [(r["term"], r["tf"], r["df"]) for r in d0] == [
+        ("apple", 2, 2), ("banana", 1, 2),
+    ]
+    assert d0[0]["tfidf"] == pytest.approx(2 * math.log(2), abs=1e-12)
+    # doc 1: banana and cherry both tf=1 df=2 -> tie broken by term asc
+    d1 = sorted(by_doc[1], key=lambda r: r["rnk"])
+    assert [r["term"] for r in d1] == ["banana", "cherry"]
+    # every doc emits at most k rows
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_tfidf_no_python_in_plan(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame([(0, "a b")], columns=["doc_id", "text"])
+    )
+    plan = (
+        tfidf_top_terms(docs, n_docs=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
