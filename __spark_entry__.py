@@ -59,6 +59,7 @@ from go_muse_spark.operators.sessions import session_stats
 from go_muse_spark.operators.olap import dimensional_rollup
 from go_muse_spark.operators.stats import rolling_zscore, series_corr
 from go_muse_spark.operators.terms import tfidf_top_terms
+from go_muse_spark.operators.timeweight import state_durations, time_weighted_avg
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
     extract_frame_features,
@@ -366,6 +367,31 @@ def q_tfidf_top3(spark, sf_dir):
         F.round(F.col("tfidf") * 1e6, 0).cast("long").alias("tfidf_u"),
         "rnk",
     )
+
+
+def q_twa_1h(spark, sf_dir):
+    """LOCF time-weighted hourly average of `value` per user with a 2h
+    staleness bound — integer microsecond segment math, so the integral
+    and covered duration are exact and order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    out = time_weighted_avg(ev, "value", bucket_secs=3600, max_hold_secs=7200)
+    return out.select(
+        "user_id",
+        "bucket_epoch",
+        "covered_us",
+        F.round(F.col("twa") * 1e6, 0).cast("long").alias("twa_u"),
+    )
+
+
+def q_state_dur_1d(spark, sf_dir):
+    """Per (user, day, event_type): microseconds spent in that state
+    under LOCF with a 6h staleness bound, plus the number of entries
+    (segments starting in the day) — the uptime/state-agg primitive."""
+    ev = load_table(spark, sf_dir, "events")
+    out = state_durations(
+        ev, "event_type", bucket_secs=86400, max_hold_secs=21600
+    )
+    return out.select("user_id", "bucket_epoch", "state", "dur_us", "n_enters")
 
 
 def q_gapfill_ffill_1h(spark, sf_dir):
@@ -1234,6 +1260,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_traffic_value": q_corr_traffic_value,
         "rollup_dims": q_rollup_dims,
         "tfidf_top3": q_tfidf_top3,
+        "twa_1h": q_twa_1h,
+        "state_dur_1d": q_state_dur_1d,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1450,6 +1478,55 @@ SELECT event_type, date_trunc('day', ts) AS day_ts,
        cast(round(sum(value) * 1e6) AS bigint) AS value_u
 FROM events
 GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+""",
+        "twa_1h": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         cast(round(value * 1000) AS bigint) AS vmu,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts)) AS nxt
+  FROM events
+), s AS (
+  SELECT user_id, t, vmu,
+         least(coalesce(nxt, t + 7200000000), t + 7200000000) AS e
+  FROM p
+), x AS (
+  SELECT user_id, vmu, t, e,
+         least(e, (k + 1) * 3600000000) - greatest(t, k * 3600000000) AS ov,
+         k
+  FROM s, unnest(generate_series(t // 3600000000,
+                                 (e - 1) // 3600000000)) AS u(k)
+  WHERE e > t
+)
+SELECT user_id, cast(k * 3600 AS bigint) AS bucket_epoch,
+       cast(sum(ov) AS bigint) AS covered_us,
+       cast(round(sum(vmu * ov) * 1.0 / sum(ov) / 1000.0 * 1e6) AS bigint)
+         AS twa_u
+FROM x GROUP BY 1, 2
+""",
+        "state_dur_1d": """
+WITH p AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts)) AS nxt
+  FROM events
+), s AS (
+  SELECT user_id, state, t,
+         least(coalesce(nxt, t + 21600000000), t + 21600000000) AS e
+  FROM p
+), x AS (
+  SELECT user_id, state, t, e,
+         least(e, (k + 1) * 86400000000) - greatest(t, k * 86400000000) AS ov,
+         CASE WHEN t >= k * 86400000000 THEN 1 ELSE 0 END AS enters,
+         k
+  FROM s, unnest(generate_series(t // 86400000000,
+                                 (e - 1) // 86400000000)) AS u(k)
+  WHERE e > t
+)
+SELECT user_id, cast(k * 86400 AS bigint) AS bucket_epoch, state,
+       cast(sum(ov) AS bigint) AS dur_us,
+       cast(sum(enters) AS bigint) AS n_enters
+FROM x GROUP BY 1, 2, 3
 """,
         "tfidf_top3": """
 WITH toks AS (

@@ -1,0 +1,175 @@
+"""Time-weighted aggregation over irregular event streams.
+
+A plain AVG over a bucket treats a sensor that reported once and one
+that reported 1000x the same; a time-series store weighs each observed
+value by HOW LONG it held (TimescaleDB `time_weight`, PromQL's
+staleness-bounded LOCF semantics). Two operators share one segment
+decomposition:
+
+- time_weighted_avg: per (series, tumbling bucket), the LOCF integral
+  of the value divided by the covered duration.
+- state_durations: per (series, state, tumbling bucket), how many
+  microseconds the series spent in that state — the uptime / state-agg
+  primitive ("how long was this conversation in 'error'?").
+
+Segment model (the contract an oracle must replay exactly): each event
+at time t holds its value/state from t until the NEXT event of the same
+series or until t + max_hold_secs, whichever is earlier — a staleness
+bound, like Prometheus's 5m lookback, so a series that stops reporting
+stops accumulating instead of extrapolating forever. Segments are
+therefore disjoint per series, and a bucket's covered duration never
+exceeds the bucket length. Timestamps are worked in integer
+MICROSECONDS (the parquet resolution) and values are quantized to
+1e-3 before weighting, so every contribution value_mu * overlap_us is
+an exact int64 product and the per-bucket sums are order-independent —
+bit-identical in any engine, the same pooled-integer-sums trick the
+xcorr and stats oracles use. The only doubles are the final divisions.
+
+Scale shape: one window lead() per series to find the segment end (one
+exchange on the series key — at 100 TB the tier table is already
+partitioned by it, so AQE elides the shuffle), then a MAP-SIDE explode
+of each segment into the <= max_hold/bucket + 2 tumbling buckets it
+overlaps, then ONE hash aggregate on (series, bucket) with map-side
+partial aggregation. Shuffle volume is O(segments x hold/bucket), not
+O(points x window), and there is no second sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["locf_segments", "time_weighted_avg", "state_durations"]
+
+_US = 1_000_000
+
+
+def locf_segments(
+    events: DataFrame,
+    max_hold_secs: int,
+    by: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    payload: dict[str, str] | None = None,
+) -> DataFrame:
+    """Decompose an irregular event stream into disjoint hold segments.
+
+    Returns (by..., __t_us, __e_us, payload...): the half-open interval
+    [__t_us, __e_us) during which the event's payload is the series'
+    current observation. __e_us = min(next event ts, ts + max_hold).
+    Zero-length segments (duplicate timestamps) are dropped — the later
+    row wins, matching lead() ordering on (ts) with ties broken
+    arbitrarily but consistently because the window ORDER BY is on the
+    same integer the segment math uses.
+    """
+    if max_hold_secs <= 0:
+        raise ValueError("max_hold_secs must be positive")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*by).orderBy(t)
+    hold = F.lit(int(max_hold_secs) * _US)
+    end = F.least(F.lead(t).over(w), t + hold)
+    cols = [F.col(c) for c in by]
+    cols += [t.alias("__t_us"), F.coalesce(end, t + hold).alias("__e_us")]
+    for out_name, expr in (payload or {}).items():
+        cols.append(F.expr(expr).alias(out_name))
+    return events.select(*cols).filter(F.col("__e_us") > F.col("__t_us"))
+
+
+def _explode_buckets(seg: DataFrame, bucket_secs: int) -> DataFrame:
+    """Map-side fan-out of each segment into the tumbling buckets it
+    overlaps, with the exact integer overlap in microseconds."""
+    bs = int(bucket_secs) * _US
+    # integer `div`, not double `/` + cast: at microsecond-epoch
+    # magnitudes a double quotient can round UP across a boundary
+    k = F.explode(
+        F.sequence(
+            F.expr(f"__t_us div {bs}"),
+            F.expr(f"(__e_us - 1) div {bs}"),
+        )
+    ).alias("__k")
+    out = seg.select("*", k)
+    lo = F.greatest(F.col("__t_us"), F.col("__k") * F.lit(bs))
+    hi = F.least(F.col("__e_us"), (F.col("__k") + 1) * F.lit(bs))
+    return out.withColumn("__overlap_us", hi - lo)
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    value_col: str,
+    bucket_secs: int,
+    max_hold_secs: int,
+    by: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """LOCF time-weighted average per (series, tumbling bucket).
+
+        twa = sum(value_i * overlap_us_i) / sum(overlap_us_i)
+
+    over the hold segments intersecting the bucket. Values are
+    quantized to 1e-3 (value_mu = round(value * 1000) as int64) so the
+    numerator is an exact integer sum; covered_us <= bucket_secs * 1e6
+    by segment disjointness, which also bounds the int64 numerator at
+    max|value_mu| * bucket_us.
+
+    Returns (by..., bucket_epoch, covered_us, twa) — bucket_epoch in
+    whole seconds, covered_us the observed (non-gap) share of the
+    bucket, twa back in value units (double; the one rounding step).
+    """
+    vmu = f"cast(round({value_col} * 1000) as bigint)"
+    seg = locf_segments(
+        events, max_hold_secs, by=by, ts_col=ts_col, payload={"__vmu": vmu}
+    )
+    ex = _explode_buckets(seg, bucket_secs)
+    return (
+        ex.groupBy(*by, F.col("__k"))
+        .agg(
+            F.sum(F.col("__vmu") * F.col("__overlap_us")).alias("__num"),
+            F.sum("__overlap_us").alias("covered_us"),
+        )
+        .select(
+            *by,
+            (F.col("__k") * F.lit(int(bucket_secs))).alias("bucket_epoch"),
+            "covered_us",
+            (F.col("__num") / F.col("covered_us") / F.lit(1000.0)).alias(
+                "twa"
+            ),
+        )
+    )
+
+
+def state_durations(
+    events: DataFrame,
+    state_col: str,
+    bucket_secs: int,
+    max_hold_secs: int,
+    by: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per (series, tumbling bucket, state): microseconds spent in that
+    state under the LOCF + staleness-bound segment model. Disjoint
+    segments mean the per-bucket durations sum to covered time, never
+    more than the bucket. All-integer: order-independent, exact.
+
+    Returns (by..., bucket_epoch, state, dur_us, n_enters) where
+    n_enters counts segments of that state STARTING in the bucket
+    (transition count, 0 for pure carry-in coverage).
+    """
+    seg = locf_segments(
+        events, max_hold_secs, by=by, ts_col=ts_col, payload={"state": state_col}
+    )
+    ex = _explode_buckets(seg, bucket_secs)
+    bs = int(bucket_secs) * _US
+    enters = (F.col("__t_us") >= F.col("__k") * F.lit(bs)).cast("long")
+    return (
+        ex.groupBy(*by, F.col("__k"), F.col("state"))
+        .agg(
+            F.sum("__overlap_us").alias("dur_us"),
+            F.sum(enters).alias("n_enters"),
+        )
+        .select(
+            *by,
+            (F.col("__k") * F.lit(int(bucket_secs))).alias("bucket_epoch"),
+            "state",
+            "dur_us",
+            "n_enters",
+        )
+    )
