@@ -59,6 +59,7 @@ from go_muse_spark.operators.sessions import session_stats
 from go_muse_spark.operators.olap import dimensional_rollup
 from go_muse_spark.operators.stats import rolling_zscore, series_corr
 from go_muse_spark.operators.terms import tfidf_top_terms
+from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.timeweight import state_durations, time_weighted_avg
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
@@ -392,6 +393,28 @@ def q_state_dur_1d(spark, sf_dir):
         ev, "event_type", bucket_secs=86400, max_hold_secs=21600
     )
     return out.select("user_id", "bucket_epoch", "state", "dur_us", "n_enters")
+
+
+def q_funnel_vcp(spark, sf_dir):
+    """view -> click -> purchase funnel per user: earliest strictly-
+    ordered chain (greedy-earliest = maximal depth), integer-microsecond
+    timestamps so every min() is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"]).select(
+        "user_id", "step1_us", "step2_us", "step3_us", "n_steps"
+    )
+
+
+def q_cohort_1d(spark, sf_dir):
+    """Daily cohort retention matrix: users bucketed by first-seen day,
+    counted at each later active-day offset. One shuffle via
+    collect_set(day) per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, 86400).select(
+        "cohort_epoch",
+        F.col("offset").alias("offset_p"),
+        "n_users",
+    )
 
 
 def q_gapfill_ffill_1h(spark, sf_dir):
@@ -1262,6 +1285,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "twa_1h": q_twa_1h,
         "state_dur_1d": q_state_dur_1d,
+        "funnel_vcp": q_funnel_vcp,
+        "cohort_1d": q_cohort_1d,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1527,6 +1552,39 @@ SELECT user_id, cast(k * 86400 AS bigint) AS bucket_epoch, state,
        cast(sum(ov) AS bigint) AS dur_us,
        cast(sum(enters) AS bigint) AS n_enters
 FROM x GROUP BY 1, 2, 3
+""",
+        "funnel_vcp": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), s1 AS (
+  SELECT user_id, min(t) AS step1_us FROM e
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.t) AS step2_us
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.t > s1.step1_us GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.t) AS step3_us
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.t > s2.step2_us GROUP BY 1
+)
+SELECT s1.user_id, s1.step1_us, s2.step2_us, s3.step3_us,
+       cast(1 + coalesce(cast(s2.user_id IS NOT NULL AS int), 0)
+              + coalesce(cast(s3.user_id IS NOT NULL AS int), 0) AS int)
+         AS n_steps
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+        "cohort_1d": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS k FROM events
+), f AS (
+  SELECT user_id, min(k) AS ck FROM d GROUP BY 1
+)
+SELECT cast(f.ck * 86400 AS bigint) AS cohort_epoch,
+       cast(d.k - f.ck AS int) AS offset_p,
+       count(*) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
 """,
         "tfidf_top3": """
 WITH toks AS (

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "tfidf_top3",
     "twa_1h",
     "state_dur_1d",
+    "funnel_vcp",
+    "cohort_1d",
     "multimodal_features",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed
