@@ -270,6 +270,25 @@ def q_m4_1d(spark, sf_dir):
     )
 
 
+def q_lttb_1d(spark, sf_dir):
+    """Fixed-anchor LTTB: per user and 1-day pixel over the 1h tier,
+    the single point maximizing the triangle area against the previous
+    and next pixels' average points (endpoints keep first/last). All
+    anchor math from exact integer sums, so the area argmax is
+    engine-independent."""
+    from go_muse_spark.operators.downsample import lttb_downsample
+
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    out = lttb_downsample(rolled, "turn_cnt", 86400)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "px_epoch",
+        "t_epoch",
+        "vmu",
+        "n_points",
+    )
+
+
 def q_ewma_1h(spark, sf_dir):
     """Trailing EWMA (dyadic 2^-k decay, window 8 buckets) over the 1h
     tier. Shuffle-sort-free plan: map-side explode of each point into
@@ -1287,6 +1306,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_dur_1d": q_state_dur_1d,
         "funnel_vcp": q_funnel_vcp,
         "cohort_1d": q_cohort_1d,
+        "lttb_1d": q_lttb_1d,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1552,6 +1572,48 @@ SELECT user_id, cast(k * 86400 AS bigint) AS bucket_epoch, state,
        cast(sum(ov) AS bigint) AS dur_us,
        cast(sum(enters) AS bigint) AS n_enters
 FROM x GROUP BY 1, 2, 3
+""",
+        "lttb_1d": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS uid,
+         cast(epoch(date_trunc('hour', ts)) AS bigint) AS t,
+         count(*) * 1000 AS vmu
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT uid, t, vmu, t // 86400 AS px, t - (t // 86400) * 86400 AS x
+  FROM r
+), a AS (
+  SELECT uid, px, count(*) AS n, sum(x) AS sx, sum(vmu) AS sv
+  FROM p GROUP BY 1, 2
+), i AS (
+  SELECT uid, px, n,
+         lag(px)  OVER w AS ppx, lag(sx)  OVER w AS psx,
+         lag(sv)  OVER w AS psv, lag(n)   OVER w AS pn,
+         lead(px) OVER w AS npx, lead(sx) OVER w AS nsx,
+         lead(sv) OVER w AS nsv, lead(n)  OVER w AS nn
+  FROM a WINDOW w AS (PARTITION BY uid ORDER BY px)
+), j AS (
+  SELECT p.uid, p.px, p.t, p.vmu, i.n,
+         CASE WHEN i.ppx IS NULL THEN -cast(p.x AS double)
+              WHEN i.npx IS NULL THEN  cast(p.x AS double)
+              ELSE abs(
+                ((i.psx * 1.0 / i.pn + (i.ppx - p.px) * 86400.0)
+                 - (i.nsx * 1.0 / i.nn + (i.npx - p.px) * 86400.0))
+                * (cast(p.vmu AS double) - i.psv * 1.0 / i.pn)
+                - ((i.psx * 1.0 / i.pn + (i.ppx - p.px) * 86400.0)
+                   - cast(p.x AS double))
+                * (i.nsv * 1.0 / i.nn - i.psv * 1.0 / i.pn))
+         END AS k1
+  FROM p JOIN i USING (uid, px)
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY uid, px
+                               ORDER BY k1 DESC, t ASC) AS rn
+  FROM j
+)
+SELECT uid AS user_id, cast(px * 86400 AS bigint) AS px_epoch,
+       t AS t_epoch, cast(vmu AS bigint) AS vmu,
+       cast(n AS bigint) AS n_points
+FROM rk WHERE rn = 1
 """,
         "funnel_vcp": """
 WITH e AS (

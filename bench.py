@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "state_dur_1d",
     "funnel_vcp",
     "cohort_1d",
+    "lttb_1d",
     "multimodal_features",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["m4_downsample", "ewma", "top_series_per_bucket"]
+__all__ = ["m4_downsample", "ewma", "lttb_downsample", "top_series_per_bucket"]
 
 
 def m4_downsample(
@@ -149,6 +149,111 @@ def ewma(
             (F.col("__num") / F.col("w_norm")).alias("ewma"),
             "w_norm",
         )
+    )
+
+
+def lttb_downsample(
+    rolled: DataFrame,
+    value_col: str,
+    out_secs: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample, parallel fixed-anchor
+    variant: per (series, out_secs pixel bucket) keep the ONE point
+    maximizing the triangle area against the PREVIOUS bucket's average
+    point and the NEXT bucket's average point. Canonical LTTB anchors on
+    the previously SELECTED point, a sequential dependency; anchoring on
+    the previous bucket's average instead (the RIGHT anchor is already a
+    bucket average in Steinarsson's original formulation) makes every
+    bucket independent —
+    embarrassingly parallel, and expressible as two relational passes.
+    The first bucket of a series keeps its first point, the last bucket
+    its last point, matching canonical LTTB's endpoint rule.
+
+    Numerical contract: x coordinates are integer seconds relative to
+    the pixel start (plus exact out_secs multiples for cross-bucket
+    offsets), y values are quantized to 1e-3 (vmu int64). The anchor
+    averages are single divisions of exact integer sums, so every
+    engine computes bit-identical doubles and the area argmax is
+    engine-independent; ties break to the earliest point.
+
+    Scale shape: one hash aggregate for the per-bucket sums (map-side
+    partial, O(series x pixels) shuffle), one tiny window lag/lead over
+    the aggregate, one co-partitioned join back to the points on
+    (series, pixel), and an argmax aggregate that reuses the join's
+    partitioning — no second wide shuffle of the points beyond the join.
+
+    Returns (by..., px_epoch, t_epoch, vmu, n_points).
+    """
+    ts = F.unix_timestamp(F.col(bucket_col))
+    px = F.expr(
+        f"unix_timestamp({bucket_col}) div {int(out_secs)}"
+    )
+    vmu = F.round(F.col(value_col) * 1000).cast("long")
+    pts = rolled.select(
+        *by,
+        px.alias("__px"),
+        ts.alias("__t"),
+        vmu.alias("__vmu"),
+    ).withColumn("__x", F.col("__t") - F.col("__px") * F.lit(int(out_secs)))
+
+    agg = pts.groupBy(*by, "__px").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__vmu").alias("__sv"),
+    )
+    w = Window.partitionBy(*by).orderBy("__px")
+    info = agg.select(
+        *by,
+        "__px",
+        F.col("__n").alias("n_points"),
+        F.lag("__px").over(w).alias("__ppx"),
+        F.lag("__sx").over(w).alias("__psx"),
+        F.lag("__sv").over(w).alias("__psv"),
+        F.lag("__n").over(w).alias("__pn"),
+        F.lead("__px").over(w).alias("__npx"),
+        F.lead("__sx").over(w).alias("__nsx"),
+        F.lead("__sv").over(w).alias("__nsv"),
+        F.lead("__n").over(w).alias("__nn"),
+    )
+    j = pts.join(info, on=[*by, "__px"])
+
+    out = F.lit(float(out_secs))
+    x_l = F.col("__psx") / F.col("__pn") + (
+        F.col("__ppx") - F.col("__px")
+    ).cast("double") * out
+    y_l = F.col("__psv") / F.col("__pn")
+    x_r = F.col("__nsx") / F.col("__nn") + (
+        F.col("__npx") - F.col("__px")
+    ).cast("double") * out
+    y_r = F.col("__nsv") / F.col("__nn")
+    x = F.col("__x").cast("double")
+    y = F.col("__vmu").cast("double")
+    area2 = F.abs((x_l - x_r) * (y - y_l) - (x_l - x) * (y_r - y_l))
+    # selection key: first bucket -> earliest point, last bucket ->
+    # latest point, interior -> max area; ties to the earliest point
+    key1 = (
+        F.when(F.col("__ppx").isNull(), -x)
+        .when(F.col("__npx").isNull(), x)
+        .otherwise(area2)
+    )
+    sel = j.groupBy(*by, "__px", "n_points").agg(
+        F.max(
+            F.struct(
+                key1.alias("k1"),
+                (-F.col("__t")).alias("k2"),
+                F.col("__t").alias("t"),
+                F.col("__vmu").alias("v"),
+            )
+        ).alias("__s")
+    )
+    return sel.select(
+        *by,
+        (F.col("__px") * F.lit(int(out_secs))).alias("px_epoch"),
+        F.col("__s.t").alias("t_epoch"),
+        F.col("__s.v").alias("vmu"),
+        "n_points",
     )
 
 

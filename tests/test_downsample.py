@@ -143,3 +143,80 @@ def test_top_series_per_bucket(spark):
     assert day1 == [(1, "b"), (2, "c")]
     day2 = [(r["rnk"], r["conv_id"]) for r in out if r["bucket_ts"].day == 2]
     assert day2 == [(1, "a")]
+
+
+# ----------------------------------------------------------------- lttb
+
+
+def _lttb_sim(rows, out_secs):
+    """Pure-Python replica of the fixed-anchor LTTB contract (IEEE
+    doubles, same expression order as the operator)."""
+    per = {}
+    for c, h, v in rows:
+        t = int((T0 + dt.timedelta(hours=h) - dt.datetime(1970, 1, 1)).total_seconds())
+        per.setdefault(c, []).append((t, round(v * 1000)))
+    sel = {}
+    for c, pts in per.items():
+        pts.sort()
+        bk = {}
+        for t, vmu in pts:
+            bk.setdefault(t // out_secs, []).append((t, vmu))
+        pxs = sorted(bk)
+        for i, px in enumerate(pxs):
+            mem = bk[px]
+            if i == 0:
+                best = min(mem)
+            elif i == len(pxs) - 1:
+                best = max(mem)
+            else:
+                pp, np_ = pxs[i - 1], pxs[i + 1]
+                pn, nn = len(bk[pp]), len(bk[np_])
+                x_l = sum(t - pp * out_secs for t, _ in bk[pp]) / pn + float(pp - px) * float(out_secs)
+                y_l = sum(v for _, v in bk[pp]) / pn
+                x_r = sum(t - np_ * out_secs for t, _ in bk[np_]) / nn + float(np_ - px) * float(out_secs)
+                y_r = sum(v for _, v in bk[np_]) / nn
+                best, bkey = None, None
+                for t, vmu in mem:
+                    x = float(t - px * out_secs)
+                    y = float(vmu)
+                    a2 = abs((x_l - x_r) * (y - y_l) - (x_l - x) * (y_r - y_l))
+                    key = (a2, -t)
+                    if bkey is None or key > bkey:
+                        best, bkey = (t, vmu), key
+            sel[(c, px * out_secs)] = (best[0], best[1], len(mem))
+    return sel
+
+
+def test_lttb_endpoints_and_membership(spark):
+    from go_muse_spark.operators.downsample import lttb_downsample
+
+    rows = [("a", h, (h * 37) % 11 - 5) for h in range(0, 72, 2)]
+    out = lttb_downsample(_tier(spark, rows), "turn_cnt", 86400).collect()
+    assert len(out) == 3  # three day pixels
+    by_px = {r["px_epoch"]: r for r in out}
+    first_px = min(by_px)
+    last_px = max(by_px)
+    # endpoint rule
+    assert by_px[first_px]["t_epoch"] % 86400 == 0  # h0 point
+    assert by_px[last_px]["t_epoch"] % 86400 == 70 * 3600 % 86400
+    # membership: each selected point lies inside its pixel
+    for px, r in by_px.items():
+        assert px <= r["t_epoch"] < px + 86400
+
+
+def test_lttb_matches_simulator(spark):
+    from go_muse_spark.operators.downsample import lttb_downsample
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for c in ["a", "b", "c"]:
+        for h in range(0, 24 * 7):
+            if rng.random() < 0.6:
+                rows.append((c, h, rng.randrange(-500, 500)))
+    want = _lttb_sim(rows, 86400)
+    got = {
+        (r["conv_id"], r["px_epoch"]): (r["t_epoch"], r["vmu"], r["n_points"])
+        for r in lttb_downsample(_tier(spark, rows), "turn_cnt", 86400).collect()
+    }
+    assert got == want
