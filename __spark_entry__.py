@@ -56,7 +56,8 @@ from go_muse_spark.operators.downsample import (
 from go_muse_spark.operators.joins import asof_join, interval_join
 from go_muse_spark.operators.sampling import sample_rates_sql, stratified_sample
 from go_muse_spark.operators.sessions import session_stats
-from go_muse_spark.operators.olap import dimensional_rollup
+from go_muse_spark.operators.cardinality import distinct_rollup
+from go_muse_spark.operators.olap import dimensional_rollup, value_histogram
 from go_muse_spark.operators.stats import rolling_zscore, series_corr
 from go_muse_spark.operators.terms import tfidf_top_terms
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
@@ -412,6 +413,24 @@ def q_state_dur_1d(spark, sf_dir):
         ev, "event_type", bucket_secs=86400, max_hold_secs=21600
     )
     return out.select("user_id", "bucket_epoch", "state", "dur_us", "n_enters")
+
+
+def q_uniques_1h(spark, sf_dir):
+    """Exact distinct users per (hour, event_type) via the two-phase
+    Expand dedup; the HLL sketch variant (approx_distinct_rollup) is
+    the constant-shuffle 100 TB path, tolerance-tested in tests/."""
+    ev = load_table(spark, sf_dir, "events")
+    out = distinct_rollup(ev, "user_id", 3600, dims=("event_type",))
+    return out.select("bucket_epoch", "event_type", "n_events", "n_distinct")
+
+
+def q_hist_value_1d(spark, sf_dir):
+    """Fixed-width value histogram per event_type: 16 bins of width 32
+    with clamped edge bins — one hash aggregate, O(types x bins) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return value_histogram(
+        ev, "value", lo=0.0, width=32.0, n_bins=16, dims=("event_type",)
+    )
 
 
 def q_funnel_vcp(spark, sf_dir):
@@ -1307,6 +1326,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_vcp": q_funnel_vcp,
         "cohort_1d": q_cohort_1d,
         "lttb_1d": q_lttb_1d,
+        "uniques_1h": q_uniques_1h,
+        "hist_value_1d": q_hist_value_1d,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1572,6 +1593,26 @@ SELECT user_id, cast(k * 86400 AS bigint) AS bucket_epoch, state,
        cast(sum(ov) AS bigint) AS dur_us,
        cast(sum(enters) AS bigint) AS n_enters
 FROM x GROUP BY 1, 2, 3
+""",
+        "uniques_1h": """
+SELECT cast(floor(epoch(ts)) AS bigint)
+         - cast(floor(epoch(ts)) AS bigint) % 3600 AS bucket_epoch,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1, 2
+""",
+        "hist_value_1d": """
+WITH b AS (
+  SELECT event_type,
+         cast(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS int)
+           AS bin_idx
+  FROM events
+)
+SELECT event_type, bin_idx,
+       0.0 + cast(bin_idx AS double) * 32.0 AS bin_lo,
+       count(*) AS n
+FROM b GROUP BY 1, 2
 """,
         "lttb_1d": """
 WITH r AS (

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "funnel_vcp",
     "cohort_1d",
     "lttb_1d",
+    "uniques_1h",
+    "hist_value_1d",
     "multimodal_features",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed

@@ -1,0 +1,77 @@
+"""Distinct-cardinality rollups over the event stream.
+
+"Unique users per hour" is the other half of every traffic dashboard
+(count rollups are already tiers). Two paths:
+
+- distinct_rollup: EXACT count distinct per (bucket, dims...). Spark
+  plans count(DISTINCT k) as the two-phase Expand trick: partial
+  dedup on (bucket, dims, k) map-side, shuffle the deduped pairs, then
+  count — shuffle volume is O(distinct pairs), not O(events). This is
+  the oracle-checkable contract query.
+- approx_distinct_rollup: HyperLogLog++ via approx_count_distinct —
+  the 100 TB path. The sketch is an algebraic aggregate (partial
+  map-side merge, O(buckets x 2^p) shuffle bytes INDEPENDENT of
+  cardinality), which is why at scale you trade the exact Expand
+  shuffle for it; rsd=0.05 -> ~1.5 KB per group. Not SQL-oracle-able
+  (sketch internals are engine-specific); tested against the exact
+  path within 4*rsd on the driver fixtures instead.
+
+At 10^12 turns the exact path's dedup shuffle is O(user x hour) pairs
+— still big; the HLL path's shuffle is O(hours) sketch blobs. The
+engine exposes both because training-data audits need exact counts
+(dedup accounting) while dashboards want the sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["distinct_rollup", "approx_distinct_rollup"]
+
+
+def _bucket(bucket_secs: int, ts_col: str):
+    return (
+        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        - F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        % F.lit(int(bucket_secs))
+    ).alias("bucket_epoch")
+
+
+def distinct_rollup(
+    events: DataFrame,
+    key_col: str,
+    bucket_secs: int,
+    dims: tuple[str, ...] = (),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact distinct `key_col` count per (bucket, dims...), plus the
+    raw event count for context. Returns (bucket_epoch, dims...,
+    n_events, n_distinct)."""
+    return (
+        events.groupBy(_bucket(bucket_secs, ts_col), *dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(key_col).alias("n_distinct"),
+        )
+    )
+
+
+def approx_distinct_rollup(
+    events: DataFrame,
+    key_col: str,
+    bucket_secs: int,
+    dims: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """HyperLogLog++ distinct estimate per (bucket, dims...): the
+    constant-shuffle-bytes scale path. Returns (bucket_epoch, dims...,
+    n_events, n_approx)."""
+    return (
+        events.groupBy(_bucket(bucket_secs, ts_col), *dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct(key_col, rsd).alias("n_approx"),
+        )
+    )

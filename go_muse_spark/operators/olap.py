@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dimensional_rollup"]
+__all__ = ["dimensional_rollup", "value_histogram"]
 
 
 def dimensional_rollup(
@@ -39,4 +39,39 @@ def dimensional_rollup(
     return g.agg(
         F.grouping_id().cast("long").alias("grp"),
         *[c.alias(name) for name, c in aggs.items()],
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+    dims: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-width histogram of `value_col` per dims...: bin_idx =
+    floor((v - lo) / width) clamped to [0, n_bins-1] (under/overflow
+    land in the edge bins, so every row is counted exactly once). One
+    hash aggregate with map-side partials — shuffle O(dims x bins).
+    The bin function is a single float divide + floor on identical
+    operands, so bin assignment is engine-independent except exactly ON
+    a boundary; choose lo/width representable in binary (0.5, 0.25, …)
+    when oracle-matching matters.
+
+    Returns (dims..., bin_idx, bin_lo, n)."""
+    if n_bins < 1 or width <= 0:
+        raise ValueError("need n_bins >= 1 and width > 0")
+    raw = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(float(width)))
+    idx = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(int(n_bins) - 1)
+    ).cast("int")
+    return (
+        df.groupBy(*dims, idx.alias("bin_idx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bin_lo",
+            F.lit(float(lo)) + F.col("bin_idx").cast("double") * F.lit(float(width)),
+        )
+        .select(*dims, "bin_idx", "bin_lo", "n")
     )

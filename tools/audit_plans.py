@@ -21,7 +21,7 @@ DEFAULT = [
     "counter_rate_1h", "muse_over_chunks_1h",
     "m4_1d", "ewma_1h", "zscore_24h", "corr_traffic_value",
     "rollup_dims", "tfidf_top3", "twa_1h", "state_dur_1d",
-    "funnel_vcp", "cohort_1d", "lttb_1d",
+    "funnel_vcp", "cohort_1d", "lttb_1d", "uniques_1h", "hist_value_1d",
 ]
 
 
