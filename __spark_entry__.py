@@ -54,11 +54,16 @@ from go_muse_spark.operators.downsample import (
     top_series_per_bucket,
 )
 from go_muse_spark.operators.joins import asof_join, interval_join
-from go_muse_spark.operators.sampling import sample_rates_sql, stratified_sample
+from go_muse_spark.operators.sampling import (
+    sample_rates_sql,
+    split_assign,
+    split_assign_sql,
+    stratified_sample,
+)
 from go_muse_spark.operators.sessions import session_stats
 from go_muse_spark.operators.cardinality import distinct_rollup
 from go_muse_spark.operators.olap import dimensional_rollup, value_histogram
-from go_muse_spark.operators.stats import rolling_zscore, series_corr
+from go_muse_spark.operators.stats import period_delta, rolling_zscore, series_corr
 from go_muse_spark.operators.terms import tfidf_top_terms
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.timeweight import state_durations, time_weighted_avg
@@ -413,6 +418,32 @@ def q_state_dur_1d(spark, sf_dir):
         ev, "event_type", bucket_secs=86400, max_hold_secs=21600
     )
     return out.select("user_id", "bucket_epoch", "state", "dur_us", "n_enters")
+
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_docs(spark, sf_dir):
+    """Deterministic train/val/test assignment over documents by
+    content hash — map-only, partitioning-independent, dedup-consistent
+    (duplicates cannot straddle a split boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs, _SPLIT_FRACTIONS).select("doc_id", "split")
+
+
+def q_dod_delta_1d(spark, sf_dir):
+    """Day-over-day comparison on the 1h tier (PromQL `offset 1d`): the
+    same series' bucket exactly 24h earlier via a degenerate RANGE
+    frame; gaps stay NULL, no implicit fill."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    out = period_delta(rolled, "turn_cnt", 86400)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "value",
+        "prev_value",
+        "delta",
+    )
 
 
 def q_uniques_1h(spark, sf_dir):
@@ -1328,6 +1359,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_1d": q_lttb_1d,
         "uniques_1h": q_uniques_1h,
         "hist_value_1d": q_hist_value_1d,
+        "split_docs": q_split_docs,
+        "dod_delta_1d": q_dod_delta_1d,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1593,6 +1626,24 @@ SELECT user_id, cast(k * 86400 AS bigint) AS bucket_epoch, state,
        cast(sum(ov) AS bigint) AS dur_us,
        cast(sum(enters) AS bigint) AS n_enters
 FROM x GROUP BY 1, 2, 3
+""",
+        "split_docs": f"""
+SELECT doc_id, {split_assign_sql(_SPLIT_FRACTIONS)} AS split
+FROM documents
+""",
+        "dod_delta_1d": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         cast(epoch(date_trunc('hour', ts)) AS bigint) AS bucket_epoch,
+         cast(count(*) AS bigint) AS turn_cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, bucket_epoch, turn_cnt AS value,
+       max(turn_cnt) OVER w AS prev_value,
+       turn_cnt - max(turn_cnt) OVER w AS delta
+FROM r
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket_epoch
+             RANGE BETWEEN 86400 PRECEDING AND 86400 PRECEDING)
 """,
         "uniques_1h": """
 SELECT cast(floor(epoch(ts)) AS bigint)

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "lttb_1d",
     "uniques_1h",
     "hist_value_1d",
+    "split_docs",
+    "dod_delta_1d",
     "multimodal_features",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed

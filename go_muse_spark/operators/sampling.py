@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from go_muse_spark.functions import text as X
 
-__all__ = ["stratified_sample", "sample_rates_sql"]
+__all__ = [
+    "stratified_sample",
+    "sample_rates_sql",
+    "split_assign",
+    "split_assign_sql",
+]
 
 
 def _keep_cond(
@@ -60,6 +65,60 @@ def stratified_sample(
         key_sql = X.char_hash("spark", "text")
     bucket = F.expr(key_sql) % F.lit(denom)
     return df.filter(_keep_cond(bucket, strata_col, rates, denom))
+
+
+def _split_thresholds(
+    fractions: dict[str, float], denom: int
+) -> list[tuple[str, int]]:
+    """(split_name, exclusive upper bucket bound) in insertion order;
+    validates fractions sum to <= 1 after 1/denom quantization."""
+    out, acc = [], 0
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1]: {frac}")
+        acc += int(round(frac * denom))
+        out.append((name, acc))
+    if acc > denom:
+        raise ValueError(f"fractions sum to {acc}/{denom} > 1")
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_sql: str | None = None,
+    denom: int = 10000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: consecutive hash-bucket
+    ranges of ``hash(key) % denom``, one range per split in dict order,
+    rows past the last range get NULL (held out). Same guarantees as
+    stratified_sample — content-keyed, partitioning-independent,
+    map-only, dedup-consistent (duplicates land in the SAME split, so
+    near-dup leakage across train/test can't come from the splitter) —
+    which is exactly what a training pipeline needs from its splits.
+    """
+    if key_sql is None:
+        key_sql = X.char_hash("spark", "text")
+    bucket = F.expr(key_sql) % F.lit(denom)
+    expr = F.lit(None).cast("string")
+    # build the CASE from the last range backwards so earlier (lower)
+    # ranges take precedence
+    for name, ub in reversed(_split_thresholds(fractions, denom)):
+        expr = F.when(bucket < ub, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_assign_sql(
+    fractions: dict[str, float], denom: int = 10000
+) -> str:
+    """DuckDB-dialect CASE expression replaying split_assign."""
+    bucket = f"(({X.char_hash('duck', 'text')}) % {denom})"
+    whens = "".join(
+        f" WHEN {bucket} < {ub} THEN '{name}'"
+        for name, ub in _split_thresholds(fractions, denom)
+    )
+    return f"CASE{whens} ELSE NULL END"
 
 
 def sample_rates_sql(

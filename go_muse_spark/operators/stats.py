@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_zscore", "series_corr"]
+__all__ = ["rolling_zscore", "series_corr", "period_delta"]
 
 
 def rolling_zscore(
@@ -81,6 +81,42 @@ def rolling_zscore(
         .withColumn(
             "is_anom", F.coalesce(F.abs(F.col("z")) >= threshold, F.lit(False))
         )
+    )
+
+
+def period_delta(
+    rolled: DataFrame,
+    value_col: str,
+    period_secs: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Period-over-period comparison (PromQL's `offset`, the dashboard
+    "vs same hour yesterday"): for each tier bucket, the value exactly
+    `period_secs` earlier in the same series, via a degenerate RANGE
+    frame [-period, -period] — the frame matches at most the single
+    bucket at that exact offset (tier buckets are unique per series),
+    so max() is just "the" value and NULL means no bucket existed there
+    (a gap stays a gap; no implicit fill).
+
+    One exchange on the series key + one window sort; the frame is O(1)
+    per row (both bounds move in lockstep). Returns (by..., bucket_col,
+    value, prev_value, delta) with delta NULL when there is no
+    comparison bucket.
+    """
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.unix_timestamp(bucket_col))
+        .rangeBetween(-int(period_secs), -int(period_secs))
+    )
+    v = F.col(value_col)
+    prev = F.max(v).over(w)
+    return rolled.select(
+        *by,
+        bucket_col,
+        v.alias("value"),
+        prev.alias("prev_value"),
+        (v - prev).alias("delta"),
     )
 
 

@@ -86,3 +86,57 @@ def test_map_only_plan(spark):
 def test_bad_rate_raises(spark):
     with pytest.raises(ValueError, match="rate"):
         stratified_sample(_docs(spark, n=5), {"en": 1.5}).collect()
+
+
+# ------------------------------------------------------------ split_assign
+
+
+def test_split_fractions_partition_and_determinism(spark):
+    from go_muse_spark.operators.sampling import split_assign
+
+    df = _docs(spark, n=2000)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(df, fr)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert None not in counts  # fractions sum to 1 -> nothing held out
+    assert sum(counts.values()) == 2000
+    # roughly proportional (hash-uniform over random text)
+    assert counts["train"] > counts["val"]
+    assert abs(counts["train"] / 2000 - 0.8) < 0.06
+    # partitioning-independent
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_assign(df.repartition(13), fr).collect()
+    )
+    assert a == b
+
+
+def test_split_duplicates_land_together_and_holdout(spark):
+    from go_muse_spark.operators.sampling import split_assign
+
+    df = _docs(spark, n=300)
+    dup = df.union(df)  # byte-identical duplicates
+    out = split_assign(dup, {"train": 0.5, "val": 0.2})
+    per_text = (
+        out.groupBy("text")
+        .agg(F.count_distinct("split").alias("k"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["k"] <= 1 for r in per_text)  # never straddles splits
+    # 30% of the hash space is deliberately held out as NULL
+    n_null = out.filter(F.col("split").isNull()).count()
+    assert 0 < n_null < 600
+
+
+def test_split_fraction_validation(spark):
+    from go_muse_spark.operators.sampling import split_assign
+
+    df = _docs(spark, n=10)
+    with pytest.raises(ValueError):
+        split_assign(df, {"a": 0.7, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_assign(df, {"a": -0.1})

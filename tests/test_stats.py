@@ -105,3 +105,35 @@ def test_corr_single_aggregate_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_period_delta_exact_offset_only(spark):
+    import datetime as dt
+    import pandas as pd
+    from go_muse_spark.operators.stats import period_delta
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # hours 0, 1, 24, 25, 49: h24 pairs with h0, h25 with h1,
+        # h49 has NO bucket at h25+24=49-24=25 -> wait, 49-24=25 exists
+        ("a", 0, 10.0), ("a", 1, 11.0), ("a", 24, 15.0),
+        ("a", 25, 13.0), ("a", 49, 20.0), ("a", 50, 7.0),
+        ("b", 24, 5.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(c, t0 + dt.timedelta(hours=h), v) for c, h, v in rows],
+            columns=["conv_id", "bucket_ts", "turn_cnt"],
+        )
+    )
+    out = {
+        (r["conv_id"], r["bucket_ts"].hour + 24 * (r["bucket_ts"].day - 1)):
+            (r["prev_value"], r["delta"])
+        for r in period_delta(df, "turn_cnt", 86400).collect()
+    }
+    assert out[("a", 0)] == (None, None)
+    assert out[("a", 24)] == (10.0, 5.0)
+    assert out[("a", 25)] == (11.0, 2.0)
+    assert out[("a", 49)] == (13.0, 7.0)
+    assert out[("a", 50)] == (None, None)  # no bucket at h26
+    assert out[("b", 24)] == (None, None)  # other series can't leak in
