@@ -60,7 +60,7 @@ from go_muse_spark.operators.sampling import (
     split_assign_sql,
     stratified_sample,
 )
-from go_muse_spark.operators.sessions import session_stats
+from go_muse_spark.operators.sessions import interval_union, session_stats
 from go_muse_spark.operators.cardinality import distinct_rollup
 from go_muse_spark.operators.olap import dimensional_rollup, value_histogram
 from go_muse_spark.operators.stats import period_delta, rolling_zscore, series_corr
@@ -443,6 +443,23 @@ def q_dod_delta_1d(spark, sf_dir):
         "value",
         "prev_value",
         "delta",
+    )
+
+
+def q_coverage_1h(spark, sf_dir):
+    """Merged activity coverage: each event opens a 1h half-open
+    interval; interval_union collapses the overlaps per user into
+    disjoint spans — uptime/SLA accounting in integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        t.alias("start_us"),
+        (t + F.lit(3600 * 1_000_000)).alias("end_us"),
+    )
+    out = interval_union(iv)
+    return out.select(
+        "user_id", "merge_id", "start", "end", "n_merged", "covered"
     )
 
 
@@ -1361,6 +1378,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_value_1d": q_hist_value_1d,
         "split_docs": q_split_docs,
         "dod_delta_1d": q_dod_delta_1d,
+        "coverage_1h": q_coverage_1h,
         "gapfill_zero_1h": _gapfill_zero_1h,
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
@@ -1626,6 +1644,29 @@ SELECT user_id, cast(k * 86400 AS bigint) AS bucket_epoch, state,
        cast(sum(ov) AS bigint) AS dur_us,
        cast(sum(enters) AS bigint) AS n_enters
 FROM x GROUP BY 1, 2, 3
+""",
+        "coverage_1h": """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 3600000000 AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS nw
+  FROM iv
+), numbered AS (
+  SELECT user_id, s, e,
+         cast(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+           AS merge_id
+  FROM flagged
+)
+SELECT user_id, merge_id, min(s) AS start, max(e) AS "end",
+       count(*) AS n_merged, max(e) - min(s) AS covered
+FROM numbered GROUP BY 1, 2
 """,
         "split_docs": f"""
 SELECT doc_id, {split_assign_sql(_SPLIT_FRACTIONS)} AS split

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "hist_value_1d",
     "split_docs",
     "dod_delta_1d",
+    "coverage_1h",
     "multimodal_features",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed

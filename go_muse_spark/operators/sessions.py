@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats"]
+__all__ = ["sessionize", "session_stats", "interval_union"]
 
 
 def sessionize(
@@ -186,3 +186,56 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 3).alias("value_sum"))
     return s.groupBy(*on, "session_id").agg(*aggs)
+
+
+def interval_union(
+    intervals: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    by: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Merge overlapping/touching half-open intervals per key into their
+    disjoint union — coverage/uptime accounting over arbitrary interval
+    sets (maintenance windows, session spans, SLA downtime), the
+    interval-set complement of gap-based sessionize (which ingests
+    points; this ingests spans).
+
+    Classic sweep, relationalized: sort by (start, end); an interval
+    begins a NEW merged run iff its start exceeds the running max of all
+    PRECEDING ends (strictly: touching intervals [a,b) + [b,c) merge);
+    a prefix sum of the new-run flags numbers the runs; one aggregate
+    per (key, run) emits [min(start), max(end)). Same cost shape as
+    sessionize's plain path: ONE exchange on the key, two linear window
+    passes in one sort, then an aggregate that reuses the partitioning.
+    All-integer comparisons — oracle-exact.
+
+    Zero/negative-length intervals (end <= start) are dropped up front.
+    Returns (by..., merge_id, start, end, n_merged, covered).
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    w_sort = Window.partitionBy(*by).orderBy(s, e)
+    prev_max_end = F.max(e).over(
+        w_sort.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_run = (
+        prev_max_end.isNull() | (s > prev_max_end)
+    ).cast("long")
+    runs = (
+        intervals.filter(e > s)
+        .withColumn("__new", new_run)
+        .withColumn(
+            "merge_id",
+            F.sum("__new").over(
+                w_sort.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        runs.groupBy(*by, "merge_id")
+        .agg(
+            F.min(s).alias("start"),
+            F.max(e).alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .withColumn("covered", F.col("end") - F.col("start"))
+    )

@@ -167,3 +167,66 @@ def test_bucketed_materialized_parity(spark):
         ).collect()
     }
     assert plain == mat
+
+
+# ----------------------------------------------------------- interval_union
+
+
+def test_interval_union_merges_and_counts(spark):
+    from go_muse_spark.operators.sessions import interval_union
+
+    rows = [
+        # u1: [0,10) [5,20) [20,25) merge (touching); [30,40) separate;
+        # [35,36) nested inside? no - [35,36) overlaps [30,40) -> merges
+        (1, 0, 10), (1, 5, 20), (1, 20, 25), (1, 30, 40), (1, 35, 36),
+        # u2: zero-length dropped; single interval
+        (2, 7, 7), (2, 1, 4),
+        # u3: containment chain - [0,100) swallows later short ones
+        (3, 0, 100), (3, 10, 20), (3, 50, 120),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+    out = {
+        (r["user_id"], r["merge_id"]): (r["start"], r["end"], r["n_merged"], r["covered"])
+        for r in interval_union(df).collect()
+    }
+    assert out[(1, 1)] == (0, 25, 3, 25)
+    assert out[(1, 2)] == (30, 40, 2, 10)
+    assert out[(2, 1)] == (1, 4, 1, 3)
+    assert out[(3, 1)] == (0, 120, 3, 120)
+    assert len(out) == 4
+
+
+def test_interval_union_random_parity(spark):
+    import random
+    from go_muse_spark.operators.sessions import interval_union
+
+    rng = random.Random(21)
+    rows = []
+    for u in range(6):
+        for _ in range(50):
+            s = rng.randrange(0, 10_000)
+            rows.append((u, s, s + rng.randrange(0, 400)))
+    df = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+    got = {}
+    for r in interval_union(df).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["start"], r["end"], r["n_merged"])
+        )
+    for u in got:
+        got[u].sort()
+    # pure-Python sweep
+    want = {}
+    for u in range(6):
+        ivs = sorted((s, e) for uu, s, e in rows if uu == u and e > s)
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e), merged[-1][2] + 1)
+            else:
+                merged.append((s, e, 1))
+        want[u] = [(s, e, n) for s, e, n in merged]
+    assert got == want
+    # merged runs are disjoint and non-touching
+    for u, runs in got.items():
+        for (s1, e1, _), (s2, e2, _) in zip(runs, runs[1:]):
+            assert s2 > e1

@@ -22,7 +22,7 @@ DEFAULT = [
     "m4_1d", "ewma_1h", "zscore_24h", "corr_traffic_value",
     "rollup_dims", "tfidf_top3", "twa_1h", "state_dur_1d",
     "funnel_vcp", "cohort_1d", "lttb_1d", "uniques_1h", "hist_value_1d",
-    "split_docs", "dod_delta_1d",
+    "split_docs", "dod_delta_1d", "coverage_1h",
 ]
 
 
