@@ -1601,7 +1601,9 @@ WITH p AS (
   SELECT user_id, epoch_us(ts) AS t,
          cast(round(value * 1000) AS bigint) AS vmu,
          lead(epoch_us(ts)) OVER (PARTITION BY user_id
-                                  ORDER BY epoch_us(ts)) AS nxt
+                                  ORDER BY epoch_us(ts),
+                                           cast(round(value * 1000) AS bigint))
+           AS nxt
   FROM events
 ), s AS (
   SELECT user_id, t, vmu,
@@ -1625,7 +1627,7 @@ FROM x GROUP BY 1, 2
 WITH p AS (
   SELECT user_id, event_type AS state, epoch_us(ts) AS t,
          lead(epoch_us(ts)) OVER (PARTITION BY user_id
-                                  ORDER BY epoch_us(ts)) AS nxt
+                                  ORDER BY epoch_us(ts), event_type) AS nxt
   FROM events
 ), s AS (
   SELECT user_id, state, t,
@@ -1700,6 +1702,7 @@ WITH b AS (
          cast(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS int)
            AS bin_idx
   FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
 )
 SELECT event_type, bin_idx,
        0.0 + cast(bin_idx AS double) * 32.0 AS bin_lo,

@@ -52,8 +52,11 @@ def value_histogram(
 ) -> DataFrame:
     """Fixed-width histogram of `value_col` per dims...: bin_idx =
     floor((v - lo) / width) clamped to [0, n_bins-1] (under/overflow
-    land in the edge bins, so every row is counted exactly once). One
-    hash aggregate with map-side partials — shuffle O(dims x bins).
+    land in the edge bins, so every NULL-free finite row is counted
+    exactly once; NULL and NaN rows are excluded up front — NULL would
+    otherwise be silently clamped into bin 0 by greatest()'s
+    NULL-skipping, and NaN bins diverge across engines). One hash
+    aggregate with map-side partials — shuffle O(dims x bins).
     The bin function is a single float divide + floor on identical
     operands, so bin assignment is engine-independent except exactly ON
     a boundary; choose lo/width representable in binary (0.5, 0.25, …)
@@ -62,12 +65,14 @@ def value_histogram(
     Returns (dims..., bin_idx, bin_lo, n)."""
     if n_bins < 1 or width <= 0:
         raise ValueError("need n_bins >= 1 and width > 0")
-    raw = F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(float(width)))
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(width)))
     idx = F.least(
         F.greatest(raw, F.lit(0)), F.lit(int(n_bins) - 1)
     ).cast("int")
     return (
-        df.groupBy(*dims, idx.alias("bin_idx"))
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .groupBy(*dims, idx.alias("bin_idx"))
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn(
             "bin_lo",

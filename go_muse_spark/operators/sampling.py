@@ -76,7 +76,13 @@ def _split_thresholds(
     for name, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {name!r} must be in [0,1]: {frac}")
-        acc += int(round(frac * denom))
+        width = int(round(frac * denom))
+        if frac > 0 and width == 0:
+            raise ValueError(
+                f"fraction for {name!r} ({frac}) rounds to zero buckets at "
+                f"denom={denom}; raise denom or the fraction"
+            )
+        acc += width
         out.append((name, acc))
     if acc > denom:
         raise ValueError(f"fractions sum to {acc}/{denom} > 1")

@@ -56,15 +56,17 @@ def locf_segments(
     Returns (by..., __t_us, __e_us, payload...): the half-open interval
     [__t_us, __e_us) during which the event's payload is the series'
     current observation. __e_us = min(next event ts, ts + max_hold).
-    Zero-length segments (duplicate timestamps) are dropped — the later
-    row wins, matching lead() ordering on (ts) with ties broken
-    arbitrarily but consistently because the window ORDER BY is on the
-    same integer the segment math uses.
+    Zero-length segments (duplicate timestamps) are dropped — the row
+    sorted LAST at that timestamp wins. The window orders by
+    (ts, payload exprs) so the winner is a deterministic function of
+    the data, not of partitioning (an oracle must replay the same
+    secondary sort).
     """
     if max_hold_secs <= 0:
         raise ValueError("max_hold_secs must be positive")
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(*by).orderBy(t)
+    tie = [F.expr(e) for e in (payload or {}).values()]
+    w = Window.partitionBy(*by).orderBy(t, *tie)
     hold = F.lit(int(max_hold_secs) * _US)
     end = F.least(F.lead(t).over(w), t + hold)
     cols = [F.col(c) for c in by]

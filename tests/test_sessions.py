@@ -176,8 +176,8 @@ def test_interval_union_merges_and_counts(spark):
     from go_muse_spark.operators.sessions import interval_union
 
     rows = [
-        # u1: [0,10) [5,20) [20,25) merge (touching); [30,40) separate;
-        # [35,36) nested inside? no - [35,36) overlaps [30,40) -> merges
+        # u1: [0,10) [5,20) [20,25) merge (touching); [30,40) starts a
+        # second run and [35,36) overlaps into it
         (1, 0, 10), (1, 5, 20), (1, 20, 25), (1, 30, 40), (1, 35, 36),
         # u2: zero-length dropped; single interval
         (2, 7, 7), (2, 1, 4),

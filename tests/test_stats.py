@@ -114,8 +114,8 @@ def test_period_delta_exact_offset_only(spark):
 
     t0 = dt.datetime(2026, 1, 1)
     rows = [
-        # hours 0, 1, 24, 25, 49: h24 pairs with h0, h25 with h1,
-        # h49 has NO bucket at h25+24=49-24=25 -> wait, 49-24=25 exists
+        # h24 pairs with h0, h25 with h1, h49 with h25;
+        # h50 has no bucket at h26 -> NULL
         ("a", 0, 10.0), ("a", 1, 11.0), ("a", 24, 15.0),
         ("a", 25, 13.0), ("a", 49, 20.0), ("a", 50, 7.0),
         ("b", 24, 5.0),
