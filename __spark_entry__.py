@@ -41,6 +41,7 @@ from go_muse_spark.operators.search import (
     series_bounds,
 )
 from go_muse_spark.operators.dedup import (
+    contamination_check,
     dedup_clusters,
     exact_dedup,
     minhash_near_dups,
@@ -55,18 +56,39 @@ from go_muse_spark.operators.downsample import (
 )
 from go_muse_spark.operators.joins import asof_join, interval_join
 from go_muse_spark.operators.sampling import (
+    pack_sequences,
     sample_rates_sql,
     split_assign,
     split_assign_sql,
     stratified_sample,
 )
-from go_muse_spark.operators.sessions import interval_union, session_stats
+from go_muse_spark.operators.sessions import (
+    alert_episodes,
+    interval_union,
+    session_stats,
+)
 from go_muse_spark.operators.cardinality import distinct_rollup
-from go_muse_spark.operators.olap import dimensional_rollup, value_histogram
-from go_muse_spark.operators.stats import period_delta, rolling_zscore, series_corr
-from go_muse_spark.operators.terms import tfidf_top_terms
+from go_muse_spark.operators.olap import (
+    dimensional_rollup,
+    histogram_quantile,
+    value_histogram,
+)
+from go_muse_spark.operators.stats import (
+    autocorr_lags,
+    mad_outliers,
+    seasonal_profile,
+    cusum_changepoint,
+    period_delta,
+    rolling_zscore,
+    series_corr,
+)
+from go_muse_spark.operators.terms import ngram_diversity, tfidf_top_terms
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
-from go_muse_spark.operators.timeweight import state_durations, time_weighted_avg
+from go_muse_spark.operators.timeweight import (
+    instant_snapshot,
+    state_durations,
+    time_weighted_avg,
+)
 from go_muse_spark.operators.multimodal import (
     decode_image_features,
     extract_frame_features,
@@ -1344,6 +1366,155 @@ def _shipped(fn):
     return wrapper
 
 
+def q_cusum_1h(spark, sf_dir):
+    """Offline CUSUM change-point per user on the 1h tier: the hour
+    where the cumulative deviation from the user's mean hourly turn
+    count peaks. Integer-scaled statistic T_k = n*prefix_k - k*total
+    (no division — exact; ties -> earliest bucket); prefix, totals and
+    the argmax rank all reuse ONE exchange on the series key."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    out = cusum_changepoint(rolled, "turn_cnt", min_points=4)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "n_points",
+        F.unix_timestamp("cp_bucket").alias("cp_epoch"),
+        "tstat",
+    )
+
+
+def q_acf_1h(spark, sf_dir):
+    """Autocorrelation of hourly turn counts at lag 1h (persistence)
+    and 24h (daily seasonality): pairs via degenerate RANGE frames (no
+    self-join, one window sort for both lags), exact int64 pair sums,
+    one closed-form Pearson at the end."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    out = autocorr_lags(
+        rolled, "turn_cnt", (3600, 86400), min_pairs=3
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "lag_s",
+        "n_pairs",
+        F.round(F.col("acf") * 1e6, 0).cast("long").alias("acf_u"),
+    )
+
+
+def q_instant_snapshot(spark, sf_dir):
+    """PromQL instant-vector: the latest observation per (user, event
+    type) at 2024-01-15T12:00 with a 48h staleness window — time-slice
+    filter (partition-prunes at scale) + ONE max(struct) hash
+    aggregate, no window sort; payload tie-breaks duplicate stamps."""
+    ev = load_table(spark, sf_dir, "events")
+    out = instant_snapshot(
+        ev,
+        "2024-01-15 12:00:00",
+        48 * 3600,
+        by=("user_id", "event_type"),
+        payload={"vmu": "cast(round(value * 1000) as bigint)"},
+    )
+    return out.select("user_id", "event_type", "t_us", "vmu")
+
+
+def q_histq_1d(spark, sf_dir):
+    """Prometheus histogram_quantile: p50/p95 per event_type estimated
+    from the 16x32 fixed-width histogram by in-bin linear interpolation
+    — the percentile you can still compute after the rollup discarded
+    raw values. Exact-integer cum counts; one tiny post-agg window."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = value_histogram(
+        ev, "value", lo=0.0, width=32.0, n_bins=16, dims=("event_type",)
+    )
+    out = histogram_quantile(
+        hist, (0.5, 0.95), lo=0.0, width=32.0, dims=("event_type",)
+    )
+    return out.select(
+        "event_type",
+        "q",
+        F.round(F.col("qvalue") * 1e6, 0).cast("long").alias("qvalue_u"),
+    )
+
+
+def q_alert_episodes(spark, sf_dir):
+    """Alert-manager incident merging: value >= 200 breaches within 2h
+    of each other collapse into one episode per user with span, count
+    and peak. The breach predicate stays ahead of the operator so it
+    reaches the scan (PushedFilters reads ~1% of rows at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    breaches = ev.filter(F.col("value") >= 200.0)
+    out = alert_episodes(
+        breaches,
+        ["user_id"],
+        gap_s=7200.0,
+        aggs={
+            "peak_vmu": F.max(
+                F.expr("cast(round(value * 1000) as bigint)")
+            )
+        },
+    )
+    return out.select(
+        "user_id", "episode", "start_us", "end_us", "n_breaches", "peak_vmu"
+    )
+
+
+def q_contaminated_docs(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 19 != 0)
+    sharing any distinct word 4-gram with the held-out set (% 19 == 0).
+    The bench gram-hash set is broadcast, so the corpus never shuffles
+    — scan, hash, probe, one per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 19 != 0)
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    return contamination_check(train, bench, n=4)
+
+
+def q_pack_512(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per shard (doc_id mod 8) lay
+    documents out in doc_id order and cut every 512 whitespace tokens;
+    report each chunk's doc count and token mass. Pure prefix-sum
+    bucketing — the parallelizable packing a training loader uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+    )
+    packed = pack_sequences(d, "tok", 512, "doc_id", by=("shard",))
+    return packed.groupBy("shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("tok_sum"),
+    )
+
+
+def q_seasonal_profile(spark, sf_dir):
+    """Time-of-week traffic/value profile per event_type: one hash
+    aggregate onto <= types x 168 cells; calendar math in integer
+    epoch `div`/% (no per-engine dayofweek conventions)."""
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_profile(ev, "value", by=("event_type",))
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-user robust outlier accounting: low-median + MAD in exact
+    integer millis, count of |x - med| > 3 * MAD. Rank-pick medians
+    (no interpolation) keep every value a real observation."""
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", by=("user_id",), k=3)
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Corpus 3-gram type/token ratio per language slice — the
+    template-spam / degeneration gauge; exact distinct via the Expand
+    two-phase (HLL is the stated 100 TB path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_diversity(docs, 3, by=("lang",))
+    return out.select(
+        "lang",
+        "n_total",
+        "n_distinct",
+        F.round(F.col("ttr") * 1e6, 0).cast("long").alias("ttr_u"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -1376,6 +1547,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_1d": q_lttb_1d,
         "uniques_1h": q_uniques_1h,
         "hist_value_1d": q_hist_value_1d,
+        "cusum_1h": q_cusum_1h,
+        "acf_1h": q_acf_1h,
+        "instant_snapshot": q_instant_snapshot,
+        "histq_1d": q_histq_1d,
+        "alert_episodes_2h": q_alert_episodes,
+        "contaminated_docs": q_contaminated_docs,
+        "pack_512": q_pack_512,
+        "seasonal_profile": q_seasonal_profile,
+        "mad_outliers": q_mad_outliers,
+        "ngram_diversity": q_ngram_diversity,
         "split_docs": q_split_docs,
         "dod_delta_1d": q_dod_delta_1d,
         "coverage_1h": q_coverage_1h,
@@ -1695,6 +1876,217 @@ SELECT cast(floor(epoch(ts)) AS bigint)
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY 1, 2
+""",
+        "cusum_1h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts, count(*) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, bucket_ts,
+         cast(sum(v) OVER (PARTITION BY user_id ORDER BY bucket_ts)
+              AS bigint) AS prefix,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts)
+              AS bigint) AS k,
+         cast(sum(v) OVER (PARTITION BY user_id) AS bigint) AS total,
+         cast(count(*) OVER (PARTITION BY user_id) AS bigint) AS n
+  FROM r
+), t AS (
+  SELECT user_id, n AS n_points, bucket_ts,
+         abs(n * prefix - k * total) AS tstat
+  FROM s WHERE n >= 4
+), rk AS (
+  SELECT user_id, n_points, bucket_ts, tstat,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY tstat DESC, bucket_ts) AS rn
+  FROM t
+)
+SELECT user_id, n_points, cast(epoch(bucket_ts) AS bigint) AS cp_epoch,
+       tstat
+FROM rk WHERE rn = 1
+""",
+        "acf_1h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         cast(epoch(date_trunc('hour', ts)) AS bigint) AS t,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), l AS (SELECT unnest([3600, 86400]) AS lag_s),
+p AS (
+  SELECT a.user_id, l.lag_s, a.v AS x, b.v AS y
+  FROM r a CROSS JOIN l
+  JOIN r b ON b.user_id = a.user_id AND b.t = a.t - l.lag_s
+), g AS (
+  SELECT user_id, lag_s,
+         cast(count(*) AS bigint) AS n,
+         cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+         cast(sum(x * x) AS bigint) AS sxx,
+         cast(sum(y * y) AS bigint) AS syy,
+         cast(sum(x * y) AS bigint) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT user_id, cast(lag_s AS int) AS lag_s, n AS n_pairs,
+       CASE WHEN n >= 3 AND (n * sxx - sx * sx) > 0
+                        AND (n * syy - sy * sy) > 0
+            THEN cast(round((cast(n * sxy - sx * sy AS double)
+                             / sqrt(cast(n * sxx - sx * sx AS double))
+                             / sqrt(cast(n * syy - sy * sy AS double)))
+                            * 1e6) AS bigint)
+       END AS acf_u
+FROM g
+""",
+        "instant_snapshot": """
+WITH w AS (
+  SELECT user_id, event_type,
+         cast(epoch_us(ts) AS bigint) AS t_us,
+         cast(round(value * 1000) AS bigint) AS vmu
+  FROM events
+  WHERE epoch_us(ts)
+          > epoch_us(TIMESTAMP '2024-01-15 12:00:00') - 172800000000
+    AND epoch_us(ts) <= epoch_us(TIMESTAMP '2024-01-15 12:00:00')
+), rk AS (
+  SELECT user_id, event_type, t_us, vmu,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY t_us DESC, vmu DESC) AS rn
+  FROM w
+)
+SELECT user_id, event_type, t_us, vmu FROM rk WHERE rn = 1
+""",
+        "histq_1d": """
+WITH b AS (
+  SELECT event_type,
+         cast(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS int)
+           AS bin_idx
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), h AS (
+  SELECT event_type, bin_idx, cast(count(*) AS bigint) AS n
+  FROM b GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin_idx, n,
+         cast(sum(n) OVER (PARTITION BY event_type ORDER BY bin_idx)
+              AS bigint) AS cum,
+         cast(sum(n) OVER (PARTITION BY event_type) AS bigint) AS tot
+  FROM h
+), e AS (
+  SELECT c.*, l.q
+  FROM c CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q) l
+)
+SELECT event_type, q,
+       cast(round((0.0 + cast(bin_idx AS double) * 32.0
+                   + 32.0 * (q * tot - (cum - n)) / n) * 1e6)
+            AS bigint) AS qvalue_u
+FROM e
+WHERE cum >= q * tot AND (cum - n) < q * tot
+""",
+        "contaminated_docs": f"""
+WITH tr AS (
+  SELECT doc_id, unnest({X.shingle_hashes('duck', 4)}) AS h
+  FROM documents WHERE doc_id % 19 <> 0
+), be AS (
+  SELECT DISTINCT unnest({X.shingle_hashes('duck', 4)}) AS h
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT tr.doc_id, cast(count(*) AS bigint) AS n_shared
+FROM tr JOIN be USING (h) GROUP BY 1
+""",
+        "pack_512": """
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         cast(len(string_split(text, ' ')) AS bigint) AS tok
+  FROM documents
+), p AS (
+  SELECT shard, doc_id, tok,
+         cast(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id, tok
+                             ROWS UNBOUNDED PRECEDING) - tok
+              AS bigint) AS pre
+  FROM d
+)
+SELECT shard, pre // 512 AS batch_id,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(tok) AS bigint) AS tok_sum
+FROM p GROUP BY 1, 2
+""",
+        "seasonal_profile": """
+WITH e AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+         (epoch_us(ts) // 3600000000) % 24 AS hod,
+         cast(round(value * 1000) AS bigint) AS vmu
+  FROM events
+)
+SELECT event_type, dow, hod,
+       cast(count(*) AS bigint) AS n,
+       cast(sum(vmu) AS bigint) AS vsum_mu,
+       cast(round(cast(sum(vmu) AS bigint) / count(*)) AS bigint) AS mean_mu
+FROM e GROUP BY 1, 2, 3
+""",
+        "mad_outliers": """
+WITH b AS (
+  SELECT user_id, cast(round(value * 1000) AS bigint) AS v
+  FROM events WHERE value IS NOT NULL
+), r1 AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY v) AS r,
+         cast(count(*) OVER (PARTITION BY user_id) AS bigint) AS n
+  FROM b
+), m1 AS (
+  SELECT user_id, v, n,
+         max(CASE WHEN r * 2 = (n + 1) - (n + 1) % 2 THEN v END)
+           OVER (PARTITION BY user_id) AS med
+  FROM r1
+), d AS (
+  SELECT user_id, v, n, med, abs(v - med) AS dev FROM m1
+), r2 AS (
+  SELECT user_id, v, n, med, dev,
+         row_number() OVER (PARTITION BY user_id ORDER BY dev) AS r
+  FROM d
+), m2 AS (
+  SELECT user_id, med, dev, n,
+         max(CASE WHEN r * 2 = (n + 1) - (n + 1) % 2 THEN dev END)
+           OVER (PARTITION BY user_id) AS mad
+  FROM r2
+)
+SELECT user_id, cast(count(*) AS bigint) AS n,
+       cast(min(med) AS bigint) AS med_mu,
+       cast(min(mad) AS bigint) AS mad_mu,
+       cast(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS bigint)
+         AS n_outliers
+FROM m2 GROUP BY 1
+""",
+        "ngram_diversity": f"""
+WITH g AS (
+  SELECT lang, unnest({X.shingles('duck', 3)}) AS gram FROM documents
+)
+SELECT lang, cast(count(*) AS bigint) AS n_total,
+       cast(count(DISTINCT gram) AS bigint) AS n_distinct,
+       cast(round(cast(count(DISTINCT gram) AS double) / count(*) * 1e6)
+            AS bigint) AS ttr_u
+FROM g GROUP BY 1
+""",
+        "alert_episodes_2h": """
+WITH b AS (
+  SELECT user_id, ts,
+         cast(epoch_us(ts) AS bigint) AS t,
+         cast(round(value * 1000) AS bigint) AS vmu
+  FROM events WHERE value >= 200.0
+), f AS (
+  SELECT user_id, ts, t, vmu,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 7200.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, t, vmu,
+         cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING)
+              AS bigint) AS episode
+  FROM f
+)
+SELECT user_id, episode, min(t) AS start_us, max(t) AS end_us,
+       cast(count(*) AS bigint) AS n_breaches, max(vmu) AS peak_vmu
+FROM s GROUP BY 1, 2
 """,
         "hist_value_1d": """
 WITH b AS (

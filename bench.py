@@ -78,6 +78,16 @@ BENCH_QUERIES = [
     "dod_delta_1d",
     "coverage_1h",
     "multimodal_features",
+    "cusum_1h",
+    "acf_1h",
+    "instant_snapshot",
+    "histq_1d",
+    "alert_episodes_2h",
+    "contaminated_docs",
+    "pack_512",
+    "seasonal_profile",
+    "mad_outliers",
+    "ngram_diversity",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed
     # cost (9s / 38s), which would drown the signal this list exists for

@@ -34,6 +34,7 @@ __all__ = [
     "simhash_near_dups",
     "ngram_jaccard_pairs",
     "dedup_clusters",
+    "contamination_check",
 ]
 
 
@@ -348,4 +349,39 @@ def dedup_clusters(
         )
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("canonical_id")
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: which training documents share at
+    least one word n-gram with the held-out evaluation set — the
+    standard pre-training hygiene pass (the 13-gram overlap check of
+    the GPT-3/PaLM data reports, n configurable since tiny test
+    fixtures need shorter grams).
+
+    Shape: both sides reduce to DISTINCT n-gram hashes BEFORE the join
+    — the training side per document (shingle_hashes already dedups
+    in-doc), the benchmark side globally. Benchmark suites are tiny
+    next to a 100 TB corpus (~1e6-1e8 grams), so the bench-hash set is
+    BROADCAST and the whole check is map-side: scan train, hash, probe
+    the broadcast set, one hash aggregate per contaminated doc. No
+    shuffle of the corpus at all. If the "benchmark" side ever is
+    another corpus, drop the broadcast() and the same plan becomes a
+    bucketed equi-join on the hash.
+
+    Returns (id_col, n_shared) — only documents with >= 1 shared gram;
+    n_shared counts DISTINCT shared n-grams.
+    """
+    th = F.expr(X.shingle_hashes("spark", n))
+    t = _widen(train).select(id_col, F.explode(th).alias("__h"))
+    b = bench.select(F.explode(th).alias("__h")).distinct()
+    return (
+        t.join(F.broadcast(b), "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -18,10 +18,10 @@ prefer rollup (d+1 sets) over cube (2^d).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dimensional_rollup", "value_histogram"]
+__all__ = ["dimensional_rollup", "value_histogram", "histogram_quantile"]
 
 
 def dimensional_rollup(
@@ -79,4 +79,70 @@ def value_histogram(
             F.lit(float(lo)) + F.col("bin_idx").cast("double") * F.lit(float(width)),
         )
         .select(*dims, "bin_idx", "bin_lo", "n")
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    qs: tuple[float, ...],
+    lo: float,
+    width: float,
+    dims: tuple[str, ...],
+    count_col: str = "n",
+    bin_col: str = "bin_idx",
+) -> DataFrame:
+    """Prometheus-style `histogram_quantile`: estimate quantiles from a
+    pre-aggregated fixed-width histogram (the output of
+    value_histogram) by linear interpolation inside the target bin —
+    the only way to get a percentile when all that survived the rollup
+    is bucket counts.
+
+    For quantile q: target = q * total; the target bin is the unique
+    row with cum_before < target <= cum (cum strictly increases across
+    present bins since n >= 1), and
+
+        value = bin_lo + width * (target - cum_before) / n_bin
+
+    Determinism: total/cum/n are exact int64; q and width are literals;
+    the one formula above is evaluated on identical operands in any
+    IEEE engine (an oracle must spell it with the same association:
+    bin_lo + width * (target - prev) / n).
+
+    Scale shape: the histogram is already tiny (O(dims x bins)), so
+    this is one exchange on dims + a cumulative window + a broadcastable
+    explode of the quantile literals — negligible next to the scan that
+    built the histogram. Returns (dims..., q, qvalue).
+    """
+    if not qs:
+        raise ValueError("need at least one quantile")
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1]: {qs}")
+    w_cum = (
+        Window.partitionBy(*dims)
+        .orderBy(bin_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*dims)
+    base = hist.select(
+        *dims,
+        bin_col,
+        F.col(count_col).alias("__n"),
+        F.sum(count_col).over(w_cum).alias("__cum"),
+        F.sum(count_col).over(w_all).alias("__tot"),
+    )
+    e = base.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in qs])
+        ).alias("q"),
+    )
+    target = F.col("q") * F.col("__tot")
+    prev = F.col("__cum") - F.col("__n")
+    qvalue = (
+        F.lit(float(lo))
+        + F.col(bin_col).cast("double") * F.lit(float(width))
+        + F.lit(float(width)) * (target - prev) / F.col("__n")
+    )
+    return e.filter((F.col("__cum") >= target) & (prev < target)).select(
+        *dims, "q", qvalue.alias("qvalue")
     )

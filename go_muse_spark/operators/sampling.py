@@ -20,7 +20,7 @@ and costs one scan with the filter evaluated in whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from go_muse_spark.functions import text as X
@@ -30,6 +30,7 @@ __all__ = [
     "sample_rates_sql",
     "split_assign",
     "split_assign_sql",
+    "pack_sequences",
 ]
 
 
@@ -138,3 +139,49 @@ def sample_rates_sql(
         for s, r in sorted(rates.items())
     ]
     return "(" + " OR ".join(parts) + ")"
+
+
+def pack_sequences(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    order_col: str,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the items of each ``by``
+    shard end to end in ``order_col`` order and cut the resulting token
+    stream every ``budget`` tokens — the packing a training loader does
+    when it concatenates documents and slices fixed-length context
+    windows. An item is assigned to the chunk containing its FIRST
+    token:
+
+        batch_id = cum_weight_before_this_item div budget
+
+    which is a pure prefix-sum bucketing — deterministic, one
+    expression, no sequential bin-packing recursion (first-fit packing
+    is inherently serial; this is the parallelizable variant actually
+    used at scale, at the cost of items straddling chunk boundaries).
+
+    Scale shape: ONE exchange on the shard key + one window prefix sum;
+    the shard key (e.g. doc_id mod K) bounds each partition's sort.
+    Weights must be non-negative; order ties are broken by the weight
+    so the prefix sum is a deterministic function of the data.
+
+    Returns the input plus batch_id (long).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = F.col(weight_col).cast("long")
+    win = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(order_col), w)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(w).over(win) - w
+    # exact integer division: subtract the remainder first so the
+    # double quotient is of an exact multiple (a plain double divide
+    # can round UP across a chunk boundary at large prefix sums)
+    batch = (
+        (before - before % F.lit(int(budget))) / F.lit(int(budget))
+    ).cast("long")
+    return df.withColumn("batch_id", batch)

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "interval_union"]
+__all__ = ["sessionize", "session_stats", "interval_union", "alert_episodes"]
 
 
 def sessionize(
@@ -238,4 +238,56 @@ def interval_union(
             F.count(F.lit(1)).alias("n_merged"),
         )
         .withColumn("covered", F.col("end") - F.col("start"))
+    )
+
+
+def alert_episodes(
+    breaches: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    aggs: dict[str, "F.Column"] | None = None,
+    bucket_secs: int | None = None,
+) -> DataFrame:
+    """Merge instantaneous threshold breaches into alert EPISODES: the
+    alert-manager primitive that turns "value exceeded the limit at
+    these 137 instants" into "the alert fired twice, here's each
+    incident's span and peak". Two breaches belong to the same episode
+    when they are within ``gap_s`` of each other (transitively) — the
+    same gap rule as sessionize, applied to the filtered breach stream.
+
+    The caller pre-filters to breach rows (keeping the predicate out of
+    this operator lets it push down to the scan — at 100 TB the breach
+    filter is exactly the predicate you want in PushedFilters, reading
+    ~1% of the data). Pass ``bucket_secs`` to use sessionize's
+    skew-proof (key, time-bucket) numbering when one key can hold a
+    pathological share of breaches.
+
+    Determinism: episode membership depends only on the SET of breach
+    timestamps per key (duplicate timestamps have zero gap, so they
+    always co-locate), and every built-in aggregate here (min/max/
+    count) plus any user `aggs` over integers is order-insensitive.
+
+    Returns (on..., episode, start_us, end_us, n_breaches, aggs...).
+    """
+    s = sessionize(
+        breaches,
+        on,
+        ts_col=ts_col,
+        gap_s=gap_s,
+        session_col="__ep",
+        bucket_secs=bucket_secs,
+    )
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    named = {
+        "start_us": F.min(t),
+        "end_us": F.max(t),
+        "n_breaches": F.count(F.lit(1)),
+        **(aggs or {}),
+    }
+    exprs = [e.alias(k) for k, e in named.items()]
+    return (
+        s.groupBy(*on, F.col("__ep").alias("episode"))
+        .agg(*exprs)
+        .select(*on, "episode", *named.keys())
     )

@@ -32,7 +32,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_zscore", "series_corr", "period_delta"]
+__all__ = [
+    "rolling_zscore",
+    "series_corr",
+    "period_delta",
+    "cusum_changepoint",
+    "autocorr_lags",
+    "seasonal_profile",
+    "mad_outliers",
+]
 
 
 def rolling_zscore(
@@ -154,3 +162,259 @@ def series_corr(
         cov / F.sqrt(vx) / F.sqrt(vy),
     )
     return agg.select(*by, "n_points", corr.alias("corr"))
+
+
+def cusum_changepoint(
+    rolled: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int = 4,
+) -> DataFrame:
+    """Offline CUSUM change-point detection per series: the bucket that
+    maximizes the cumulative deviation from the series mean — the
+    classic single-change-point location statistic (max_k |Σ_{i<=k}
+    (x_i - x̄)|, the argmax of the CUSUM curve).
+
+    Numerical contract: the statistic is computed SCALED BY n so it
+    stays in exact integer arithmetic for integral inputs —
+
+        T_k = n * prefix_k - k * total        (== n² * CUSUM_k / n)
+
+    where prefix_k is the inclusive prefix sum and k the 1-based rank.
+    No division, no doubles, so the argmax (ties broken by earliest
+    bucket) is bit-identical in any engine. Overflow headroom: |T_k| <=
+    n * |total|; with 10^6 buckets of 10^9-scaled values that is ~1e15,
+    inside int64.
+
+    Scale shape: ONE exchange on the series key; the ordered prefix
+    window, the series totals (window over the same partition, no
+    order), and the final argmax rank all reuse that partitioning, so
+    Catalyst plans a single shuffle for the whole operator. O(1) state
+    per row; series with < min_points buckets are dropped (a change
+    point over 2-3 points is noise).
+
+    Returns (by..., n_points, cp_bucket, tstat) with tstat = max |T_k|.
+    """
+    v = F.col(value_col).cast("long")
+    w_ord = (
+        Window.partitionBy(*by)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    prefix = F.sum(v).over(w_ord)
+    k = F.count(F.lit(1)).over(w_ord)
+    total = F.sum(v).over(w_all)
+    n = F.count(F.lit(1)).over(w_all)
+    t = n * prefix - k * total
+    scored = rolled.select(
+        *by,
+        F.col(bucket_col).alias("cp_bucket"),
+        n.alias("n_points"),
+        F.abs(t).alias("tstat"),
+    ).filter(F.col("n_points") >= int(min_points))
+    w_rank = Window.partitionBy(*by).orderBy(
+        F.col("tstat").desc(), F.col("cp_bucket").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") == 1)
+        .select(*by, "n_points", "cp_bucket", "tstat")
+    )
+
+
+def autocorr_lags(
+    rolled: DataFrame,
+    value_col: str,
+    lag_secs: tuple[int, ...],
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_pairs: int = 3,
+) -> DataFrame:
+    """Sample autocorrelation of a series at fixed bucket lags (the ACF
+    points a seasonality detector reads: lag 1h for persistence, lag
+    24h for daily seasonality). For each lag L the pairs are (x_t,
+    x_{t-L}) where BOTH buckets exist — gaps drop the pair rather than
+    implying zero (same no-implicit-fill stance as period_delta).
+
+    The lagged partner comes from a degenerate RANGE frame [-L, -L]
+    per lag — no self-join, no second scan of the input; all lags share
+    one exchange + one window sort on the series key. Pair sums (n, Σx,
+    Σy, Σxx, Σyy, Σxy) are exact int64 for integral inputs, and the
+    Pearson formula is applied once at the end (see module docstring
+    contract). Zero-variance or < min_pairs series emit NULL acf.
+
+    Returns (by..., lag_s, n_pairs, acf).
+    """
+    if not lag_secs:
+        raise ValueError("need at least one lag")
+    v = F.col(value_col).cast("long")
+    sec = F.unix_timestamp(F.col(bucket_col).cast("timestamp"))
+    lagged = rolled.select(
+        *by,
+        v.alias("__x"),
+        *[
+            F.max(v)
+            .over(
+                Window.partitionBy(*by)
+                .orderBy(sec)
+                .rangeBetween(-int(L), -int(L))
+            )
+            .alias(f"__y_{L}")
+            for L in lag_secs
+        ],
+    )
+    # unpivot the per-lag partner columns into (lag_s, y) rows, keeping
+    # only realized pairs
+    pairs = lagged.select(
+        *by,
+        "__x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(L)).alias("lag_s"),
+                        F.col(f"__y_{L}").alias("__y"),
+                    )
+                    for L in lag_secs
+                ]
+            )
+        ).alias("__p"),
+    ).select(*by, "__x", "__p.lag_s", "__p.__y")
+    x, y = F.col("__x"), F.col("__y")
+    agg = (
+        pairs.filter(y.isNotNull())
+        .groupBy(*by, "lag_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(x).alias("__sx"),
+            F.sum(y).alias("__sy"),
+            F.sum(x * x).alias("__sxx"),
+            F.sum(y * y).alias("__syy"),
+            F.sum(x * y).alias("__sxy"),
+        )
+    )
+    n = F.col("n_pairs")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    acf = F.when(
+        (n >= int(min_pairs)) & (vx > 0) & (vy > 0),
+        cov.cast("double")
+        / F.sqrt(vx.cast("double"))
+        / F.sqrt(vy.cast("double")),
+    )
+    return agg.select(*by, "lag_s", "n_pairs", acf.alias("acf"))
+
+
+def seasonal_profile(
+    events: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = (),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-of-week seasonal profile: per (by..., day-of-week,
+    hour-of-day), the observation count and mean value — the baseline
+    shape a seasonal anomaly detector subtracts ("is 3am Sunday
+    normally this quiet?").
+
+    Engine-neutral calendar math: hour/dow come from INTEGER epoch
+    arithmetic (hod = epoch div 3600 mod 24; dow = (epoch div 86400
+    + 3) mod 7, 0 = Monday — 1970-01-01 was a Thursday), never from
+    per-engine dayofweek() builtins whose numbering conventions differ.
+    Values are quantized to 1e-3 so the sums are exact int64 and the
+    mean is ONE double division of identical operands.
+
+    Scale shape: a single hash aggregate with map-side partials onto at
+    most |by| x 168 groups — the profile is O(1) per key regardless of
+    input size. Returns (by..., dow, hod, n, vsum_mu, mean_mu).
+    """
+    # integer `div` on epoch MICROSECONDS end to end: unix_timestamp()
+    # truncation vs an oracle's epoch() double rounding can flip the
+    # bucket for events in the last half-second of an hour
+    vmu = F.expr(f"cast(round({value_col} * 1000) as bigint)")
+    hod = F.expr(
+        f"(unix_micros(cast({ts_col} as timestamp)) div 3600000000) % 24"
+    )
+    dow = F.expr(
+        f"((unix_micros(cast({ts_col} as timestamp)) div 86400000000) + 3) % 7"
+    )
+    return (
+        events.groupBy(*by, dow.alias("dow"), hod.alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vmu).alias("vsum_mu"),
+        )
+        .withColumn(
+            "mean_mu",
+            F.round(F.col("vsum_mu") / F.col("n"), 0).cast("long"),
+        )
+    )
+
+
+def mad_outliers(
+    events: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = ("user_id",),
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-series outlier accounting via median absolute
+    deviation: how many of a series' observations sit more than
+    ``k * MAD`` from its median — the estimator that, unlike the
+    z-score, is not itself dragged by the outliers it is hunting.
+
+    Medians are LOW medians (the value at 1-based rank (n+1) div 2 of
+    the sorted sample): a pure rank pick, no interpolation, so the
+    result is an actual data value and identical in any engine — the
+    determinism reason quantile_cont/percentile built-ins are banned
+    here (their interpolation and type rules differ). Values are
+    quantized to 1e-3 (int64); every comparison is integer.
+
+    Scale shape: one exchange on the series key; the two rank passes
+    (values, then deviations) and the final count all reuse that
+    partitioning — per-partition sorts, no further shuffle. Window
+    nesting rules force each rank pick into its own projection step
+    (rank, then conditional max over the partition), hence the two
+    select stages per median. Returns (by..., n, med_mu, mad_mu,
+    n_outliers).
+    """
+    vmu = F.expr(f"cast(round({value_col} * 1000) as bigint)")
+    w_all = Window.partitionBy(*by)
+
+    def _low_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w_rank = Window.partitionBy(*by).orderBy(col)
+        ranked = df.select(
+            "*",
+            F.row_number().over(w_rank).alias("__r"),
+            F.count(F.lit(1)).over(w_all).alias("__n"),
+        )
+        # low-median rank: (n+1) div 2, phrased as 2*r == (n+1) - (n+1)%2
+        hit = (F.col("__r") * 2) == (
+            (F.col("__n") + 1) - (F.col("__n") + 1) % 2
+        )
+        return ranked.select(
+            "*", F.max(F.when(hit, F.col(col))).over(w_all).alias(out)
+        ).drop("__r", "__n")
+
+    base = events.select(*by, vmu.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    with_med = _low_median(base, "__v", "med_mu").withColumn(
+        "__dev", F.abs(F.col("__v") - F.col("med_mu"))
+    )
+    with_mad = _low_median(with_med, "__dev", "mad_mu")
+    return (
+        with_mad.groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med_mu").alias("med_mu"),
+            F.min("mad_mu").alias("mad_mu"),
+            F.sum(
+                (F.col("__dev") > F.lit(int(k)) * F.col("mad_mu")).cast(
+                    "long"
+                )
+            ).alias("n_outliers"),
+        )
+        .select(*by, "n", "med_mu", "mad_mu", "n_outliers")
+    )

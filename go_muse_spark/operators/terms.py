@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_top_terms"]
+__all__ = ["tfidf_top_terms", "ngram_diversity"]
 
 
 def tfidf_top_terms(
@@ -62,4 +62,44 @@ def tfidf_top_terms(
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    n: int = 3,
+    by: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram diversity per slice: total word n-gram INSTANCES
+    vs DISTINCT n-grams — the type/token ratio a data-quality pass
+    watches for template spam and synthetic-loop degeneration (a slice
+    whose ratio collapses is repeating itself; the corpus-level cousin
+    of self-BLEU).
+
+    Shape: map-side explode of the (non-distinct) shingle list, then
+    ONE aggregate per slice computing count(*) and count(DISTINCT
+    gram). The distinct lands on Spark's two-phase Expand dedup —
+    shuffle O(distinct grams), the unavoidable cost of an exact
+    distinct; at 100 TB swap in approx_count_distinct exactly like
+    cardinality.approx_distinct_rollup does for uniques. The ratio is
+    ONE double division of exact int64 counts.
+
+    Returns (by..., n_total, n_distinct, ttr) — slices whose documents
+    are all shorter than n words produce no shingles and are absent.
+    """
+    from go_muse_spark.functions import text as X
+    from go_muse_spark.operators.dedup import _widen
+
+    sh = F.expr(X.shingles("spark", n, text_col))
+    g = _widen(docs).select(*by, F.explode(sh).alias("__g"))
+    return (
+        g.groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct(F.col("__g")).alias("n_distinct"),
+        )
+        .withColumn(
+            "ttr", F.col("n_distinct").cast("double") / F.col("n_total")
+        )
     )

@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["locf_segments", "time_weighted_avg", "state_durations"]
+__all__ = [
+    "locf_segments",
+    "time_weighted_avg",
+    "state_durations",
+    "instant_snapshot",
+]
 
 _US = 1_000_000
 
@@ -174,4 +179,55 @@ def state_durations(
             "dur_us",
             "n_enters",
         )
+    )
+
+
+def instant_snapshot(
+    events: DataFrame,
+    at_ts: str,
+    lookback_secs: int,
+    by: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    payload: dict[str, str] | None = None,
+) -> DataFrame:
+    """PromQL instant-vector evaluation: the most recent observation of
+    every series at wall time `at_ts`, looking back at most
+    `lookback_secs` (Prometheus's staleness window — a series whose
+    last report is older than the lookback is absent from the snapshot,
+    not extrapolated).
+
+    Shape: filter to the (at - lookback, at] half-open slice — at 100 TB
+    the time predicate partition-prunes the tier table down to the
+    lookback's partitions — then ONE aggregate per series taking
+    max(struct(t, payload...)) with map-side partials, so the shuffle is
+    O(series) regardless of slice size. Plan caveat: struct max is a
+    declarative aggregate Tungsten cannot hash, so Spark runs it as a
+    SortAggregate — each task sorts ITS OWN slice rows by the group key
+    before the partial max (no global sort, no window). If that
+    per-task sort ever shows up at scale, pack (t_us, value) into one
+    DECIMAL(38) (t_us * 10^19 + shifted value) and max that — scalar
+    max hash-aggregates — then unpack with div/mod. The struct compares
+    lexicographically, so duplicate-timestamp ties break on the payload
+    values — a deterministic function of the data (an oracle replays
+    ORDER BY t DESC, payload... DESC LIMIT 1).
+
+    Returns (by..., t_us, payload...).
+    """
+    if lookback_secs <= 0:
+        raise ValueError("lookback_secs must be positive")
+    pay = payload or {}
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    at_us = F.unix_micros(F.lit(at_ts).cast("timestamp"))
+    lo_us = at_us - F.lit(int(lookback_secs) * _US)
+    picked = F.max(
+        F.struct(
+            t.alias("t_us"),
+            *[F.expr(e).alias(k) for k, e in pay.items()],
+        )
+    ).alias("__top")
+    return (
+        events.filter((t > lo_us) & (t <= at_us))
+        .groupBy(*by)
+        .agg(picked)
+        .select(*by, "__top.t_us", *[f"__top.{k}" for k in pay])
     )

@@ -363,3 +363,35 @@ def test_exact_dedup_by_hash_matches_content_grouping(spark, docs):
     cols = exact_dedup(docs, by_hash=True).columns
     # the digest-width shape: no content column in the output
     assert cols == ["content_hash", "n_dups", "keeper_id"]
+
+
+def test_contamination_check_counts_shared_grams(spark):
+    import pandas as pd
+
+    from go_muse_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            [(100, "the quick brown fox jumps over")],
+            columns=["doc_id", "text"],
+        )
+    )
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # shares "the quick brown" and "quick brown fox"
+                (1, "so the quick brown fox ran"),
+                # no shared 3-gram
+                (2, "entirely different words here"),
+                # shares exactly one ("jumps over" is too short alone;
+                # "fox jumps over" matches)
+                (3, "a fox jumps over everything"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {
+        r["doc_id"]: r["n_shared"]
+        for r in contamination_check(train, bench, n=3).collect()
+    }
+    assert out == {1: 2, 3: 1}

@@ -159,3 +159,69 @@ def test_value_histogram_clamps_and_conserves(spark):
     assert out[3]["n"] == 2
     assert out[3]["bin_lo"] == 1.5
     assert sum(r["n"] for r in out.values()) == 5
+
+
+def test_histogram_quantile_hand_fixture(spark):
+    import pandas as pd
+
+    from go_muse_spark.operators.olap import histogram_quantile
+
+    # one dim "a": bins 0(n=4), 1(n=4), 3(n=2); total 10
+    hist = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", 0, 4), ("a", 1, 4), ("a", 3, 2)],
+            columns=["g", "bin_idx", "n"],
+        )
+    )
+    out = {
+        r["q"]: r["qvalue"]
+        for r in histogram_quantile(
+            hist, (0.5, 0.9, 1.0), lo=0.0, width=10.0, dims=("g",)
+        ).collect()
+    }
+    # q=0.5: target 5 -> bin 1 (cum 4<5<=8), 10 + 10*(5-4)/4 = 12.5
+    assert out[0.5] == 12.5
+    # q=0.9: target 9 -> bin 3 (cum 8<9<=10), 30 + 10*(9-8)/2 = 35
+    assert out[0.9] == 35.0
+    # q=1.0: target 10 -> last bin upper edge: 30 + 10*(10-8)/2 = 40
+    assert out[1.0] == 40.0
+
+
+def test_histogram_quantile_validates(spark):
+    import pandas as pd
+    import pytest
+
+    from go_muse_spark.operators.olap import histogram_quantile
+
+    hist = spark.createDataFrame(
+        pd.DataFrame([("a", 0, 1)], columns=["g", "bin_idx", "n"])
+    )
+    with pytest.raises(ValueError):
+        histogram_quantile(hist, (), lo=0.0, width=1.0, dims=("g",))
+    with pytest.raises(ValueError):
+        histogram_quantile(hist, (0.0,), lo=0.0, width=1.0, dims=("g",))
+    with pytest.raises(ValueError):
+        histogram_quantile(hist, (1.5,), lo=0.0, width=1.0, dims=("g",))
+
+
+def test_ngram_diversity_ratio(spark):
+    import pandas as pd
+
+    from go_muse_spark.operators.terms import ngram_diversity
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "en", "a b c a b c"),       # 3-grams: abc bca cab abc
+                (2, "en", "a b c"),             # abc
+                (3, "fr", "x y"),               # too short -> none
+            ],
+            columns=["doc_id", "lang", "text"],
+        )
+    )
+    out = {r["lang"]: r for r in ngram_diversity(docs, 3).collect()}
+    en = out["en"]
+    # instances: 4 + 1 = 5; distinct: "a b c","b c a","c a b" = 3
+    assert en["n_total"] == 5 and en["n_distinct"] == 3
+    assert abs(en["ttr"] - 0.6) < 1e-12
+    assert "fr" not in out

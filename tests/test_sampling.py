@@ -140,3 +140,41 @@ def test_split_fraction_validation(spark):
         split_assign(df, {"a": 0.7, "b": 0.4})
     with pytest.raises(ValueError):
         split_assign(df, {"a": -0.1})
+
+
+def test_pack_sequences_chunk_assignment(spark):
+    import pandas as pd
+
+    from go_muse_spark.operators.sampling import pack_sequences
+
+    # one shard, budget 10: weights 4,4,4,9,1 -> cum_before 0,4,8,12,21
+    # -> batches 0,0,0,1,2
+    rows = [(0, i, w) for i, w in enumerate([4, 4, 4, 9, 1])]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["shard", "doc_id", "tok"])
+    )
+    out = {
+        r["doc_id"]: r["batch_id"]
+        for r in pack_sequences(
+            df, "tok", 10, "doc_id", by=("shard",)
+        ).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_pack_sequences_shard_isolation_and_validation(spark):
+    import pandas as pd
+    import pytest
+
+    from go_muse_spark.operators.sampling import pack_sequences
+
+    rows = [(0, 0, 7), (0, 1, 7), (1, 0, 7), (1, 1, 7)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["shard", "doc_id", "tok"])
+    )
+    out = pack_sequences(df, "tok", 10, "doc_id", by=("shard",)).collect()
+    # each shard restarts its prefix sum: second doc of each shard
+    # starts at token 7 -> still batch 0
+    assert all(r["batch_id"] == 0 for r in out)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "tok", 0, "doc_id")

@@ -230,3 +230,46 @@ def test_interval_union_random_parity(spark):
     for u, runs in got.items():
         for (s1, e1, _), (s2, e2, _) in zip(runs, runs[1:]):
             assert s2 > e1
+
+
+def test_alert_episodes_merge_and_peak(spark):
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_muse_spark.operators.sessions import alert_episodes
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        # u1: breaches at 0, 30, 50 (one episode, gap 40m), then 200
+        # (new episode)
+        (1, mk(0), 210.0), (1, mk(30), 320.0), (1, mk(50), 250.0),
+        (1, mk(200), 500.0),
+        # u2: single breach
+        (2, mk(10), 201.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    )
+    out = {
+        (r["user_id"], r["episode"]): r
+        for r in alert_episodes(
+            df,
+            ["user_id"],
+            gap_s=2400.0,
+            aggs={
+                "peak_vmu": F.max(
+                    F.expr("cast(round(value * 1000) as bigint)")
+                )
+            },
+        ).collect()
+    }
+    assert len(out) == 3
+    e1 = out[(1, 1)]
+    assert e1["n_breaches"] == 3 and e1["peak_vmu"] == 320000
+    assert (e1["end_us"] - e1["start_us"]) == 50 * 60 * 1_000_000
+    e2 = out[(1, 2)]
+    assert e2["n_breaches"] == 1 and e2["peak_vmu"] == 500000
+    assert out[(2, 1)]["n_breaches"] == 1

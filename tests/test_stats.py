@@ -137,3 +137,146 @@ def test_period_delta_exact_offset_only(spark):
     assert out[("a", 49)] == (13.0, 7.0)
     assert out[("a", 50)] == (None, None)  # no bucket at h26
     assert out[("b", 24)] == (None, None)  # other series can't leak in
+
+
+def test_cusum_finds_step_change(spark):
+    from go_muse_spark.operators.stats import cusum_changepoint
+
+    # level shift at hour 6: [5]*6 then [20]*6 -> CUSUM peaks at the
+    # last pre-shift bucket (hour 5)
+    rows = [("a", h, 5) for h in range(6)] + [("a", h, 20) for h in range(6, 12)]
+    out = cusum_changepoint(_tier(spark, rows), "turn_cnt").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cp_bucket"].hour == 5
+    assert r["n_points"] == 12
+    # T_k at k=6: n*prefix - k*total = 12*30 - 6*150 = -540
+    assert r["tstat"] == 540
+
+
+def test_cusum_tie_breaks_earliest_and_min_points(spark):
+    from go_muse_spark.operators.stats import cusum_changepoint
+
+    # constant series: every T_k == 0, argmax ties -> earliest bucket
+    rows = [("a", h, 7) for h in range(5)]
+    r = cusum_changepoint(_tier(spark, rows), "turn_cnt").collect()[0]
+    assert r["cp_bucket"].hour == 0 and r["tstat"] == 0
+    # 3-point series dropped entirely
+    short = [("b", h, h) for h in range(3)]
+    assert cusum_changepoint(_tier(spark, short), "turn_cnt").count() == 0
+
+
+def test_cusum_matches_numpy(spark):
+    import random
+
+    from go_muse_spark.operators.stats import cusum_changepoint
+
+    rng = random.Random(7)
+    hours = sorted(rng.sample(range(200), 60))
+    vals = [rng.randrange(0, 50) for _ in hours]
+    rows = [("a", h, v) for h, v in zip(hours, vals)]
+    r = cusum_changepoint(_tier(spark, rows), "turn_cnt").collect()[0]
+    x = np.array(vals, dtype=np.int64)
+    n = len(x)
+    t = n * np.cumsum(x) - np.arange(1, n + 1) * x.sum()
+    k = int(np.argmax(np.abs(t)))
+    assert r["tstat"] == abs(t[k])
+    got_h = r["cp_bucket"].hour + 24 * (r["cp_bucket"].day - 1)
+    assert got_h == hours[k]
+
+
+def test_acf_lag1_of_linear_series_is_one(spark):
+    from go_muse_spark.operators.stats import autocorr_lags
+
+    rows = [("a", h, 10 + 3 * h) for h in range(12)]
+    out = {
+        r["lag_s"]: r
+        for r in autocorr_lags(
+            _tier(spark, rows), "turn_cnt", (3600,)
+        ).collect()
+    }
+    r = out[3600]
+    assert r["n_pairs"] == 11
+    assert abs(r["acf"] - 1.0) < 1e-12
+
+
+def test_acf_matches_numpy_with_gaps(spark):
+    import random
+
+    from go_muse_spark.operators.stats import autocorr_lags
+
+    rng = random.Random(23)
+    hours = sorted(rng.sample(range(120), 70))
+    vals = {h: rng.randrange(0, 30) for h in hours}
+    rows = [("a", h, v) for h, v in vals.items()]
+    out = {
+        r["lag_s"]: r
+        for r in autocorr_lags(
+            _tier(spark, rows), "turn_cnt", (3600, 24 * 3600)
+        ).collect()
+    }
+    for lag_h in (1, 24):
+        pairs = [(vals[h], vals[h - lag_h]) for h in vals if h - lag_h in vals]
+        r = out[lag_h * 3600]
+        assert r["n_pairs"] == len(pairs)
+        x = np.array([p[0] for p in pairs], dtype=float)
+        y = np.array([p[1] for p in pairs], dtype=float)
+        expect = np.corrcoef(x, y)[0, 1]
+        assert abs(r["acf"] - expect) < 1e-9
+
+
+def test_acf_zero_variance_is_null(spark):
+    from go_muse_spark.operators.stats import autocorr_lags
+
+    rows = [("a", h, 4) for h in range(8)]
+    r = autocorr_lags(_tier(spark, rows), "turn_cnt", (3600,)).collect()[0]
+    assert r["n_pairs"] == 7 and r["acf"] is None
+
+
+def test_seasonal_profile_buckets_and_means(spark):
+    from go_muse_spark.operators.stats import seasonal_profile
+
+    # 1970-01-01 was a Thursday -> dow (0=Mon) == 3
+    rows = [
+        ("a", dt.datetime(1970, 1, 1, 5, 0), 10.0),
+        ("a", dt.datetime(1970, 1, 1, 5, 59, 59, 900000), 20.0),
+        # Monday 1970-01-05 -> dow 0
+        ("a", dt.datetime(1970, 1, 5, 5, 30), 7.0),
+        ("b", dt.datetime(1970, 1, 1, 5, 15), 1.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    )
+    out = {
+        (r["event_type"], r["dow"], r["hod"]): r
+        for r in seasonal_profile(df, "value", by=("event_type",)).collect()
+    }
+    a = out[("a", 3, 5)]
+    assert a["n"] == 2 and a["vsum_mu"] == 30000 and a["mean_mu"] == 15000
+    assert out[("a", 0, 5)]["n"] == 1
+    assert out[("b", 3, 5)]["vsum_mu"] == 1000
+
+
+def test_mad_outliers_hand_fixture(spark):
+    from go_muse_spark.operators.stats import mad_outliers
+
+    rows = [("u", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "value"]))
+    r = mad_outliers(df, "value", by=("user_id",), k=3).collect()[0]
+    # sorted [1,2,3,4,100]: low median rank 3 -> 3; devs sorted
+    # [0,1,1,2,97] -> MAD 1; only 97 > 3*1 -> one outlier
+    assert r["n"] == 5
+    assert r["med_mu"] == 3000 and r["mad_mu"] == 1000
+    assert r["n_outliers"] == 1
+
+
+def test_mad_outliers_even_n_low_median(spark):
+    from go_muse_spark.operators.stats import mad_outliers
+
+    rows = [("u", v) for v in (10.0, 20.0, 30.0, 40.0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "value"]))
+    r = mad_outliers(df, "value", by=("user_id",)).collect()[0]
+    # even n: LOW median = rank (4+1) div 2 = 2 -> 20
+    assert r["med_mu"] == 20000
+    # devs |10-20|,|0|,|10|,|20| sorted [0,10,10,20] -> low med rank 2 -> 10
+    assert r["mad_mu"] == 10000

@@ -146,3 +146,55 @@ def test_state_durations_conserve_time(spark):
     total = sum(r["d"] for r in per_bucket)
     sim = _simulate(rows, 60, 240)
     assert total == sum(cov for (_tw, cov) in sim.values())
+
+
+def test_instant_snapshot_staleness_and_ties(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from go_muse_spark.operators.timeweight import instant_snapshot
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        # u1: fresh observation at minute 55 wins over minute 30
+        (1, mk(30), 10.0), (1, mk(55), 20.0),
+        # u2: last report outside the 30m lookback -> absent
+        (2, mk(20), 99.0),
+        # u3: duplicate timestamp -> larger payload wins (struct tiebreak)
+        (3, mk(50), 5.0), (3, mk(50), 7.0),
+        # u4: exactly AT the snapshot instant -> included (half-open lower)
+        (4, mk(60), 42.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    )
+    out = {
+        r["user_id"]: r
+        for r in instant_snapshot(
+            df,
+            "2026-01-01 01:00:00",
+            30 * 60,
+            by=("user_id",),
+            payload={"vmu": "cast(round(value * 1000) as bigint)"},
+        ).collect()
+    }
+    assert set(out) == {1, 3, 4}
+    assert out[1]["vmu"] == 20000
+    assert out[3]["vmu"] == 7000
+    assert out[4]["vmu"] == 42000
+
+
+def test_instant_snapshot_validates(spark):
+    import pandas as pd
+    import pytest
+
+    from go_muse_spark.operators.timeweight import instant_snapshot
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, dt.datetime(2026, 1, 1), 1.0)],
+                     columns=["user_id", "ts", "value"])
+    )
+    with pytest.raises(ValueError):
+        instant_snapshot(df, "2026-01-01 00:00:00", 0)
