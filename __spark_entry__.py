@@ -82,7 +82,11 @@ from go_muse_spark.operators.stats import (
     rolling_zscore,
     series_corr,
 )
-from go_muse_spark.operators.terms import ngram_diversity, tfidf_top_terms
+from go_muse_spark.operators.terms import (
+    ngram_diversity,
+    tfidf_top_terms,
+    unigram_logprob,
+)
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.timeweight import (
     instant_snapshot,
@@ -1515,6 +1519,47 @@ def q_ngram_diversity(spark, sf_dir):
     )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality score: mean ln(corpus unigram probability)
+    per document — rare-token documents (noise, wrong language) sink.
+    Explode -> one vocab aggregate -> broadcast total -> vocab join ->
+    per-doc aggregate; no Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id",
+        "n_toks",
+        F.round(F.col("logprob") * 1e6, 0).cast("long").alias("logprob_u"),
+    )
+
+
+def q_session_window_8h(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (the built-in merging
+    session operator; Catalyst plans UpdatingSessionsExec + one merging
+    sort-agg): same 8h gap rule as the engine's skew-proof sessionize
+    but fused into a single aggregate — no windowed numbering pass at
+    all. Contrast query: sessionize_8h builds the same sessions with
+    explicit windows; this one lets the engine do it."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "8 hours")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("value_sum"),
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(
+            F.col("session_window.start").cast("timestamp")
+        ).alias("start_us"),
+        F.unix_micros(
+            F.col("session_window.end").cast("timestamp")
+        ).alias("end_us"),
+        "n_events",
+        "value_sum",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -1557,6 +1602,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": q_seasonal_profile,
         "mad_outliers": q_mad_outliers,
         "ngram_diversity": q_ngram_diversity,
+        "unigram_logprob": q_unigram_logprob,
+        "session_window_8h": q_session_window_8h,
         "split_docs": q_split_docs,
         "dod_delta_1d": q_dod_delta_1d,
         "coverage_1h": q_coverage_1h,
@@ -2063,6 +2110,42 @@ SELECT lang, cast(count(*) AS bigint) AS n_total,
        cast(round(cast(count(DISTINCT gram) AS double) / count(*) * 1e6)
             AS bigint) AS ttr_u
 FROM g GROUP BY 1
+""",
+        "unigram_logprob": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), freq AS (
+  SELECT t, cast(count(*) AS bigint) AS tf FROM tok GROUP BY 1
+), tot AS (
+  SELECT cast(sum(tf) AS bigint) AS tot FROM freq
+), lp AS (
+  SELECT doc_id, ln(cast(tf AS double) / tot) AS lp
+  FROM tok JOIN freq USING (t) CROSS JOIN tot
+)
+SELECT doc_id, cast(count(*) AS bigint) AS n_toks,
+       cast(round(sum(lp) / count(*) * 1e6) AS bigint) AS logprob_u
+FROM lp GROUP BY 1
+""",
+        "session_window_8h": """
+WITH f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 28800.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id,
+       cast(epoch_us(min(ts)) AS bigint) AS start_us,
+       cast(epoch_us(max(ts)) AS bigint) + 28800000000 AS end_us,
+       cast(count(*) AS bigint) AS n_events,
+       round(sum(value), 3) AS value_sum
+FROM s GROUP BY user_id, sid
 """,
         "alert_episodes_2h": """
 WITH b AS (

@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "seasonal_profile",
     "mad_outliers",
     "ngram_diversity",
+    "unigram_logprob",
+    "session_window_8h",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed
     # cost (9s / 38s), which would drown the signal this list exists for

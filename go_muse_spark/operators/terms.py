@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_top_terms", "ngram_diversity"]
+__all__ = ["tfidf_top_terms", "ngram_diversity", "unigram_logprob"]
 
 
 def tfidf_top_terms(
@@ -102,4 +102,51 @@ def ngram_diversity(
         .withColumn(
             "ttr", F.col("n_distinct").cast("double") / F.col("n_total")
         )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's OWN
+    unigram language model — the cheapest corpus-statistics quality
+    score: documents full of globally-rare tokens (OCR noise, boiler-
+    plate hashes, wrong-language text) score far below the corpus mode
+    and fall to a filter threshold. The smoothing-free model is exact
+    because every token, by construction, occurs in the corpus (tf >= 1).
+
+    Shape: explode tokens map-side; ONE hash aggregate builds the term
+    frequency table; the corpus total is a 1-row broadcast; the
+    token->tf lookup is a vocabulary join (key cardinality = vocab, so
+    hot stopword keys are bounded by doc count — AQE skew-split
+    territory, same as tfidf's df join); final per-doc aggregate.
+    ln(tf/total) is one libm call on identical operands in any engine;
+    the per-doc double sum is order-sensitive only at the ~1e-12 level
+    (contract query rounds at 1e-6).
+
+    Returns (id_col, n_toks, logprob).
+    """
+    from go_muse_spark.operators.dedup import _widen
+
+    wide = _widen(docs)
+    toks = wide.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    )
+    freq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    total = freq.agg(F.sum("__tf").alias("__tot"))
+    scored = (
+        toks.join(freq, "__t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(F.col("__tf").cast("double") / F.col("__tot")).alias(
+                "__lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        (F.sum("__lp") / F.count(F.lit(1))).alias("logprob"),
     )

@@ -225,3 +225,25 @@ def test_ngram_diversity_ratio(spark):
     assert en["n_total"] == 5 and en["n_distinct"] == 3
     assert abs(en["ttr"] - 0.6) < 1e-12
     assert "fr" not in out
+
+
+def test_unigram_logprob_hand_fixture(spark):
+    import math
+
+    import pandas as pd
+
+    from go_muse_spark.operators.terms import unigram_logprob
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "a a b"), (2, "a c")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # corpus: a=3, b=1, c=1, total=5
+    lp = lambda tf: math.log(tf / 5)
+    d1 = (lp(3) + lp(3) + lp(1)) / 3
+    d2 = (lp(3) + lp(1)) / 2
+    assert out[1]["n_toks"] == 3 and abs(out[1]["logprob"] - d1) < 1e-12
+    assert out[2]["n_toks"] == 2 and abs(out[2]["logprob"] - d2) < 1e-12
