@@ -100,6 +100,7 @@ from go_muse_spark.operators.multimodal import (
 )
 from go_muse_spark.operators.similarity import (
     ann_ivf_topk,
+    kmeans_step,
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dups,
@@ -1560,6 +1561,14 @@ def q_session_window_8h(spark, sf_dir):
     )
 
 
+def q_kmeans_step(spark, sf_dir):
+    """One Lloyd k-means round on the embeddings: map-only nearest-
+    centroid assignment (centroid literals, zero exchange) + one hash
+    aggregate onto C x dims cells of exact 1e-6-quantized sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_step(emb, n_centroids=8, dims=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -1604,6 +1613,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "unigram_logprob": q_unigram_logprob,
         "session_window_8h": q_session_window_8h,
+        "kmeans_step": q_kmeans_step,
         "split_docs": q_split_docs,
         "dod_delta_1d": q_dod_delta_1d,
         "coverage_1h": q_coverage_1h,
@@ -2146,6 +2156,32 @@ SELECT user_id,
        cast(count(*) AS bigint) AS n_events,
        round(sum(value), 3) AS value_sum
 FROM s GROUP BY user_id, sid
+""",
+        "kmeans_step": f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+), sc AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ({X.dot_product('duck', 'e.embedding', 'c.cemb', 64)})
+           / (sqrt({X.dot_product('duck', 'e.embedding', 'e.embedding', 64)})
+              * sqrt({X.dot_product('duck', 'c.cemb', 'c.cemb', 64)})) AS sim
+  FROM embeddings e CROSS JOIN c
+), asg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sc
+  ) WHERE rn = 1
+), ex AS (
+  SELECT cid, i - 1 AS dim,
+         cast(round(cast(embedding[i] AS double) * 1000000) AS bigint) AS xq
+  FROM asg CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+)
+SELECT cid, cast(dim AS int) AS dim,
+       cast(count(*) AS bigint) AS n,
+       cast(sum(xq) AS bigint) AS sum_q,
+       cast(round(cast(sum(xq) AS bigint) / count(*)) AS bigint) AS mean_q
+FROM ex GROUP BY 1, 2
 """,
         "alert_episodes_2h": """
 WITH b AS (

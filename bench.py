@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "ngram_diversity",
     "unigram_logprob",
     "session_window_8h",
+    "kmeans_step",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed
     # cost (9s / 38s), which would drown the signal this list exists for

@@ -22,6 +22,7 @@ __all__ = [
     "ann_ivf_topk",
     "derive_planes",
     "embedding_near_dups",
+    "kmeans_step",
 ]
 
 
@@ -309,3 +310,40 @@ def embedding_near_dups(
         F.round(_cosine("emb_a", "emb_b", dims), 6).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= threshold)
+
+
+def kmeans_step(
+    emb: DataFrame, n_centroids: int = 8, dims: int = 64
+) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding table: assign
+    every vector to its nearest current centroid (ivf_assignments — a
+    map-only scan, centroids inlined as literals), then recompute each
+    centroid as the per-dimension mean of its members. Iterating this
+    operator IS k-means; one step is exposed because each round is an
+    independent, restartable Spark job at 100 TB (centroids checkpoint
+    between rounds; the driver loop is K tiny collect()s, never data).
+
+    Numeric contract: member coordinates are quantized to 1e-6
+    (float32 -> exact int64), so the per-cluster sums are
+    order-independent and the mean is ONE double division + round —
+    engine-exact, unlike a naive avg(float) whose accumulation order
+    differs per engine.
+
+    Scale shape: map-only assignment (no exchange) -> posexplode (map-
+    side, x dims fan-out) -> ONE hash aggregate onto C x dims cells
+    with map-side partials. Shuffle volume O(partitions x C x dims),
+    independent of row count. Returns (cid, dim, n, sum_q, mean_q);
+    n is the cluster population (same for every dim of a cid).
+    """
+    assigned = ivf_assignments(emb, n_centroids, dims)
+    ex = assigned.select(
+        "cid", F.posexplode("embedding").alias("dim", "__x")
+    )
+    q = F.expr("cast(round(cast(__x as double) * 1000000) as bigint)")
+    return (
+        ex.groupBy("cid", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(q).alias("sum_q"))
+        .withColumn(
+            "mean_q", F.round(F.col("sum_q") / F.col("n"), 0).cast("long")
+        )
+    )

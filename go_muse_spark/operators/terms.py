@@ -128,16 +128,24 @@ def unigram_logprob(
 
     Returns (id_col, n_toks, logprob).
     """
-    from go_muse_spark.operators.dedup import _widen
+    from go_muse_spark.operators.dedup import _materialize, _widen
 
     wide = _widen(docs)
     toks = wide.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("__t")
     )
-    freq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    # the vocab table feeds THREE consumers (join build, corpus total,
+    # and transitively the broadcast) — Catalyst has no cross-consumer
+    # subtree reuse, so an unmaterialized freq re-tokenizes the whole
+    # corpus per consumer (verified in the plan: three parallel
+    # scan+explode+agg subtrees). Materialize the vocab-sized result
+    # once; production keeps it as a persisted table next to the corpus.
+    freq = _materialize(
+        toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    )
     total = freq.agg(F.sum("__tf").alias("__tot"))
     scored = (
-        toks.join(freq, "__t")
+        toks.join(F.broadcast(freq), "__t")
         .crossJoin(F.broadcast(total))
         .select(
             id_col,

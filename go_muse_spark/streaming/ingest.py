@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from go_muse_spark.plans.continuous import ContinuousAggregates
 
-__all__ = ["stream_ingest", "streaming_rollup_1m", "streaming_dense_1m"]
+__all__ = [
+    "stream_ingest",
+    "streaming_rollup_1m",
+    "streaming_dense_1m",
+    "streaming_sessions",
+]
 
 
 def stream_ingest(
@@ -192,5 +197,45 @@ def streaming_rollup_1m(stream: DataFrame, watermark: str = "10 minutes") -> Dat
             F.col("w.start").alias("bucket_ts"),
             "turn_cnt",
             "tool_cnt",
+        )
+    )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization on Spark's NATIVE merging session_window
+    aggregate: per key, events closer than ``gap`` fuse into one growing
+    session; a session FINALIZES (append-mode emission) once the event-
+    time watermark passes its end, so late events inside the watermark
+    still extend their session instead of spawning a duplicate.
+
+    State story at scale: the store holds one in-flight session row per
+    (key, open session) — not per event — and the watermark bounds how
+    long a quiet session lingers before it is flushed and dropped.
+    That is the whole point of using the built-in operator over a
+    foreachBatch re-sessionize: Catalyst plans the incremental session
+    merge + state eviction (UpdatingSessionsExec with the streaming
+    session store), no custom applyInPandasWithState state machine to
+    maintain. Batch parity: the same gap rule as operators/sessions
+    .sessionize with the half-open boundary flipped (a gap of EXACTLY
+    ``gap`` starts a new session here) — the session_window_8h contract
+    query pins that convention against the islands oracle.
+
+    Returns (key, start_ts, end_ts, n_turns); end_ts = last event + gap.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            key,
+            F.col("sw.start").alias("start_ts"),
+            F.col("sw.end").alias("end_ts"),
+            "n_turns",
         )
     )

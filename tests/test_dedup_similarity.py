@@ -395,3 +395,33 @@ def test_contamination_check_counts_shared_grams(spark):
         for r in contamination_check(train, bench, n=3).collect()
     }
     assert out == {1: 2, 3: 1}
+
+
+def test_kmeans_step_means_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from go_muse_spark.operators.similarity import (
+        ivf_assignments,
+        kmeans_step,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    asg = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assignments(emb, 4, 64).collect()
+    }
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    out = {
+        (r["cid"], r["dim"]): r
+        for r in kmeans_step(emb, n_centroids=4, dims=64).collect()
+    }
+    cids = sorted(set(asg.values()))
+    for cid in cids:
+        members = [rows[v] for v, c in asg.items() if c == cid]
+        q = np.round(np.stack(members).astype(np.float64) * 1e6)
+        for dim in (0, 13, 63):
+            r = out[(cid, dim)]
+            assert r["n"] == len(members)
+            assert r["sum_q"] == int(q[:, dim].sum())
+    # every (cid, dim) cell exists exactly once for populated clusters
+    assert len(out) == len(cids) * 64

@@ -353,3 +353,74 @@ def test_documents_fixture_is_ascii(sf_dir):
         "switch sql_seed to byte-accurate extraction or re-ASCII the "
         "fixture"
     )
+
+
+def test_streaming_sessions_watermark_finalization(spark, tmp_path):
+    """Native session_window streaming: sessions merge across micro-
+    batches and FINALIZE (append emission) only once the event-time
+    watermark passes their end; late-but-in-watermark events extend the
+    open session instead of duplicating it."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from go_muse_spark.streaming.ingest import streaming_sessions
+
+    src = tmp_path / "turns"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def turns(minutes):
+        return pd.DataFrame(
+            {
+                "conv_id": "c1",
+                "ts": [t0 + dt.timedelta(minutes=m) for m in minutes],
+            }
+        )
+
+    schema = "conv_id string, ts timestamp"
+    # batch 1: two bursts 0-10 and 60-65 (gap 30m splits them)
+    spark.createDataFrame(turns([0, 10, 60, 65])).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark so far: 65m - 60m = 5m -> nothing finalized yet
+        assert spark.sql("SELECT * FROM sess_stream").count() == 0
+
+        # batch 2: a late event at minute 12 (inside watermark) extends
+        # the FIRST burst; a far-future event pushes the watermark past
+        # both bursts
+        spark.createDataFrame(turns([12, 600])).write.parquet(
+            str(src / "f2")
+        )
+        q.processAllAvailable()
+        # one more empty batch lets the engine flush sessions closed by
+        # the advanced watermark
+        spark.createDataFrame(turns([610])).write.parquet(str(src / "f3"))
+        q.processAllAvailable()
+
+        rows = {
+            r["start_ts"]: r
+            for r in spark.sql(
+                "SELECT * FROM sess_stream ORDER BY start_ts"
+            ).collect()
+        }
+        s1 = rows[t0]
+        # late minute-12 event merged into burst 1: 3 turns, end 12+30
+        assert s1["n_turns"] == 3
+        assert s1["end_ts"] == t0 + dt.timedelta(minutes=42)
+        s2 = rows[t0 + dt.timedelta(minutes=60)]
+        assert s2["n_turns"] == 2
+        assert s2["end_ts"] == t0 + dt.timedelta(minutes=95)
+    finally:
+        q.stop()

@@ -23,6 +23,10 @@ DEFAULT = [
     "rollup_dims", "tfidf_top3", "twa_1h", "state_dur_1d",
     "funnel_vcp", "cohort_1d", "lttb_1d", "uniques_1h", "hist_value_1d",
     "split_docs", "dod_delta_1d", "coverage_1h",
+    "cusum_1h", "acf_1h", "instant_snapshot", "histq_1d",
+    "alert_episodes_2h", "contaminated_docs", "pack_512",
+    "seasonal_profile", "mad_outliers", "ngram_diversity",
+    "unigram_logprob", "session_window_8h", "kmeans_step",
 ]
 
 
