@@ -64,6 +64,7 @@ from go_muse_spark.operators.sampling import (
 )
 from go_muse_spark.operators.sessions import (
     alert_episodes,
+    report_gaps,
     interval_union,
     session_stats,
 )
@@ -90,6 +91,7 @@ from go_muse_spark.operators.terms import (
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.timeweight import (
     instant_snapshot,
+    state_transitions,
     state_durations,
     time_weighted_avg,
 )
@@ -1569,6 +1571,22 @@ def q_kmeans_step(spark, sf_dir):
     return kmeans_step(emb, n_centroids=8, dims=64)
 
 
+def q_gaps_6h(spark, sf_dir):
+    """Silence detection: inter-event gaps > 6h per user, with exact
+    integer-microsecond bounds — one lag window, output-sensitive."""
+    ev = load_table(spark, sf_dir, "events")
+    return report_gaps(ev, ["user_id"], min_gap_secs=21600)
+
+
+def q_state_transitions(spark, sf_dir):
+    """Heartbeat-stream compaction: only the rows where the user's
+    event_type CHANGES survive (first observation transitions from
+    NULL); (ts, state) secondary sort makes duplicate-stamp resolution
+    engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return state_transitions(ev, "event_type", by=("user_id",))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -1614,6 +1632,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "session_window_8h": q_session_window_8h,
         "kmeans_step": q_kmeans_step,
+        "gaps_6h": q_gaps_6h,
+        "state_transitions": q_state_transitions,
         "split_docs": q_split_docs,
         "dod_delta_1d": q_dod_delta_1d,
         "coverage_1h": q_coverage_1h,
@@ -2182,6 +2202,34 @@ SELECT cid, cast(dim AS int) AS dim,
        cast(sum(xq) AS bigint) AS sum_q,
        cast(round(cast(sum(xq) AS bigint) / count(*)) AS bigint) AS mean_q
 FROM ex GROUP BY 1, 2
+""",
+        "gaps_6h": """
+WITH g AS (
+  SELECT user_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts)) AS s,
+         epoch_us(ts) AS e
+  FROM events
+)
+SELECT user_id, cast(s AS bigint) AS gap_start_us,
+       cast(e AS bigint) AS gap_end_us,
+       cast(e - s AS bigint) AS gap_us
+FROM g WHERE s IS NOT NULL AND e - s > 21600000000
+""",
+        "state_transitions": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type AS st,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_type) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, t, prev AS from_state, st AS to_state
+  FROM p WHERE prev IS NULL OR prev <> st
+)
+SELECT user_id, cast(t AS bigint) AS t_us, from_state, to_state,
+       cast(row_number() OVER (PARTITION BY user_id
+                               ORDER BY t, to_state) AS int) AS trans_idx
+FROM f
 """,
         "alert_episodes_2h": """
 WITH b AS (

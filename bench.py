@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "session_window_8h",
     "kmeans_step",
+    "gaps_6h",
+    "state_transitions",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed
     # cost (9s / 38s), which would drown the signal this list exists for

@@ -34,7 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "session_stats", "interval_union", "alert_episodes"]
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "interval_union",
+    "alert_episodes",
+    "report_gaps",
+]
 
 
 def sessionize(
@@ -290,4 +296,46 @@ def alert_episodes(
         s.groupBy(*on, F.col("__ep").alias("episode"))
         .agg(*exprs)
         .select(*on, "episode", *named.keys())
+    )
+
+
+def report_gaps(
+    df: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    min_gap_secs: int = 21600,
+) -> DataFrame:
+    """Silence detection — the inverse of sessionize: report every
+    inter-event gap LONGER than ``min_gap_secs`` per key ("this device
+    went dark for 9 hours, twice"). One row per detected gap with its
+    exact integer-microsecond bounds.
+
+    Determinism under duplicate timestamps: the window orders by the
+    timestamp itself; within a duplicate cluster only the row whose
+    lag() reaches back across the gap emits (the others see a 0-gap
+    predecessor at the same instant), so the output SET is a function
+    of the distinct-timestamp sequence, not of tie order.
+
+    Scale shape: one exchange on the key + one lag window; the gap
+    predicate then drops ~all rows, so the output is output-sensitive.
+    Returns (on..., gap_start_us, gap_end_us, gap_us).
+    """
+    if min_gap_secs <= 0:
+        raise ValueError("min_gap_secs must be positive")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*on).orderBy(t)
+    prev = F.lag(t).over(w)
+    out = df.select(
+        *on,
+        prev.alias("gap_start_us"),
+        t.alias("gap_end_us"),
+    ).filter(
+        F.col("gap_start_us").isNotNull()
+        & (
+            F.col("gap_end_us") - F.col("gap_start_us")
+            > F.lit(int(min_gap_secs) * 1_000_000)
+        )
+    )
+    return out.withColumn(
+        "gap_us", F.col("gap_end_us") - F.col("gap_start_us")
     )

@@ -44,6 +44,7 @@ __all__ = [
     "time_weighted_avg",
     "state_durations",
     "instant_snapshot",
+    "state_transitions",
 ]
 
 _US = 1_000_000
@@ -230,4 +231,47 @@ def instant_snapshot(
         .groupBy(*by)
         .agg(picked)
         .select(*by, "__top.t_us", *[f"__top.{k}" for k in pay])
+    )
+
+
+def state_transitions(
+    events: DataFrame,
+    state_col: str,
+    by: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Compact a state stream to its TRANSITIONS: emit a row only where
+    the state differs from the series' previous observation (the
+    dedup-consecutive-repeats pass every status/heartbeat pipeline runs
+    before storing — 10^12 heartbeats, 10^6 actual changes). The first
+    observation of a series is a transition from NULL.
+
+    Determinism: the window orders by (ts, state) — the same secondary
+    sort as locf_segments — so duplicate timestamps resolve identically
+    in any engine; a repeated (ts, state) pair is never a transition.
+
+    Scale shape: one exchange on the series key, one lag window, then a
+    filter that drops ~all rows (output-sensitive) and a run counter
+    over the survivors sharing the same exchange. Returns (by...,
+    t_us, from_state, to_state, trans_idx) with trans_idx the 1-based
+    transition number within the series.
+    """
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    st = F.col(state_col)
+    w = Window.partitionBy(*by).orderBy(t, st)
+    prev = F.lag(st).over(w)
+    marked = events.select(
+        *by,
+        t.alias("t_us"),
+        prev.alias("from_state"),
+        st.alias("to_state"),
+        (prev.isNull() | (prev != st)).alias("__is_t"),
+    ).filter(F.col("__is_t"))
+    w2 = Window.partitionBy(*by).orderBy("t_us", "to_state")
+    return marked.select(
+        *by,
+        "t_us",
+        "from_state",
+        "to_state",
+        F.row_number().over(w2).alias("trans_idx"),
     )

@@ -247,3 +247,44 @@ def test_unigram_logprob_hand_fixture(spark):
     d2 = (lp(3) + lp(1)) / 2
     assert out[1]["n_toks"] == 3 and abs(out[1]["logprob"] - d1) < 1e-12
     assert out[2]["n_toks"] == 2 and abs(out[2]["logprob"] - d2) < 1e-12
+
+
+def test_histogram_quantile_random_parity(spark):
+    """histogram_quantile == a python replay of the same interpolation
+    on random histograms (including empty bins and single-bin dims)."""
+    import random
+
+    import pandas as pd
+
+    from go_muse_spark.operators.olap import histogram_quantile
+
+    rng = random.Random(5)
+    rows = []
+    for g in "abcd":
+        bins = rng.sample(range(16), rng.randrange(1, 9))
+        rows += [(g, b, rng.randrange(1, 50)) for b in sorted(bins)]
+    hist = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "bin_idx", "n"])
+    )
+    qs = (0.25, 0.5, 0.95)
+    got = {
+        (r["g"], r["q"]): r["qvalue"]
+        for r in histogram_quantile(
+            hist, qs, lo=0.0, width=8.0, dims=("g",)
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "bin_idx", "n"])
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("bin_idx")
+        tot = grp["n"].sum()
+        for q in qs:
+            target = q * tot
+            cum = 0
+            for _, r in grp.iterrows():
+                prev = cum
+                cum += r["n"]
+                if cum >= target and prev < target:
+                    expect = r["bin_idx"] * 8.0 + 8.0 * (target - prev) / r["n"]
+                    assert abs(got[(g, q)] - expect) < 1e-9
+                    break
+    assert len(got) == 4 * len(qs)

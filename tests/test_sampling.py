@@ -178,3 +178,31 @@ def test_pack_sequences_shard_isolation_and_validation(spark):
     assert all(r["batch_id"] == 0 for r in out)
     with pytest.raises(ValueError):
         pack_sequences(df, "tok", 0, "doc_id")
+
+
+def test_pack_sequences_random_parity(spark):
+    import random
+
+    import pandas as pd
+
+    from go_muse_spark.operators.sampling import pack_sequences
+
+    rng = random.Random(17)
+    rows = [
+        (i % 4, i, rng.randrange(0, 300))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["shard", "doc_id", "tok"])
+    )
+    got = {
+        (r["shard"], r["doc_id"]): r["batch_id"]
+        for r in pack_sequences(df, "tok", 512, "doc_id", by=("shard",)).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["shard", "doc_id", "tok"])
+    for shard, g in pdf.groupby("shard"):
+        g = g.sort_values("doc_id")
+        cum = 0
+        for _, r in g.iterrows():
+            assert got[(shard, r["doc_id"])] == cum // 512
+            cum += r["tok"]

@@ -273,3 +273,67 @@ def test_alert_episodes_merge_and_peak(spark):
     e2 = out[(1, 2)]
     assert e2["n_breaches"] == 1 and e2["peak_vmu"] == 500000
     assert out[(2, 1)]["n_breaches"] == 1
+
+
+def test_report_gaps_bounds_and_threshold(spark):
+    import datetime as dt
+
+    import pandas as pd
+    import pytest
+
+    from go_muse_spark.operators.sessions import report_gaps
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda h: t0 + dt.timedelta(hours=h)
+    rows = [(1, mk(0)), (1, mk(1)), (1, mk(9)), (1, mk(9)), (1, mk(20)),
+            (2, mk(0))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts"]))
+    out = report_gaps(df, ["user_id"], min_gap_secs=21600).collect()
+    # u1: gaps 1->9 (8h) and 9->20 (11h); the duplicate at hour 9
+    # contributes exactly one gap row. u2: single event, no gap.
+    got = sorted((r["user_id"], r["gap_us"]) for r in out)
+    assert got == [(1, 8 * 3600 * 1_000_000), (1, 11 * 3600 * 1_000_000)]
+    with pytest.raises(ValueError):
+        report_gaps(df, ["user_id"], min_gap_secs=0)
+
+
+def test_alert_episodes_random_parity(spark):
+    """Episode membership/aggregates replayed in pandas on random data."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_muse_spark.operators.sessions import alert_episodes
+
+    rng = random.Random(41)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in range(6):
+        ts = sorted(rng.sample(range(0, 50_000), rng.randrange(5, 60)))
+        rows += [(u, t0 + dt.timedelta(seconds=s), float(rng.randrange(1, 500)))
+                 for s in ts]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts", "value"]))
+    gap = 900.0
+    got = {
+        (r["user_id"], r["episode"]): (r["n_breaches"], r["start_us"], r["end_us"])
+        for r in alert_episodes(df, ["user_id"], gap_s=gap).collect()
+    }
+    # pandas replay
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    expect = {}
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts")
+        ep, prev = 0, None
+        agg = {}
+        for _, r in g.iterrows():
+            if prev is None or (r["ts"] - prev).total_seconds() > gap:
+                ep += 1
+            prev = r["ts"]
+            t_us = int(r["ts"].timestamp() * 1_000_000)
+            n, lo, hi = agg.get(ep, (0, t_us, t_us))
+            agg[ep] = (n + 1, min(lo, t_us), max(hi, t_us))
+        for ep, v in agg.items():
+            expect[(u, ep)] = v
+    assert got == expect

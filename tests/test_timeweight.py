@@ -198,3 +198,34 @@ def test_instant_snapshot_validates(spark):
     )
     with pytest.raises(ValueError):
         instant_snapshot(df, "2026-01-01 00:00:00", 0)
+
+
+def test_state_transitions_compaction(spark):
+    import pandas as pd
+
+    from go_muse_spark.operators.timeweight import state_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        (1, mk(0), "up"), (1, mk(1), "up"), (1, mk(2), "down"),
+        (1, mk(3), "down"), (1, mk(4), "up"),
+        (2, mk(0), "up"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    )
+    out = sorted(
+        state_transitions(df, "event_type", by=("user_id",)).collect(),
+        key=lambda r: (r["user_id"], r["trans_idx"]),
+    )
+    flat = [
+        (r["user_id"], r["from_state"], r["to_state"], r["trans_idx"])
+        for r in out
+    ]
+    assert flat == [
+        (1, None, "up", 1),
+        (1, "up", "down", 2),
+        (1, "down", "up", 3),
+        (2, None, "up", 1),
+    ]

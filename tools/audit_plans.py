@@ -27,6 +27,7 @@ DEFAULT = [
     "alert_episodes_2h", "contaminated_docs", "pack_512",
     "seasonal_profile", "mad_outliers", "ngram_diversity",
     "unigram_logprob", "session_window_8h", "kmeans_step",
+    "gaps_6h", "state_transitions",
 ]
 
 
