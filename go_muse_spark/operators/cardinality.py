@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["distinct_rollup", "approx_distinct_rollup"]
+__all__ = [
+    "distinct_rollup",
+    "approx_distinct_rollup",
+    "approx_quantile_rollup",
+]
 
 
 def _bucket(bucket_secs: int, ts_col: str):
@@ -75,3 +79,43 @@ def approx_distinct_rollup(
             F.approx_count_distinct(key_col, rsd).alias("n_approx"),
         )
     )
+
+
+def approx_quantile_rollup(
+    events: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...],
+    bucket_secs: int,
+    dims: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based percentile rollup: approx_percentile (Spark's
+    Greenwald-Khanna summary) per (bucket, dims...) — the scale twin of
+    the exact percentile() contract query exactly as
+    approx_distinct_rollup twins the exact distinct. The summary is an
+    algebraic aggregate: partial sketches merge map-side and the
+    shuffle carries O(groups x accuracy) sketch entries INDEPENDENT of
+    row count, vs exact percentile's per-group sort over every value.
+    Error bound: rank error <= n / accuracy per group.
+
+    Not SQL-oracle-able (summary internals are engine-specific); the
+    pytest tolerance check pins it against the exact path on the
+    driver fixtures. Returns (bucket_epoch, dims..., n, q_<i>...)
+    with one column per requested quantile (value units).
+    """
+    if not quantiles:
+        raise ValueError("need at least one quantile")
+    bucket = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {int(bucket_secs) * 1_000_000}"
+    ) * F.lit(int(bucket_secs))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, q in enumerate(quantiles):
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+        aggs.append(
+            F.expr(
+                f"approx_percentile({value_col}, {float(q)}, {int(accuracy)})"
+            ).alias(f"q_{i}")
+        )
+    return events.groupBy(bucket.alias("bucket_epoch"), *dims).agg(*aggs)

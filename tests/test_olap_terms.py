@@ -288,3 +288,35 @@ def test_histogram_quantile_random_parity(spark):
                     assert abs(got[(g, q)] - expect) < 1e-9
                     break
     assert len(got) == 4 * len(qs)
+
+
+def test_approx_quantile_within_tolerance(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from go_muse_spark.operators.cardinality import approx_quantile_rollup
+    from go_muse_spark.sources.events import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["bucket_epoch"]: r
+        for r in approx_quantile_rollup(
+            ev, "value", (0.5, 0.9), 86400
+        ).collect()
+    }
+    pdf = ev.select("ts", "value").toPandas()
+    pdf["bucket"] = (
+        pdf["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    ) * 86400
+    for b, g in pdf.groupby("bucket"):
+        r = got[b]
+        assert r["n"] == len(g)
+        # GK rank error <= n/accuracy; translate to a value tolerance by
+        # comparing against the exact values at rank +/- tol
+        vals = np.sort(g["value"].to_numpy())
+        for i, q in enumerate((0.5, 0.9)):
+            tol = max(2, int(np.ceil(len(vals) / 10_000)) + 1)
+            rank = int(np.ceil(q * len(vals))) - 1
+            lo = vals[max(0, rank - tol)]
+            hi = vals[min(len(vals) - 1, rank + tol)]
+            assert lo <= r[f"q_{i}"] <= hi, (b, q, lo, r[f"q_{i}"], hi)
