@@ -69,6 +69,7 @@ from go_muse_spark.operators.sessions import (
     session_stats,
 )
 from go_muse_spark.operators.cardinality import distinct_rollup
+from go_muse_spark.operators.textdedup import remove_boilerplate
 from go_muse_spark.operators.olap import (
     dimensional_rollup,
     histogram_quantile,
@@ -76,6 +77,7 @@ from go_muse_spark.operators.olap import (
 )
 from go_muse_spark.operators.stats import (
     autocorr_lags,
+    inter_arrival_stats,
     mad_outliers,
     seasonal_profile,
     cusum_changepoint,
@@ -1474,6 +1476,31 @@ def q_contaminated_docs(spark, sf_dir):
     return contamination_check(train, bench, n=4)
 
 
+def q_latency_1d(spark, sf_dir):
+    """Turn-taking latency: per (day, event_type of the later event),
+    the distribution of gaps behind the same user's previous event —
+    count, mean, exact p50/p95, micro-unit rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    out = inter_arrival_stats(ev, 86400, pcts=(0.5, 0.95))
+    return out.select(
+        "bucket_epoch",
+        "event_type",
+        "n",
+        F.round(F.col("mean_us"), 0).cast("long").alias("mean_us_r"),
+        F.round(F.col("p_50_us"), 0).cast("long").alias("p50_us_r"),
+        F.round(F.col("p_95_us"), 0).cast("long").alias("p95_us_r"),
+    )
+
+
+def q_boilerplate_4w(spark, sf_dir):
+    """Sub-document boilerplate strip: drop every 4-word chunk whose
+    exact text occurs >= 2 times anywhere in the corpus, reassemble the
+    survivors in order. Two exchanges (chunk-count window, doc
+    regroup), no joins; fully-boilerplate docs come back as ''."""
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate(docs, chunk_words=4, min_dup=2)
+
+
 def q_pack_512(spark, sf_dir):
     """Concat-and-chunk sequence packing: per shard (doc_id mod 8) lay
     documents out in doc_id order and cut every 512 whitespace tokens;
@@ -1635,6 +1662,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaps_6h": q_gaps_6h,
         "state_transitions": q_state_transitions,
         "split_docs": q_split_docs,
+        "boilerplate_4w": q_boilerplate_4w,
+        "latency_1d": q_latency_1d,
         "dod_delta_1d": q_dod_delta_1d,
         "coverage_1h": q_coverage_1h,
         "gapfill_zero_1h": _gapfill_zero_1h,
@@ -1931,6 +1960,42 @@ FROM numbered GROUP BY 1, 2
         "split_docs": f"""
 SELECT doc_id, {split_assign_sql(_SPLIT_FRACTIONS)} AS split
 FROM documents
+""",
+        "latency_1d": """
+WITH d AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400 AS bucket_epoch,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS delta
+  FROM events
+)
+SELECT bucket_epoch, event_type,
+       count(*) AS n,
+       cast(round(avg(delta)) AS bigint) AS mean_us_r,
+       cast(round(quantile_cont(delta, 0.5)) AS bigint) AS p50_us_r,
+       cast(round(quantile_cont(delta, 0.95)) AS bigint) AS p95_us_r
+FROM d WHERE delta IS NOT NULL
+GROUP BY 1, 2
+""",
+        "boilerplate_4w": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(toks, i * 4 + 1, (i + 1) * 4), ' ') AS chunk
+  FROM t, unnest(range(0, cast(ceil(len(toks) / 4.0) AS bigint))) u(i)
+), k AS (
+  SELECT doc_id, pos, chunk,
+         count(*) OVER (PARTITION BY chunk) AS cnt
+  FROM c
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN cnt < 2 THEN chunk END,
+                           ' ' ORDER BY pos), '') AS clean_text,
+       count(*) AS n_chunks,
+       cast(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_removed
+FROM k GROUP BY doc_id
 """,
         "dod_delta_1d": """
 WITH r AS (

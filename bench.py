@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "uniques_1h",
     "hist_value_1d",
     "split_docs",
+    "boilerplate_4w",
+    "latency_1d",
     "dod_delta_1d",
     "coverage_1h",
     "multimodal_features",

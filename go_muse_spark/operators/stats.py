@@ -40,6 +40,7 @@ __all__ = [
     "autocorr_lags",
     "seasonal_profile",
     "mad_outliers",
+    "inter_arrival_stats",
 ]
 
 
@@ -418,3 +419,62 @@ def mad_outliers(
         )
         .select(*by, "n", "med_mu", "mad_mu", "n_outliers")
     )
+
+
+def inter_arrival_stats(
+    events: DataFrame,
+    bucket_secs: int,
+    by: tuple[str, ...] = ("event_type",),
+    pcts: tuple[float, ...] = (0.5, 0.95),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival (response-latency) distribution: per entity, the
+    gap between each event and the previous one, aggregated into
+    per-(bucket, dims) count / mean / exact percentiles. On a
+    transcript corpus this is turn-taking latency — "how long does a
+    `purchase` sit behind the user's previous action, p95, per day".
+
+    The delta is attributed to the LATER event's bucket and dims (the
+    thing that waited). Ordering inside an entity is (ts, tiebreak) so
+    equal timestamps pair deterministically in any engine; an entity's
+    first event has no predecessor and contributes nothing.
+
+    Shape: ONE exchange on the entity key + window lag (same partition
+    feeds deltas for every dim), then a hash aggregate on
+    (bucket, dims). Exact `percentile` sorts values per group —
+    per-group memory O(group rows); at 100 TB swap in
+    cardinality.approx_quantile_rollup's Greenwald-Khanna sketch for a
+    shuffle independent of row count. Deltas are integral microseconds,
+    so sums are exact and the percentile interpolation is the only
+    rounding step (contract query rounds it to micro-units).
+
+    Returns (bucket_epoch, by..., n, mean_us, p_<pct>_us...).
+    """
+    if not pcts:
+        raise ValueError("need at least one percentile")
+    for p in pcts:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile out of range: {p}")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(t, F.col(tiebreak_col))
+    delta = (t - F.lag(t).over(w)).alias("__delta_us")
+    bucket = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp))"
+        f" div {int(bucket_secs) * 1_000_000}"
+    ) * F.lit(int(bucket_secs))
+    rows = events.select(
+        *by, bucket.alias("bucket_epoch"), delta
+    ).filter(F.col("__delta_us").isNotNull())
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__delta_us").alias("mean_us"),
+    ]
+    for p in pcts:
+        aggs.append(
+            F.expr(f"percentile(__delta_us, {float(p)})").alias(
+                f"p_{int(round(p * 100))}_us"
+            )
+        )
+    return rows.groupBy("bucket_epoch", *by).agg(*aggs)

@@ -425,3 +425,54 @@ def test_kmeans_step_means_match_numpy(spark, sf_dir):
             assert r["sum_q"] == int(q[:, dim].sum())
     # every (cid, dim) cell exists exactly once for populated clusters
     assert len(out) == len(cids) * 64
+
+
+def test_remove_boilerplate_edits_and_ordering(spark):
+    from go_muse_spark.operators.textdedup import remove_boilerplate
+
+    rows = [
+        (0, "aa bb cc dd unique1 unique2 unique3 unique4"),
+        (1, "aa bb cc dd other1 other2"),
+        (2, "aa bb cc dd"),  # nothing but boilerplate
+        (3, "xx yy zz ww vv"),  # untouched, short tail chunk kept
+        (4, "pp qq rr ss pp qq rr ss"),  # within-doc repeat counts too
+        (5, "k1 k2 k3 k4 aa bb cc dd k5 k6"),  # removal in the middle
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(docs, chunk_words=4, min_dup=2).collect()
+    }
+    assert len(got) == 6  # fully-boilerplate docs still come back
+    expect = {
+        0: ("unique1 unique2 unique3 unique4", 2, 1),
+        1: ("other1 other2", 2, 1),
+        2: ("", 1, 1),
+        3: ("xx yy zz ww vv", 2, 0),
+        4: ("", 2, 2),
+        5: ("k1 k2 k3 k4 k5 k6", 3, 1),
+    }
+    for did, (txt, n_chunks, n_removed) in expect.items():
+        r = got[did]
+        assert r["clean_text"] == txt, (did, r["clean_text"])
+        assert r["n_chunks"] == n_chunks
+        assert r["n_removed"] == n_removed
+
+
+def test_chunk_documents_tail_and_validation(spark):
+    import pytest as _pytest
+
+    from go_muse_spark.operators.textdedup import (
+        chunk_documents,
+        remove_boilerplate,
+    )
+
+    docs = spark.createDataFrame([(7, "a b c d e")], "doc_id long, text string")
+    chunks = {
+        r["pos"]: r["chunk"] for r in chunk_documents(docs, 2).collect()
+    }
+    assert chunks == {0: "a b", 1: "c d", 2: "e"}
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, 0)
+    with _pytest.raises(ValueError):
+        remove_boilerplate(docs, min_dup=0)

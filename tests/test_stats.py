@@ -280,3 +280,37 @@ def test_mad_outliers_even_n_low_median(spark):
     assert r["med_mu"] == 20000
     # devs |10-20|,|0|,|10|,|20| sorted [0,10,10,20] -> low med rank 2 -> 10
     assert r["mad_mu"] == 10000
+
+
+def test_inter_arrival_stats_deltas_and_ties(spark):
+    from go_muse_spark.operators.stats import inter_arrival_stats
+
+    # user 1: events at t=0s, 10s, 40s (deltas 10s, 30s); the 40s event
+    # is a different type. user 2: two events at the SAME timestamp —
+    # tiebreak on event_id pairs them deterministically (delta 0).
+    rows = [
+        (1, 1, "1970-01-01 00:00:00", "click"),
+        (2, 1, "1970-01-01 00:00:10", "click"),
+        (3, 1, "1970-01-01 00:00:40", "view"),
+        (4, 2, "1970-01-01 00:01:00", "click"),
+        (5, 2, "1970-01-01 00:01:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["bucket_epoch"], r["event_type"]): r
+        for r in inter_arrival_stats(ev, 86400, pcts=(0.5,)).collect()
+    }
+    click = out[(0, "click")]
+    assert click["n"] == 2  # user1's 10s delta + user2's 0s tie delta
+    assert click["mean_us"] == 5_000_000.0
+    assert click["p_50_us"] == 5_000_000.0
+    view = out[(0, "view")]
+    assert view["n"] == 1 and view["p_50_us"] == 30_000_000.0
+    # first events never contribute
+    assert sum(r["n"] for r in out.values()) == 3
+    with pytest.raises(ValueError):
+        inter_arrival_stats(ev, 86400, pcts=())
+    with pytest.raises(ValueError):
+        inter_arrival_stats(ev, 86400, pcts=(1.5,))
