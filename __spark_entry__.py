@@ -50,8 +50,10 @@ from go_muse_spark.operators.dedup import (
     simhash_near_dups,
 )
 from go_muse_spark.operators.downsample import (
+    brown_trend,
     ewma,
     m4_downsample,
+    sax_words,
     top_series_per_bucket,
 )
 from go_muse_spark.operators.joins import asof_join, interval_join
@@ -1476,6 +1478,36 @@ def q_contaminated_docs(spark, sf_dir):
     return contamination_check(train, bench, n=4)
 
 
+def q_brown_1h(spark, sf_dir):
+    """Brown double exponential smoothing over the 1h tier: level /
+    trend / one-step forecast from two composed dyadic EWMA passes —
+    two explode->hash-agg exchanges, no window sorts, no joins."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    out = brown_trend(rolled, "turn_cnt", 3600, window_buckets=8)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.round(F.col("s1") * 1e6, 0).cast("long").alias("s1_u"),
+        F.round(F.col("s2") * 1e6, 0).cast("long").alias("s2_u"),
+        F.round(F.col("forecast") * 1e6, 0).cast("long").alias("fc_u"),
+    )
+
+
+def q_sax_1d(spark, sf_dir):
+    """SAX symbolization of each user-day over the 1h tier: z-normalize
+    the day's hourly means from pooled exact sums, bin into the
+    4-letter Gaussian alphabet, emit the ordered word — one exchange
+    (the day window feeds the same-keyed regroup)."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    out = sax_words(rolled, "turn_cnt", 86400, alphabet=4)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("word_epoch"),
+        "n",
+        "word",
+    )
+
+
 def q_latency_1d(spark, sf_dir):
     """Turn-taking latency: per (day, event_type of the later event),
     the distribution of gaps behind the same user's previous event —
@@ -1664,6 +1696,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_docs": q_split_docs,
         "boilerplate_4w": q_boilerplate_4w,
         "latency_1d": q_latency_1d,
+        "brown_1h": q_brown_1h,
+        "sax_1d": q_sax_1d,
         "dod_delta_1d": q_dod_delta_1d,
         "coverage_1h": q_coverage_1h,
         "gapfill_zero_1h": _gapfill_zero_1h,
@@ -1960,6 +1994,65 @@ FROM numbered GROUP BY 1, 2
         "split_docs": f"""
 SELECT doc_id, {split_assign_sql(_SPLIT_FRACTIONS)} AS split
 FROM documents
+""",
+        "brown_1h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         cast(epoch(date_trunc('hour', ts)) AS bigint) AS b,
+         count(*) AS v
+  FROM events GROUP BY 1, 2
+), ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+c1 AS (
+  SELECT user_id, b + k * 3600 AS b,
+         v * pow(2.0, -k) AS contrib, pow(2.0, -k) AS w,
+         CASE WHEN k = 0 THEN 1 ELSE 0 END AS own
+  FROM r CROSS JOIN ks
+), s1 AS (
+  SELECT user_id, b, sum(contrib) / sum(w) AS s1
+  FROM c1 GROUP BY 1, 2 HAVING max(own) = 1
+), c2 AS (
+  SELECT user_id, b + k * 3600 AS b,
+         s1 * pow(2.0, -k) AS contrib, pow(2.0, -k) AS w,
+         CASE WHEN k = 0 THEN s1 END AS own_s1,
+         CASE WHEN k = 0 THEN 1 ELSE 0 END AS own
+  FROM s1 CROSS JOIN ks
+)
+SELECT user_id, b AS bucket_epoch,
+       cast(round(max(own_s1) * 1e6) AS bigint) AS s1_u,
+       cast(round(sum(contrib) / sum(w) * 1e6) AS bigint) AS s2_u,
+       cast(round((3 * max(own_s1) - 2 * sum(contrib) / sum(w)) * 1e6)
+            AS bigint) AS fc_u
+FROM c2 GROUP BY 1, 2 HAVING max(own) = 1
+""",
+        "sax_1d": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         cast(epoch(date_trunc('hour', ts)) AS bigint) AS t,
+         cast(count(*) AS double) AS v
+  FROM events GROUP BY 1, 2
+), z AS (
+  SELECT user_id, t, t - (t % 86400) AS word_epoch, v,
+         count(*) OVER w AS n, sum(v) OVER w AS s,
+         sum(v * v) OVER w AS ss
+  FROM r
+  WINDOW w AS (PARTITION BY user_id, t - (t % 86400))
+), sym AS (
+  SELECT user_id, word_epoch, t,
+         CASE
+           WHEN n = 1 OR (ss - s * s / n) / (n - 1) <= 0.0 THEN 'c'
+           WHEN (v - s / n) / sqrt((ss - s * s / n) / (n - 1))
+                < -0.6744897501960817 THEN 'a'
+           WHEN (v - s / n) / sqrt((ss - s * s / n) / (n - 1))
+                < 0.0 THEN 'b'
+           WHEN (v - s / n) / sqrt((ss - s * s / n) / (n - 1))
+                < 0.6744897501960817 THEN 'c'
+           ELSE 'd'
+         END AS sym
+  FROM z
+)
+SELECT user_id, word_epoch, count(*) AS n,
+       string_agg(sym, '' ORDER BY t) AS word
+FROM sym GROUP BY 1, 2
 """,
         "latency_1d": """
 WITH d AS (

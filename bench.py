@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "moving_avg_24h",
     "m4_1d",
     "ewma_1h",
+    "brown_1h",
+    "sax_1d",
     "top_users_1d",
     "zscore_24h",
     "corr_traffic_value",

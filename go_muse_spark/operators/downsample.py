@@ -40,7 +40,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["m4_downsample", "ewma", "lttb_downsample", "top_series_per_bucket"]
+__all__ = [
+    "m4_downsample",
+    "ewma",
+    "lttb_downsample",
+    "top_series_per_bucket",
+    "brown_trend",
+    "sax_words",
+]
 
 
 def m4_downsample(
@@ -278,4 +285,140 @@ def top_series_per_bucket(
             F.row_number().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= n)
+    )
+
+
+def brown_trend(
+    rolled: DataFrame,
+    value_col: str,
+    bucket_secs: int,
+    window_buckets: int = 8,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Brown double exponential smoothing (dyadic variant): the level /
+    trend / one-step-forecast decomposition a capacity planner runs
+    over every tier series. Classic Brown is s' = EWMA(x),
+    s'' = EWMA(s'), level = 2s' - s'', trend = a/(1-a)(s' - s''); with
+    this module's normalized dyadic window the a/(1-a) factor is not a
+    constant, so the reported trend is the raw (s' - s'') spread and
+    the forecast is level + trend = 3s' - 2s''. On a linear ramp the
+    spread is proportional to the slope and the forecast stays on the
+    ramp once the window is saturated, which is the property the
+    monitor cares about.
+
+    Plan: ewma() composed with itself — two explode->hash-aggregate
+    passes, two exchanges total, no window sorts, no joins (the second
+    pass's input IS the first pass's output, value column `ewma`).
+    Numerics: s' is a ratio of exact dyadic sums (bit-identical in any
+    engine for integral inputs); the second pass multiplies those
+    doubles by exact powers of two, so only the final 8-term additions
+    round — contract queries quantize at 1e-6.
+
+    Returns (by..., bucket_col, s1, s2, level, trend, forecast) — the
+    raw value column does not survive the second pass (join-free by
+    design); re-join against the tier if both are needed.
+    """
+    s1 = ewma(
+        rolled, value_col, bucket_secs, window_buckets, by, bucket_col
+    ).select(*by, bucket_col, F.col("value"), F.col("ewma").alias("__s1"))
+    s2 = ewma(
+        s1, "__s1", bucket_secs, window_buckets, by, bucket_col
+    ).select(
+        *by,
+        bucket_col,
+        F.col("value").alias("s1"),
+        F.col("ewma").alias("s2"),
+    )
+    level = F.lit(2.0) * F.col("s1") - F.col("s2")
+    trend = F.col("s1") - F.col("s2")
+    return s2.select(
+        *by,
+        bucket_col,
+        "s1",
+        "s2",
+        level.alias("level"),
+        trend.alias("trend"),
+        (F.lit(3.0) * F.col("s1") - F.lit(2.0) * F.col("s2")).alias(
+            "forecast"
+        ),
+    )
+
+
+_SAX_BREAKPOINTS = {
+    3: (-0.4307272992954576, 0.4307272992954576),
+    4: (-0.6744897501960817, 0.0, 0.6744897501960817),
+    5: (-0.8416212335729143, -0.2533471031357997, 0.2533471031357997,
+        0.8416212335729143),
+}
+
+
+def sax_words(
+    rolled: DataFrame,
+    value_col: str,
+    word_secs: int,
+    alphabet: int = 4,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """SAX symbolization (Lin, Keogh, Lonardi, Chiu 2003): per series
+    and word window (e.g. one day over the 1h tier), z-normalize the
+    window's bucket values and bin each into a Gaussian-equiprobable
+    alphabet, emitting one word string per (series, window) — the
+    classic symbolic index for motif discovery and cheap similarity
+    pre-filtering. The input tier IS the PAA step (piecewise aggregate
+    means), so this composes with any rollup granularity; run it over a
+    gap-filled tier when fixed-length words are required (absent
+    buckets are simply absent letters here).
+
+    Determinism across engines: mean and variance come from pooled
+    integer-exact sums (n, Σv, Σv²), never a built-in stddev whose
+    internal algorithm differs per engine; a zero-variance or
+    single-point window maps every letter to the z=0 bin. Breakpoint
+    comparisons see bit-identical doubles on both sides, so the binning
+    cannot straddle engines.
+
+    Plan: ONE exchange — the (series, window) window functions compute
+    the pooled sums, and the follow-up groupBy on the same keys reuses
+    the partitioning; the word is an ordered array_join (letters sorted
+    by bucket), shuffle O(series x windows) after the window pass.
+
+    Returns (by..., word_epoch, n, word).
+    """
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(
+            f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}"
+        )
+    t = F.unix_timestamp(F.col(bucket_col))
+    base = rolled.select(
+        *by,
+        (t - (t % F.lit(int(word_secs)))).alias("__word"),
+        t.alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    v = F.col("__v")
+    w = Window.partitionBy(*by, "__word")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1))
+    z = F.when(
+        (n == 1) | (var <= 0.0), F.lit(0.0)
+    ).otherwise((v - mean) / F.sqrt(var))
+    bps = _SAX_BREAKPOINTS[alphabet]
+    sym = F.when(z < bps[0], F.lit("a"))
+    for i, b in enumerate(bps[1:], start=1):
+        sym = sym.when(z < b, F.lit(chr(ord("a") + i)))
+    sym = sym.otherwise(F.lit(chr(ord("a") + len(bps))))
+    lettered = base.select(*by, "__word", "__t", sym.alias("__sym"))
+    piece = F.struct(F.col("__t").alias("t"), F.col("__sym").alias("s"))
+    return lettered.groupBy(*by, F.col("__word").alias("word_epoch")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(piece)), lambda p: p["s"]
+            ),
+            "",
+        ).alias("word"),
     )

@@ -220,3 +220,65 @@ def test_lttb_matches_simulator(spark):
         for r in lttb_downsample(_tier(spark, rows), "turn_cnt", 86400).collect()
     }
     assert got == want
+
+
+def test_brown_trend_numpy_replay_and_ramp(spark):
+    import numpy as np
+
+    from go_muse_spark.operators.downsample import brown_trend
+
+    # dense ramp series: v(t) = t, 20 hourly buckets
+    N, W = 20, 8
+    rows = [(1, f"1970-01-01 {h:02d}:00:00", float(h)) for h in range(N)]
+    df = spark.createDataFrame(
+        rows, "conv_id long, bucket_ts string, v double"
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    got = {
+        int(r["bucket_ts"].timestamp() // 3600): r
+        for r in brown_trend(df, "v", 3600, window_buckets=W).collect()
+    }
+    v = np.arange(N, dtype=np.float64)
+    wts = 2.0 ** -np.arange(W)
+
+    def smooth(x):
+        out = np.empty_like(x)
+        for t in range(len(x)):
+            k = np.arange(min(t + 1, W))
+            out[t] = (x[t - k] * wts[k]).sum() / wts[k].sum()
+        return out
+
+    s1, s2 = smooth(v), smooth(smooth(v))
+    for t in range(N):
+        r = got[t]
+        assert abs(r["s1"] - s1[t]) < 1e-12
+        assert abs(r["s2"] - s2[t]) < 1e-12
+        assert abs(r["forecast"] - (3 * s1[t] - 2 * s2[t])) < 1e-12
+        # saturated window on a ramp: level reconstructs the ramp value
+        if t >= 2 * W:
+            assert abs(r["level"] - v[t]) < 1e-9
+
+
+def test_sax_words_binning_and_zero_variance(spark):
+    from go_muse_spark.operators.downsample import sax_words
+
+    rows = (
+        # conv 1, one word window: spike at hour 4 among zeros
+        [(1, f"1970-01-01 {h:02d}:00:00", 0.0) for h in (0, 1, 2, 3, 5)]
+        + [(1, "1970-01-01 04:00:00", 10.0)]
+        # conv 2: constant (zero variance) -> all letters at the z=0 bin
+        + [(2, f"1970-01-01 {h:02d}:00:00", 7.0) for h in (0, 1, 2)]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id long, bucket_ts string, v double"
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    got = {
+        (r["conv_id"], r["word_epoch"]): r
+        for r in sax_words(df, "v", 86400, alphabet=4).collect()
+    }
+    # conv1: mean=10/6, std=sqrt((100-100/6)/5)=sqrt(50/3)~4.082;
+    # zeros z~-0.408 -> 'b'; spike z~2.04 -> 'd'
+    assert got[(1, 0)]["word"] == "bbbbdb"
+    assert got[(1, 0)]["n"] == 6
+    assert got[(2, 0)]["word"] == "ccc"
+    with pytest.raises(ValueError):
+        sax_words(df, "v", 86400, alphabet=9)
