@@ -27,6 +27,7 @@ from go_muse_spark.operators.compress import (
 )
 from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.rollup import (
+    moving_quantile,
     counter_rate,
     moving_aggregate,
     rollup_all_tiers,
@@ -80,6 +81,7 @@ from go_muse_spark.operators.olap import (
 from go_muse_spark.operators.stats import (
     autocorr_lags,
     inter_arrival_stats,
+    seasonal_anomaly,
     mad_outliers,
     seasonal_profile,
     cusum_changepoint,
@@ -1478,6 +1480,30 @@ def q_contaminated_docs(spark, sf_dir):
     return contamination_check(train, bench, n=4)
 
 
+def q_rollquant_24h(spark, sf_dir):
+    """Trailing 24h exact p50/p95 over the 1h tier (rolling SLO curve):
+    RANGE frame inclusive of the current bucket, gaps absent."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    out = moving_quantile(rolled, "turn_cnt", 86400, pcts=(0.5, 0.95))
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("value").cast("long").alias("turn_cnt"),
+        "win_n",
+        F.round(F.col("p_50") * 1e6, 0).cast("long").alias("p50_u"),
+        F.round(F.col("p_95") * 1e6, 0).cast("long").alias("p95_u"),
+    )
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Time-of-week anomaly scan: events whose value sits > 2.5 sigma
+    from the corpus's own (dow, hod) baseline. Profile = one 168-group
+    aggregate, broadcast back over the scan — the big side never
+    shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_anomaly(ev, "value", k=2.5)
+
+
 def q_brown_1h(spark, sf_dir):
     """Brown double exponential smoothing over the 1h tier: level /
     trend / one-step forecast from two composed dyadic EWMA passes —
@@ -1697,6 +1723,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_4w": q_boilerplate_4w,
         "latency_1d": q_latency_1d,
         "brown_1h": q_brown_1h,
+        "rollquant_24h": q_rollquant_24h,
+        "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
         "dod_delta_1d": q_dod_delta_1d,
         "coverage_1h": q_coverage_1h,
@@ -1994,6 +2022,47 @@ FROM numbered GROUP BY 1, 2
         "split_docs": f"""
 SELECT doc_id, {split_assign_sql(_SPLIT_FRACTIONS)} AS split
 FROM documents
+""",
+        "rollquant_24h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         cast(epoch(date_trunc('hour', ts)) AS bigint) AS bucket_epoch,
+         cast(count(*) AS bigint) AS turn_cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, bucket_epoch, turn_cnt,
+       count(*) OVER w AS win_n,
+       cast(round(quantile_cont(turn_cnt, 0.5) OVER w * 1e6) AS bigint)
+         AS p50_u,
+       cast(round(quantile_cont(turn_cnt, 0.95) OVER w * 1e6) AS bigint)
+         AS p95_u
+FROM r
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket_epoch
+             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+""",
+        "seasonal_anomaly": """
+WITH b AS (
+  SELECT event_id, user_id,
+         ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+         (epoch_us(ts) // 3600000000) % 24 AS hod,
+         cast(round(value * 1000) AS bigint) AS vmu
+  FROM events
+), prof AS (
+  SELECT dow, hod, count(*) AS n,
+         sum(vmu) AS s, sum(vmu * vmu) AS ss
+  FROM b GROUP BY 1, 2
+), j AS (
+  SELECT b.*, prof.n,
+         cast(prof.s AS double) / prof.n AS mean,
+         sqrt((prof.ss - cast(prof.s AS double) * prof.s / prof.n)
+              / (prof.n - 1)) AS sigma
+  FROM b JOIN prof USING (dow, hod)
+)
+SELECT event_id, user_id, dow, hod, vmu,
+       cast(round(mean) AS bigint) AS mean_mu_r,
+       cast(round((vmu - mean) / sigma * 1e6) AS bigint) AS z_u
+FROM j
+WHERE n > 1 AND sigma > 0.0 AND abs(vmu - mean) > 2.5 * sigma
 """,
         "brown_1h": """
 WITH r AS (

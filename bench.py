@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "contaminated_docs",
     "pack_512",
     "seasonal_profile",
+    "seasonal_anomaly",
+    "rollquant_24h",
     "mad_outliers",
     "ngram_diversity",
     "unigram_logprob",

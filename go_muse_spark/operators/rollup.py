@@ -25,6 +25,7 @@ __all__ = [
     "rollup_all_tiers",
     "counter_rate",
     "moving_aggregate",
+    "moving_quantile",
 ]
 
 # tier -> (date_trunc unit, bucket seconds, finer tier for re-agg)
@@ -193,3 +194,53 @@ def moving_aggregate(
         F.avg(value_col).over(w).alias("win_avg"),
         F.count(F.lit(1)).over(w).alias("win_n"),
     )
+
+
+def moving_quantile(
+    rolled,
+    value_col: str,
+    window_secs: int,
+    pcts: tuple[float, ...] = (0.5, 0.95),
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+):
+    """Trailing sliding-window EXACT percentiles over a tier (rolling
+    p50/p95 of the last 24h, the latency-SLO monitor curve). Same RANGE
+    frame convention as moving_aggregate: gaps are absent, the frame is
+    inclusive of the current bucket.
+
+    Scale note: percentile is not a subtractable aggregate, so Spark
+    re-evaluates each frame — O(points x window_buckets) per series,
+    fine at tier granularity (a 24h frame over a 1h tier is <= 24
+    values per evaluation). For raw-event windows swap in
+    cardinality.approx_quantile_rollup's Greenwald-Khanna sketch on
+    tumbling buckets; the exact windowed form is the render/monitor
+    path, not the 100-TB scan path.
+
+    Returns (by..., bucket_col, value, win_n, p_<pct>...).
+    """
+    from pyspark.sql import Window
+
+    if not pcts:
+        raise ValueError("need at least one percentile")
+    for p in pcts:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile out of range: {p}")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.unix_timestamp(bucket_col))
+        .rangeBetween(-(window_secs - 1), 0)
+    )
+    cols = [
+        *by,
+        bucket_col,
+        F.col(value_col).alias("value"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    ]
+    for p in pcts:
+        cols.append(
+            F.expr(f"percentile({value_col}, {float(p)})")
+            .over(w)
+            .alias(f"p_{int(round(p * 100))}")
+        )
+    return rolled.select(*cols)

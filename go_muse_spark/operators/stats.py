@@ -41,6 +41,7 @@ __all__ = [
     "seasonal_profile",
     "mad_outliers",
     "inter_arrival_stats",
+    "seasonal_anomaly",
 ]
 
 
@@ -478,3 +479,78 @@ def inter_arrival_stats(
             )
         )
     return rows.groupBy("bucket_epoch", *by).agg(*aggs)
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    value_col: str,
+    k: float = 3.0,
+    ts_col: str = "ts",
+    keep_cols: tuple[str, ...] = ("event_id", "user_id"),
+) -> DataFrame:
+    """Seasonal (time-of-week) anomaly detection: flag events whose
+    value deviates more than k sigma from the corpus's OWN (dow, hod)
+    baseline — the "is 3am Sunday normally this quiet?" detector that
+    seasonal_profile exists to feed.
+
+    Plan shape at 100 TB: the profile is ONE hash aggregate with
+    map-side partials onto at most 168 groups, then a BROADCAST join
+    back against the event scan — the second pass is map-only, the big
+    side never shuffles. (Catalyst broadcasts a 168-row side on its
+    own; the hint makes the contract explicit.)
+
+    Determinism: calendar buckets from integer epoch division (same
+    convention as seasonal_profile), values quantized to 1e-3 so the
+    pooled sums (n, Σv, Σv²) are exact int64 in any engine; sigma is
+    one sqrt over identical doubles and the k·sigma comparison sees
+    bit-identical operands on both sides. Groups with n == 1 have no
+    sample variance and never flag.
+
+    Returns (keep_cols..., dow, hod, vmu, mean_mu_r, z_u) — flagged
+    rows only; z_u is the residual/sigma ratio in 1e-6 units.
+    """
+    vmu = F.expr(f"cast(round({value_col} * 1000) as bigint)")
+    hod = F.expr(
+        f"(unix_micros(cast({ts_col} as timestamp)) div 3600000000) % 24"
+    )
+    dow = F.expr(
+        f"((unix_micros(cast({ts_col} as timestamp)) div 86400000000) + 3) % 7"
+    )
+    base = events.select(
+        *keep_cols, dow.alias("dow"), hod.alias("hod"), vmu.alias("vmu")
+    )
+    prof = base.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vmu").alias("s"),
+        F.sum(F.col("vmu") * F.col("vmu")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - F.lit(1)
+    )
+    prof = prof.select(
+        "dow",
+        "hod",
+        "n",
+        mean.alias("__mean"),
+        F.sqrt(var).alias("__sigma"),
+    )
+    j = base.join(F.broadcast(prof), ["dow", "hod"])
+    resid = F.col("vmu") - F.col("__mean")
+    return (
+        j.filter(
+            (F.col("n") > 1)
+            & (F.col("__sigma") > 0.0)
+            & (F.abs(resid) > F.lit(float(k)) * F.col("__sigma"))
+        )
+        .select(
+            *keep_cols,
+            "dow",
+            "hod",
+            "vmu",
+            F.round(F.col("__mean"), 0).cast("long").alias("mean_mu_r"),
+            F.round(resid / F.col("__sigma") * 1e6, 0)
+            .cast("long")
+            .alias("z_u"),
+        )
+    )

@@ -314,3 +314,54 @@ def test_inter_arrival_stats_deltas_and_ties(spark):
         inter_arrival_stats(ev, 86400, pcts=())
     with pytest.raises(ValueError):
         inter_arrival_stats(ev, 86400, pcts=(1.5,))
+
+
+def test_seasonal_anomaly_flags_only_outliers(spark):
+    from go_muse_spark.operators.stats import seasonal_anomaly
+
+    # (dow=3, hod=0) baseline: many 10.0 values + one wild 100.0 at the
+    # same slot; a second slot (hod=1) is constant -> zero variance,
+    # never flags.
+    rows = [
+        (i, 1, f"1970-01-01 00:{m:02d}:00", 10.0) for i, m in enumerate(range(20))
+    ]
+    rows.append((99, 1, "1970-01-01 00:30:00", 100.0))
+    rows += [(200 + m, 1, f"1970-01-01 01:{m:02d}:00", 5.0) for m in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = seasonal_anomaly(ev, "value", k=3.0).collect()
+    assert [r["event_id"] for r in got] == [99]
+    r = got[0]
+    assert (r["dow"], r["hod"]) == (3, 0)  # 1970-01-01 was a Thursday
+    assert r["vmu"] == 100_000
+    # baseline mean = (20*10 + 100)/21 ~ 14.29 -> mean_mu_r 14286
+    assert r["mean_mu_r"] == 14286
+    assert r["z_u"] > 3_000_000  # z > 3 by construction
+
+
+def test_moving_quantile_exact_frames(spark):
+    from go_muse_spark.operators.rollup import moving_quantile
+
+    rows = [
+        (1, f"1970-01-01 {h:02d}:00:00", float(v))
+        for h, v in enumerate([1, 9, 5, 3, 7])
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, bucket_ts string, v double"
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    out = {
+        int(r["bucket_ts"].timestamp() // 3600): r
+        for r in moving_quantile(
+            df, "v", 3 * 3600, pcts=(0.5,), by=("conv_id",)
+        ).collect()
+    }
+    # trailing 3h inclusive frames: [1] [1,9] [1,9,5] [9,5,3] [5,3,7]
+    assert out[0]["p_50"] == 1.0
+    assert out[1]["p_50"] == 5.0
+    assert out[2]["p_50"] == 5.0
+    assert out[3]["p_50"] == 5.0
+    assert out[4]["p_50"] == 5.0
+    assert out[4]["win_n"] == 3
+    with pytest.raises(ValueError):
+        moving_quantile(df, "v", 3600, pcts=())
