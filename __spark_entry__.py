@@ -59,6 +59,7 @@ from go_muse_spark.operators.downsample import (
 )
 from go_muse_spark.operators.joins import asof_join, interval_join
 from go_muse_spark.operators.sampling import (
+    mixture_sample,
     pack_sequences,
     sample_rates_sql,
     split_assign,
@@ -1480,6 +1481,15 @@ def q_contaminated_docs(spark, sf_dir):
     return contamination_check(train, bench, n=4)
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Corpus mixture balancing: downsample every source to the token
+    mass of the smallest one, rates derived in-plan and broadcast back
+    over the scan — the corpus side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(docs, strata_col="source", denom=10000)
+    return out.select("doc_id", "source", "n_toks", "keep_thr")
+
+
 def q_rollquant_24h(spark, sf_dir):
     """Trailing 24h exact p50/p95 over the 1h tier (rolling SLO curve):
     RANGE frame inclusive of the current bucket, gaps absent."""
@@ -1724,6 +1734,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_1d": q_latency_1d,
         "brown_1h": q_brown_1h,
         "rollquant_24h": q_rollquant_24h,
+        "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
         "dod_delta_1d": q_dod_delta_1d,
@@ -2022,6 +2033,23 @@ FROM numbered GROUP BY 1, 2
         "split_docs": f"""
 SELECT doc_id, {split_assign_sql(_SPLIT_FRACTIONS)} AS split
 FROM documents
+""",
+        "mixture_sample": f"""
+WITH b AS (
+  SELECT doc_id, source, text,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_toks
+  FROM documents
+), t AS (
+  SELECT source, cast(sum(n_toks) AS bigint) AS T FROM b GROUP BY 1
+), m AS (SELECT min(T) AS mn FROM t),
+r AS (
+  SELECT source,
+         cast(round(cast(mn AS double) / T * 10000) AS bigint) AS keep_thr
+  FROM t, m
+)
+SELECT b.doc_id, b.source, b.n_toks, r.keep_thr
+FROM b JOIN r USING (source)
+WHERE ({X.char_hash('duck', 'text')}) % 10000 < keep_thr
 """,
         "rollquant_24h": """
 WITH r AS (

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sessionize_8h",
     "interval_click_attrib",
     "stratified_sample",
+    "mixture_sample",
     "counter_rate_1h",
     "moving_avg_24h",
     "m4_1d",

@@ -31,6 +31,7 @@ __all__ = [
     "distinct_rollup",
     "approx_distinct_rollup",
     "approx_quantile_rollup",
+    "approx_top_items",
 ]
 
 
@@ -119,3 +120,81 @@ def approx_quantile_rollup(
             ).alias(f"q_{i}")
         )
     return events.groupBy(bucket.alias("bucket_epoch"), *dims).agg(*aggs)
+
+
+def approx_top_items(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+    out_k: int = 10,
+) -> DataFrame:
+    """Misra-Gries heavy hitters: the bounded-memory top-items sketch
+    that completes this module's family (HLL for distinct, Greenwald-
+    Khanna for quantiles, MG for frequency). Each task keeps at most
+    `m` counters regardless of key cardinality — the property exact
+    top-N (top_series_per_bucket) gives up when the key space stops
+    fitting in a hash aggregate.
+
+    Distributed shape: mapInPandas runs one MG summary per task
+    (vectorized — each Arrow batch is pre-aggregated with value_counts,
+    then MERGED into the summary with the standard subtract-the-
+    (m+1)th-count rule, so Python never loops per row); the partials
+    (O(tasks x m) rows) shuffle into one hash aggregate, and the final
+    top-k is a TakeOrderedAndProject. Per-task decrement totals ride
+    along on a sentinel row and sum into the global error bound.
+
+    Guarantees (classic MG merge bounds): for every returned item,
+        est <= true_count <= est + err_ub,
+    and any key with true_count > err_ub is guaranteed PRESENT in the
+    merged summary (err_ub <= N / (m+1) with equality only in
+    adversarial streams). The estimates are deterministic for a fixed
+    input partitioning; membership of sub-threshold stragglers is not —
+    callers filter on est or err_ub, exactly as with any sketch.
+
+    Returns (key, est, err_ub) — top out_k by est desc, key asc.
+    """
+    import pandas as pd
+
+    if m < 1 or out_k < 1:
+        raise ValueError("m and out_k must be >= 1")
+
+    def mg(batches):
+        counts: "pd.Series | None" = None
+        dec = 0
+        for pdf in batches:
+            b = pdf[key_col].astype(str).value_counts()
+            counts = b if counts is None else counts.add(b, fill_value=0)
+            if len(counts) > m:
+                t = int(counts.nlargest(m + 1).iloc[-1])
+                counts = counts - t
+                counts = counts[counts > 0]
+                dec += t
+        out = pd.DataFrame(
+            {
+                "key": (counts.index if counts is not None else []),
+                "cnt": (
+                    counts.to_numpy("int64")
+                    if counts is not None
+                    else []
+                ),
+            }
+        )
+        sentinel = pd.DataFrame({"key": [None], "cnt": [dec]})
+        yield pd.concat([out, sentinel], ignore_index=True)
+
+    partials = df.select(F.col(key_col)).mapInPandas(
+        mg, "key string, cnt long"
+    )
+    agg = partials.groupBy(
+        F.col("key").isNull().alias("__is_err"), "key"
+    ).agg(F.sum("cnt").alias("est"))
+    err = agg.filter(F.col("__is_err")).select(
+        F.coalesce(F.sum("est"), F.lit(0)).alias("err_ub")
+    )
+    return (
+        agg.filter(~F.col("__is_err"))
+        .crossJoin(F.broadcast(err))
+        .select("key", "est", "err_ub")
+        .orderBy(F.col("est").desc(), F.col("key").asc())
+        .limit(out_k)
+    )

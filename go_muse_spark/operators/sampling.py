@@ -31,6 +31,7 @@ __all__ = [
     "split_assign",
     "split_assign_sql",
     "pack_sequences",
+    "mixture_sample",
 ]
 
 
@@ -185,3 +186,49 @@ def pack_sequences(
         (before - before % F.lit(int(budget))) / F.lit(int(budget))
     ).cast("long")
     return df.withColumn("batch_id", batch)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    denom: int = 10000,
+    key_sql: str | None = None,
+) -> DataFrame:
+    """Balance the corpus mixture: downsample every stratum to the
+    TOKEN mass of the smallest one — the pretraining-mix step that stops
+    one crawl source from dominating the token budget. Keep rates are
+    derived IN-PLAN (rate_s = min_tokens / tokens_s), so there is no
+    driver round-trip and the operator re-derives correct rates on any
+    input; selection is the same content-keyed hash-threshold rule as
+    stratified_sample (deterministic, partitioning-independent,
+    dedup-consistent).
+
+    Plan shape: one tiny hash aggregate (O(strata) rows) feeds a
+    BROADCAST join back over the scan — the corpus side never shuffles
+    and the filter evaluates inside the scan stage. Exactly the
+    seasonal_anomaly profile-join shape, applied to sampling.
+
+    Numerics: token totals are exact int64; rate = min/T is one double
+    division of identical operands; the threshold round() sees the same
+    double in any engine. NULL strata are dropped (no rate).
+
+    Returns the kept rows plus (n_toks, keep_thr) for auditability.
+    """
+    if key_sql is None:
+        key_sql = X.char_hash("spark", text_col)
+    n_toks = F.size(F.split(F.col(text_col), " "))
+    base = docs.withColumn("n_toks", n_toks.cast("long"))
+    tot = base.groupBy(strata_col).agg(F.sum("n_toks").alias("__T"))
+    mn = tot.agg(F.min("__T").alias("__mn"))
+    rates = tot.crossJoin(F.broadcast(mn)).select(
+        strata_col,
+        F.round(F.col("__mn").cast("double") / F.col("__T") * denom, 0)
+        .cast("long")
+        .alias("keep_thr"),
+    )
+    bucket = F.expr(key_sql) % F.lit(denom)
+    return (
+        base.join(F.broadcast(rates), strata_col)
+        .filter(bucket < F.col("keep_thr"))
+    )

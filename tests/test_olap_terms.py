@@ -320,3 +320,36 @@ def test_approx_quantile_within_tolerance(spark, sf_dir):
             lo = vals[max(0, rank - tol)]
             hi = vals[min(len(vals) - 1, rank + tol)]
             assert lo <= r[f"q_{i}"] <= hi, (b, q, lo, r[f"q_{i}"], hi)
+
+
+def test_approx_top_items_mg_bounds(spark, sf_dir):
+    from collections import Counter
+
+    from go_muse_spark.operators.cardinality import approx_top_items
+    from go_muse_spark.sources.events import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    truth = Counter(r["k"] for r in ev.collect())
+    n = sum(truth.values())
+    m = 32
+    got = approx_top_items(ev, "k", m=m, out_k=10).collect()
+    assert 0 < len(got) <= 10
+    err = got[0]["err_ub"]
+    assert all(r["err_ub"] == err for r in got)
+    # merged-MG error: total decrement can reach ~N/(m+1) PER TASK
+    # boundary, but never exceeds N
+    assert 0 <= err <= n
+    for r in got:
+        true = truth[r["key"]]
+        assert r["est"] <= true <= r["est"] + err, (r, true)
+    # a skewed synthetic stream: the dominant key must surface with a
+    # tight bracket even with tiny m
+    rows = [(f"hot",) for _ in range(500)] + [(f"k{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    top = approx_top_items(df, "k", m=8, out_k=1).collect()[0]
+    assert top["key"] == "hot"
+    assert top["est"] <= 500 <= top["est"] + top["err_ub"]
+    with pytest.raises(ValueError):
+        approx_top_items(df, "k", m=0)

@@ -206,3 +206,30 @@ def test_pack_sequences_random_parity(spark):
         for _, r in g.iterrows():
             assert got[(shard, r["doc_id"])] == cum // 512
             cum += r["tok"]
+
+
+def test_mixture_sample_balances_to_smallest(spark):
+    from go_muse_spark.operators.sampling import mixture_sample
+
+    # source A: 30 docs x 10 tokens = 300; source B: 5 docs x 10 = 50
+    # -> rate_A = 50/300, rate_B = 1.0 (kept whole)
+    rows = [(i, "w" + " w" * 9, "A") for i in range(30)]
+    rows += [(100 + i, "x" + " x" * 9, "B") for i in range(5)]
+    # vary A's texts so the hash spreads (identical text = same bucket)
+    rows = [
+        (i, t if s == "B" else f"tok{i} " + t, s) for (i, t, s) in rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixture_sample(docs, denom=10000).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["B"]) == 5  # smallest stratum kept whole
+    assert by_src["B"][0]["keep_thr"] == 10000
+    # A has 30 docs x 11 tokens = 330 -> thr = round(50/330*10000) = 1515
+    if "A" in by_src:
+        assert by_src["A"][0]["keep_thr"] == 1515
+        assert 0 < len(by_src["A"]) < 30
+    # determinism: same input -> identical kept set
+    again = {r["doc_id"] for r in mixture_sample(docs, denom=10000).collect()}
+    assert again == {r["doc_id"] for r in out}
