@@ -127,8 +127,23 @@ class ParquetTableStore:
         partition_expr: F.Column,
         partition_name: str = "part",
         on_dup: str = "replace",
+        layout_sort: tuple[str, ...] = (),
+        layout_partitions: int | None = None,
     ) -> int:
         """Replace-by-key within affected partitions; insert the rest.
+
+        layout_sort: optional clustering columns. When set, the merged
+        rows are range-repartitioned on (partition, layout_sort...) and
+        sorted within each write task, so every parquet file covers a
+        narrow key range and its row-group min/max statistics become
+        selective — a reader filtering on the clustering key skips
+        whole files/row-groups instead of scanning the partition
+        (Iceberg's sort-order write distribution, on plain parquet).
+        Range partitioning also splits a hot day across tasks by key
+        range instead of serializing it into one writer.
+        layout_partitions pins the writer-task count (otherwise
+        Spark/AQE picks one from the shuffle size — tiny merges
+        coalesce to one file, big ones fan out).
 
         Equivalent Iceberg SQL:
           MERGE INTO table t USING delta s ON <keys>
@@ -185,6 +200,16 @@ class ParquetTableStore:
 
         stage = os.path.join(self.root, f"_stage_{table}_{uuid.uuid4().hex}")
         try:
+            if layout_sort:
+                cluster = [F.col(partition_name)] + [
+                    F.col(c) for c in layout_sort
+                ]
+                rp = (
+                    out.repartitionByRange(layout_partitions, *cluster)
+                    if layout_partitions
+                    else out.repartitionByRange(*cluster)
+                )
+                out = rp.sortWithinPartitions(*cluster)
             out.write.partitionBy(partition_name).parquet(stage)
             staged = [
                 d

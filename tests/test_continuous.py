@@ -333,3 +333,71 @@ def test_iceberg_sql_builders():
         "CALL cat.system.expire_snapshots(table => 'ns.agg_1m', "
         "older_than => TIMESTAMP '2024-03-01 00:00:00')"
     )
+
+
+def test_layout_sort_prunes_partitions_and_tightens_rowgroups(
+    spark, tmp_path
+):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    store = ParquetTableStore(spark, str(tmp_path / "store"))
+    # 3 day-partitions x 400 series, several rows each
+    rows = [
+        (f"c{cid:04d}", f"1970-01-0{d} 00:{m:02d}:00", cid * d + m)
+        for d in (1, 2, 3)
+        for cid in range(400)
+        for m in (0, 30)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_ts string, turn_cnt long"
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    store.upsert(
+        df.repartition(8),
+        "tier_1h",
+        ["conv_id", "bucket_ts"],
+        F.date_format("bucket_ts", "yyyy-MM-dd"),
+        layout_sort=("conv_id",),
+        layout_partitions=6,
+    )
+    # 1) partition pruning: a part filter must touch ONE partition dir
+    scan = store.read("tier_1h").filter(F.col("part") == "1970-01-02")
+    files = [
+        r[0]
+        for r in scan.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all("part=1970-01-02" in f for f in files)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1970-01-02" in plan
+    assert scan.count() == 800
+    # 2) clustering: within a partition the files cover narrow,
+    # non-overlapping conv_id ranges (range-partitioned + sorted), so
+    # min/max footer stats are selective for key predicates
+    part_files = sorted(
+        glob.glob(
+            os.path.join(store.path("tier_1h"), "part=1970-01-01", "*.parquet")
+        )
+    )
+    spans = []
+    for f in part_files:
+        md = pq.ParquetFile(f).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }["conv_id"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) > 1  # range partitioning split the hot day
+    spans.sort()
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
+    # a single file's span is a small slice of the 400-key domain
+    widths = [
+        int(hi[1:]) - int(lo[1:]) + 1 for lo, hi in spans
+    ]
+    assert max(widths) < 400
