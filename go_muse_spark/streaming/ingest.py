@@ -25,6 +25,7 @@ __all__ = [
     "streaming_rollup_1m",
     "streaming_dense_1m",
     "streaming_sessions",
+    "streaming_dedup",
 ]
 
 
@@ -238,4 +239,30 @@ def streaming_sessions(
             F.col("sw.end").alias("end_ts"),
             "n_turns",
         )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """In-stream re-delivery dedup ahead of the tier MERGE: drop rows
+    whose key was already seen within the watermark horizon, using
+    Spark's dropDuplicatesWithinWatermark state store — state is
+    BOUNDED by the watermark (evicted once event time passes key_ts +
+    horizon), unlike a plain dropDuplicates on a stream which retains
+    every key forever.
+
+    Division of labor with the batch path: the MERGE (store.upsert)
+    already makes re-deliveries idempotent at commit granularity; this
+    operator cuts the duplicate volume BEFORE it costs a merge rewrite,
+    and is the correct tool when the sink is append-only (e.g. a raw
+    event log) with no keyed merge behind it. A duplicate arriving
+    later than the watermark horizon passes through — the downstream
+    MERGE remains the backstop for those.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
     )

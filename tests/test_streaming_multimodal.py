@@ -424,3 +424,36 @@ def test_streaming_sessions_watermark_finalization(spark, tmp_path):
         assert s2["end_ts"] == t0 + dt.timedelta(minutes=95)
     finally:
         q.stop()
+
+
+def test_streaming_dedup_drops_redelivery_keeps_late(spark, tmp_path):
+    from go_muse_spark.streaming.ingest import streaming_dedup
+
+    src = tmp_path / "sdedup"
+    src.mkdir()
+    pdf = generate_transcripts(n_convs=6, seed=7, hot_turns=120).to_pandas()
+    static = spark.createDataFrame(pdf)
+    # batch 1: full corpus; batch 2: a re-delivered slice (same keys)
+    static.write.mode("overwrite").parquet(str(src / "b1"))
+    static.orderBy("conv_id", "turn_idx").limit(40).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b2"))
+    stream = spark.readStream.schema(static.schema).parquet(
+        str(src / "*")
+    ).coalesce(1)
+    out = streaming_dedup(stream, watermark="30 days")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "select count(*) n, count(distinct conv_id || '#' || turn_idx) d "
+        "from dedup_sink"
+    ).collect()[0]
+    # every key exactly once: re-deliveries inside the horizon dropped
+    assert got["n"] == static.count()
+    assert got["d"] == static.count()
