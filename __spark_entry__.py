@@ -82,6 +82,7 @@ from go_muse_spark.operators.olap import (
 from go_muse_spark.operators.stats import (
     autocorr_lags,
     inter_arrival_stats,
+    linear_fit,
     seasonal_anomaly,
     mad_outliers,
     seasonal_profile,
@@ -1490,6 +1491,64 @@ def q_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "source", "n_toks", "keep_thr")
 
 
+def q_predict_1h(spark, sf_dir):
+    """PromQL predict_linear over the 1h tier: trailing-24h least
+    squares slope + 1h-ahead extrapolation from exact pooled integer
+    sums (bucket-index time base); one series exchange."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    out = linear_fit(
+        rolled, "turn_cnt", window_secs=86400, bucket_secs=3600,
+        horizon_secs=3600,
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("value").alias("turn_cnt"),
+        "n_win",
+        F.round(F.col("slope_per_s") * 1e9, 0).cast("long").alias("slope_nu"),
+        F.round(F.col("predict") * 1e6, 0).cast("long").alias("pred_u"),
+    )
+
+
+def q_burn_rate(spark, sf_dir):
+    """Multiwindow SLO burn rate (SRE workbook): per user-hour, the
+    error-event ratio over the trailing 1h and 6h windows against a 10%%
+    budget; page when BOTH windows burn > 2x. One conditional rollup +
+    two RANGE frames over the same series exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+        .alias("t"),
+    ).agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("err"),
+    )
+    w6 = (
+        Window.partitionBy("user_id").orderBy("t").rangeBetween(-5, 0)
+    )
+    budget = 0.10
+    short_burn = (
+        F.col("err").cast("double") / F.col("tot") / F.lit(budget)
+    )
+    long_burn = (
+        F.sum("err").over(w6).cast("double")
+        / F.sum("tot").over(w6)
+        / F.lit(budget)
+    )
+    return hourly.select(
+        "user_id",
+        (F.col("t") * 3600).alias("bucket_epoch"),
+        "tot",
+        "err",
+        F.round(short_burn * 1e6, 0).cast("long").alias("burn1_u"),
+        F.round(long_burn * 1e6, 0).cast("long").alias("burn6_u"),
+        ((short_burn > 2.0) & (long_burn > 2.0)).alias("page"),
+    )
+
+
 def q_rollquant_24h(spark, sf_dir):
     """Trailing 24h exact p50/p95 over the 1h tier (rolling SLO curve):
     RANGE frame inclusive of the current bucket, gaps absent."""
@@ -1734,6 +1793,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_1d": q_latency_1d,
         "brown_1h": q_brown_1h,
         "rollquant_24h": q_rollquant_24h,
+        "predict_1h": q_predict_1h,
+        "burn_rate": q_burn_rate,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -2050,6 +2111,61 @@ r AS (
 SELECT b.doc_id, b.source, b.n_toks, r.keep_thr
 FROM b JOIN r USING (source)
 WHERE ({X.char_hash('duck', 'text')}) % 10000 < keep_thr
+""",
+        "predict_1h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         cast(epoch(date_trunc('hour', ts)) AS bigint) // 3600 AS t,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT user_id, t, y,
+         count(*) OVER fr AS n,
+         cast(sum(t) OVER fr AS bigint) AS st,
+         cast(sum(y) OVER fr AS bigint) AS sy,
+         cast(sum(t * t) OVER fr AS bigint) AS stt,
+         cast(sum(t * y) OVER fr AS bigint) AS sty
+  FROM r
+  WINDOW fr AS (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+), f AS (
+  SELECT user_id, t, y, n,
+         CASE WHEN n >= 3 AND n * stt - st * st > 0
+              THEN cast(n * sty - st * sy AS double)
+                   / cast(n * stt - st * st AS double)
+         END AS slope_b,
+         cast(st AS double) / n AS mt,
+         cast(sy AS double) / n AS my
+  FROM w
+)
+SELECT user_id, t * 3600 AS bucket_epoch, y AS turn_cnt, n AS n_win,
+       cast(round(slope_b / 3600 * 1e9) AS bigint) AS slope_nu,
+       cast(round((my + slope_b * (t + 1 - mt)) * 1e6) AS bigint) AS pred_u
+FROM f
+""",
+        "burn_rate": """
+WITH h AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         epoch_us(ts) // 3600000000 AS t,
+         count(*) AS tot,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT user_id, t, cast(tot AS bigint) AS tot, cast(err AS bigint) AS err,
+         cast(sum(err) OVER fr AS bigint) AS err6,
+         cast(sum(tot) OVER fr AS bigint) AS tot6
+  FROM h
+  WINDOW fr AS (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, t * 3600 AS bucket_epoch, tot, err,
+       cast(round(cast(err AS double) / tot / 0.10 * 1e6) AS bigint)
+         AS burn1_u,
+       cast(round(cast(err6 AS double) / tot6 / 0.10 * 1e6) AS bigint)
+         AS burn6_u,
+       (cast(err AS double) / tot / 0.10 > 2.0
+        AND cast(err6 AS double) / tot6 / 0.10 > 2.0) AS page
+FROM w
 """,
         "rollquant_24h": """
 WITH r AS (

@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "seasonal_profile",
     "seasonal_anomaly",
     "rollquant_24h",
+    "predict_1h",
+    "burn_rate",
     "mad_outliers",
     "ngram_diversity",
     "unigram_logprob",

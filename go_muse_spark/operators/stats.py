@@ -42,6 +42,7 @@ __all__ = [
     "mad_outliers",
     "inter_arrival_stats",
     "seasonal_anomaly",
+    "linear_fit",
 ]
 
 
@@ -553,4 +554,75 @@ def seasonal_anomaly(
             .cast("long")
             .alias("z_u"),
         )
+    )
+
+
+def linear_fit(
+    rolled: DataFrame,
+    value_col: str,
+    window_secs: int,
+    bucket_secs: int,
+    horizon_secs: int = 3600,
+    min_points: int = 3,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Trailing least-squares fit per bucket (PromQL deriv() /
+    predict_linear()): the slope of value over the preceding
+    `window_secs` of the series and the extrapolated value
+    `horizon_secs` ahead — the "disk full in N hours?" primitive.
+
+    Time enters as the BUCKET INDEX (epoch div bucket_secs), so with
+    integral values every pooled sum (n, Σt, Σy, Σtt, Σty) and both
+    closed-form numerators stay exact int64 (frame <= window buckets;
+    products ~1e11 at tier scale) — the two divisions are the only
+    rounding, identical in any IEEE engine, same contract as the other
+    pooled-sums operators. Windows with < min_points buckets or zero
+    time-variance emit NULLs.
+
+    One exchange on the series key; the RANGE frame slides with O(1)
+    subtractable-aggregate updates. Returns (by..., bucket_col, value,
+    n_win, slope_per_s, predict).
+    """
+    if window_secs % bucket_secs:
+        raise ValueError("window_secs must be a multiple of bucket_secs")
+    win_b = window_secs // bucket_secs
+    hor_b = float(horizon_secs) / bucket_secs
+    tidx = (F.unix_timestamp(F.col(bucket_col)) / F.lit(bucket_secs)).cast(
+        "long"
+    )
+    base = rolled.select(
+        *by,
+        F.col(bucket_col),
+        tidx.alias("__t"),
+        F.col(value_col).cast("long").alias("__y"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__t")
+        .rangeBetween(-(win_b - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    st = F.sum("__t").over(w)
+    sy = F.sum("__y").over(w)
+    stt = F.sum(F.col("__t") * F.col("__t")).over(w)
+    sty = F.sum(F.col("__t") * F.col("__y")).over(w)
+    denom = n * stt - st * st
+    num = n * sty - st * sy
+    slope_b = F.when(
+        (n >= min_points) & (denom > 0),
+        num.cast("double") / denom.cast("double"),
+    )
+    mean_t = st.cast("double") / n
+    mean_y = sy.cast("double") / n
+    predict = mean_y + slope_b * (
+        F.col("__t").cast("double") + F.lit(hor_b) - mean_t
+    )
+    return base.select(
+        *by,
+        bucket_col,
+        F.col("__y").alias("value"),
+        n.alias("n_win"),
+        (slope_b / F.lit(float(bucket_secs))).alias("slope_per_s"),
+        predict.alias("predict"),
     )

@@ -365,3 +365,34 @@ def test_moving_quantile_exact_frames(spark):
     assert out[4]["win_n"] == 3
     with pytest.raises(ValueError):
         moving_quantile(df, "v", 3600, pcts=())
+
+
+def test_linear_fit_recovers_ramp_and_guards(spark):
+    from go_muse_spark.operators.stats import linear_fit
+
+    # perfect ramp: slope 2 per hour = 2/3600 per second; predict at
+    # +1h continues the ramp exactly
+    rows = [(1, f"1970-01-01 {h:02d}:00:00", 2 * h + 5) for h in range(10)]
+    # a flat series keeps slope exactly 0; a 2-point series -> NULL
+    rows += [(2, f"1970-01-01 {h:02d}:00:00", 7) for h in range(6)]
+    rows += [(3, f"1970-01-01 {h:02d}:00:00", h) for h in range(2)]
+    df = spark.createDataFrame(
+        rows, "conv_id long, bucket_ts string, v long"
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    got = {
+        (r["conv_id"], int(r["bucket_ts"].timestamp() // 3600)): r
+        for r in linear_fit(
+            df, "v", window_secs=6 * 3600, bucket_secs=3600,
+            horizon_secs=3600,
+        ).collect()
+    }
+    for h in range(2, 10):
+        r = got[(1, h)]
+        assert abs(r["slope_per_s"] - 2.0 / 3600) < 1e-15
+        assert abs(r["predict"] - (2 * (h + 1) + 5)) < 1e-9
+        assert r["n_win"] == min(h + 1, 6)
+    assert got[(2, 5)]["slope_per_s"] == 0.0
+    assert abs(got[(2, 5)]["predict"] - 7.0) < 1e-12
+    assert got[(3, 1)]["slope_per_s"] is None  # < min_points
+    with pytest.raises(ValueError):
+        linear_fit(df, "v", window_secs=5000, bucket_secs=3600)
