@@ -82,6 +82,7 @@ from go_muse_spark.operators.olap import (
 from go_muse_spark.operators.stats import (
     autocorr_lags,
     inter_arrival_stats,
+    change_stats,
     linear_fit,
     seasonal_anomaly,
     mad_outliers,
@@ -1549,6 +1550,41 @@ def q_burn_rate(spark, sf_dir):
     )
 
 
+def q_sax_motifs(spark, sf_dir):
+    """Motif discovery over the SAX index: day-shape words shared by
+    multiple (user, day) windows — the cheap symbolic pre-filter that
+    tells the FFT search where to look. Groups the sax_1d output by
+    (n, word) — same-length words are comparable shapes; days with
+    fewer than 4 active hours are noise, not motifs."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    words = sax_words(rolled, "turn_cnt", 86400, alphabet=4)
+    return (
+        words.filter(F.col("n") >= 4)
+        .groupBy("n", "word")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count_distinct(F.col("conv_id")).alias("n_users"),
+        )
+        .filter(F.col("n_windows") >= 2)
+    )
+
+
+def q_changes_24h(spark, sf_dir):
+    """PromQL changes()/resets() over the 1h tier: trailing-24h count
+    of value transitions and decreases per series — lag flags and RANGE
+    totals share one sort on one exchange; integer-exact end to end."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    out = change_stats(rolled, "turn_cnt", 86400)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        F.col("value").cast("long").alias("turn_cnt"),
+        "n_win",
+        "n_changes",
+        "n_resets",
+    )
+
+
 def q_rollquant_24h(spark, sf_dir):
     """Trailing 24h exact p50/p95 over the 1h tier (rolling SLO curve):
     RANGE frame inclusive of the current bucket, gaps absent."""
@@ -1795,6 +1831,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollquant_24h": q_rollquant_24h,
         "predict_1h": q_predict_1h,
         "burn_rate": q_burn_rate,
+        "sax_motifs": q_sax_motifs,
+        "changes_24h": q_changes_24h,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -2166,6 +2204,64 @@ SELECT user_id, t * 3600 AS bucket_epoch, tot, err,
        (cast(err AS double) / tot / 0.10 > 2.0
         AND cast(err6 AS double) / tot6 / 0.10 > 2.0) AS page
 FROM w
+""",
+        "sax_motifs": """
+WITH sax AS (
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         cast(epoch(date_trunc('hour', ts)) AS bigint) AS t,
+         cast(count(*) AS double) AS v
+  FROM events GROUP BY 1, 2
+), z AS (
+  SELECT user_id, t, t - (t % 86400) AS word_epoch, v,
+         count(*) OVER w AS n, sum(v) OVER w AS s,
+         sum(v * v) OVER w AS ss
+  FROM r
+  WINDOW w AS (PARTITION BY user_id, t - (t % 86400))
+), sym AS (
+  SELECT user_id, word_epoch, t,
+         CASE
+           WHEN n = 1 OR (ss - s * s / n) / (n - 1) <= 0.0 THEN 'c'
+           WHEN (v - s / n) / sqrt((ss - s * s / n) / (n - 1))
+                < -0.6744897501960817 THEN 'a'
+           WHEN (v - s / n) / sqrt((ss - s * s / n) / (n - 1))
+                < 0.0 THEN 'b'
+           WHEN (v - s / n) / sqrt((ss - s * s / n) / (n - 1))
+                < 0.6744897501960817 THEN 'c'
+           ELSE 'd'
+         END AS sym
+  FROM z
+)
+SELECT user_id, word_epoch, count(*) AS n,
+       string_agg(sym, '' ORDER BY t) AS word
+FROM sym GROUP BY 1, 2
+)
+SELECT n, word, count(*) AS n_windows,
+       count(DISTINCT user_id) AS n_users
+FROM sax WHERE n >= 4
+GROUP BY n, word HAVING count(*) >= 2
+""",
+        "changes_24h": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         cast(epoch(date_trunc('hour', ts)) AS bigint) AS t,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT user_id, t, v,
+         CASE WHEN lag(v) OVER w IS NULL THEN 0
+              WHEN v <> lag(v) OVER w THEN 1 ELSE 0 END AS chg,
+         CASE WHEN lag(v) OVER w IS NULL THEN 0
+              WHEN v < lag(v) OVER w THEN 1 ELSE 0 END AS rst
+  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY t)
+)
+SELECT user_id, t AS bucket_epoch, v AS turn_cnt,
+       count(*) OVER fr AS n_win,
+       cast(sum(chg) OVER fr AS bigint) AS n_changes,
+       cast(sum(rst) OVER fr AS bigint) AS n_resets
+FROM f
+WINDOW fr AS (PARTITION BY user_id ORDER BY t
+              RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
 """,
         "rollquant_24h": """
 WITH r AS (

@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "rollquant_24h",
     "predict_1h",
     "burn_rate",
+    "changes_24h",
+    "sax_motifs",
     "mad_outliers",
     "ngram_diversity",
     "unigram_logprob",

@@ -43,6 +43,7 @@ __all__ = [
     "inter_arrival_stats",
     "seasonal_anomaly",
     "linear_fit",
+    "change_stats",
 ]
 
 
@@ -625,4 +626,56 @@ def linear_fit(
         n.alias("n_win"),
         (slope_b / F.lit(float(bucket_secs))).alias("slope_per_s"),
         predict.alias("predict"),
+    )
+
+
+def change_stats(
+    rolled: DataFrame,
+    value_col: str,
+    window_secs: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """PromQL changes() + resets() over a tier: per bucket, how many
+    times the series VALUE changed, and how many times it DECREASED
+    (counter reset), across the trailing `window_secs` — the flap /
+    restart detectors.
+
+    One exchange on the series key; the per-row change/reset flags come
+    from lag() and the trailing totals from a RANGE frame over the same
+    partition-order, so both window passes share one sort. A series'
+    first bucket has no predecessor and contributes no flag (PromQL
+    semantics: transitions, not points). Flags are exact integers —
+    no float content at all.
+
+    Returns (by..., bucket_col, value, n_win, n_changes, n_resets).
+    """
+    t = F.unix_timestamp(F.col(bucket_col))
+    w_ord = Window.partitionBy(*by).orderBy(t)
+    v = F.col(value_col)
+    prev = F.lag(v).over(w_ord)
+    base = rolled.select(
+        *by,
+        F.col(bucket_col),
+        t.alias("__t"),
+        v.alias("value"),
+        F.when(prev.isNull(), F.lit(0))
+        .otherwise((v != prev).cast("long"))
+        .alias("__chg"),
+        F.when(prev.isNull(), F.lit(0))
+        .otherwise((v < prev).cast("long"))
+        .alias("__rst"),
+    )
+    w_rng = (
+        Window.partitionBy(*by)
+        .orderBy("__t")
+        .rangeBetween(-(window_secs - 1), 0)
+    )
+    return base.select(
+        *by,
+        bucket_col,
+        "value",
+        F.count(F.lit(1)).over(w_rng).alias("n_win"),
+        F.sum("__chg").over(w_rng).alias("n_changes"),
+        F.sum("__rst").over(w_rng).alias("n_resets"),
     )

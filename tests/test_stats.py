@@ -396,3 +396,23 @@ def test_linear_fit_recovers_ramp_and_guards(spark):
     assert got[(3, 1)]["slope_per_s"] is None  # < min_points
     with pytest.raises(ValueError):
         linear_fit(df, "v", window_secs=5000, bucket_secs=3600)
+
+
+def test_change_stats_counts_transitions(spark):
+    from go_muse_spark.operators.stats import change_stats
+
+    vals = [5, 5, 7, 3, 3, 9]  # changes at h2,h3,h5; reset at h3
+    rows = [(1, f"1970-01-01 {h:02d}:00:00", v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id long, bucket_ts string, v long"
+    ).withColumn("bucket_ts", F.col("bucket_ts").cast("timestamp"))
+    got = {
+        int(r["bucket_ts"].timestamp() // 3600): r
+        for r in change_stats(df, "v", 3 * 3600).collect()
+    }
+    # trailing 3h inclusive: flags per hour = [0,0,1,1,0,1], resets [0,0,0,1,0,0]
+    expect_chg = {0: 0, 1: 0, 2: 1, 3: 2, 4: 2, 5: 2}
+    expect_rst = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    for h in range(6):
+        assert got[h]["n_changes"] == expect_chg[h], h
+        assert got[h]["n_resets"] == expect_rst[h], h
