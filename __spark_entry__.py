@@ -94,6 +94,7 @@ from go_muse_spark.operators.stats import (
 )
 from go_muse_spark.operators.terms import (
     ngram_diversity,
+    repetition_ratio,
     tfidf_top_terms,
     unigram_logprob,
 )
@@ -1585,6 +1586,49 @@ def q_changes_24h(spark, sf_dir):
     )
 
 
+def q_repetition_ratio(spark, sf_dir):
+    """Gopher-style per-doc duplicate 3-gram fraction: the share of a
+    document's n-gram instances that repeat within the document —
+    template-loop / copy-paste spam detector, per-doc complement of the
+    slice-level ngram_diversity."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_ratio(docs, n=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_instances",
+        F.round(F.col("dup_ratio") * 1e6, 0).cast("long").alias("ratio_u"),
+    )
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution for the view->click->purchase
+    funnel: per step transition, how many users converted and the exact
+    p50/p95 of the wait — the product-analytics twin of funnel_vcp's
+    depth counts. One global aggregate over the funnel table."""
+    ev = load_table(spark, sf_dir, "events")
+    f = funnel_steps(ev, ["view", "click", "purchase"])
+    d12 = F.col("step2_us") - F.col("step1_us")
+    d23 = F.col("step3_us") - F.col("step2_us")
+    base = f.select(d12.alias("d12"), d23.alias("d23"))
+    return base.agg(
+        F.count("d12").alias("n12"),
+        F.round(F.expr("percentile(d12, 0.5)"), 0)
+        .cast("long")
+        .alias("p50_12_us"),
+        F.round(F.expr("percentile(d12, 0.95)"), 0)
+        .cast("long")
+        .alias("p95_12_us"),
+        F.count("d23").alias("n23"),
+        F.round(F.expr("percentile(d23, 0.5)"), 0)
+        .cast("long")
+        .alias("p50_23_us"),
+        F.round(F.expr("percentile(d23, 0.95)"), 0)
+        .cast("long")
+        .alias("p95_23_us"),
+    )
+
+
 def q_rollquant_24h(spark, sf_dir):
     """Trailing 24h exact p50/p95 over the 1h tier (rolling SLO curve):
     RANGE frame inclusive of the current bucket, gaps absent."""
@@ -1833,6 +1877,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_rate": q_burn_rate,
         "sax_motifs": q_sax_motifs,
         "changes_24h": q_changes_24h,
+        "repetition_ratio": q_repetition_ratio,
+        "funnel_latency": q_funnel_latency,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -2262,6 +2308,54 @@ SELECT user_id, t AS bucket_epoch, v AS turn_cnt,
 FROM f
 WINDOW fr AS (PARTITION BY user_id ORDER BY t
               RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+""",
+        "repetition_ratio": """
+WITH g AS (
+  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) < 3 THEN [] ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 2), i -> string_split(text, ' ')[i + 0] || ' ' || string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]) END) AS gr FROM documents
+), c AS (
+  SELECT doc_id, gr, count(*) AS c FROM g GROUP BY 1, 2
+)
+SELECT doc_id,
+       cast(sum(c) AS bigint) AS n_grams,
+       cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS bigint)
+         AS n_dup_instances,
+       cast(round(cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS double)
+                  / sum(c) * 1e6) AS bigint) AS ratio_u
+FROM c GROUP BY doc_id
+""",
+        "funnel_latency": """
+WITH f AS (
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), s1 AS (
+  SELECT user_id, min(t) AS step1_us FROM e
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.t) AS step2_us
+  FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.t > s1.step1_us GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.t) AS step3_us
+  FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.t > s2.step2_us GROUP BY 1
+)
+SELECT s1.user_id, s1.step1_us, s2.step2_us, s3.step3_us,
+       cast(1 + coalesce(cast(s2.user_id IS NOT NULL AS int), 0)
+              + coalesce(cast(s3.user_id IS NOT NULL AS int), 0) AS int)
+         AS n_steps
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+)
+SELECT count(step2_us) AS n12,
+       cast(round(quantile_cont(step2_us - step1_us, 0.5)) AS bigint)
+         AS p50_12_us,
+       cast(round(quantile_cont(step2_us - step1_us, 0.95)) AS bigint)
+         AS p95_12_us,
+       count(step3_us) AS n23,
+       cast(round(quantile_cont(step3_us - step2_us, 0.5)) AS bigint)
+         AS p50_23_us,
+       cast(round(quantile_cont(step3_us - step2_us, 0.95)) AS bigint)
+         AS p95_23_us
+FROM f
 """,
         "rollquant_24h": """
 WITH r AS (

@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "twa_1h",
     "state_dur_1d",
     "funnel_vcp",
+    "funnel_latency",
+    "repetition_ratio",
     "cohort_1d",
     "lttb_1d",
     "uniques_1h",

@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tfidf_top_terms", "ngram_diversity", "unigram_logprob"]
+__all__ = [
+    "tfidf_top_terms",
+    "ngram_diversity",
+    "unigram_logprob",
+    "repetition_ratio",
+]
 
 
 def tfidf_top_terms(
@@ -157,4 +162,50 @@ def unigram_logprob(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_toks"),
         (F.sum("__lp") / F.count(F.lit(1))).alias("logprob"),
+    )
+
+
+def repetition_ratio(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate n-gram fraction (the Gopher/MassiveText
+    repetition rule): what share of a document's word n-gram INSTANCES
+    belong to an n-gram that occurs more than once IN THAT DOCUMENT.
+    The per-doc complement of ngram_diversity's slice-level type/token
+    ratio — a doc near 1.0 is a template loop or copy-paste spam and
+    gets dropped by the quality gate regardless of how diverse the
+    rest of its slice is.
+
+    Shape: map-side shingle explode, ONE hash aggregate on
+    (doc, gram) — the key space is bounded by each doc's own length, so
+    there is no hot-key risk — then a per-doc aggregate; the ratio is
+    one double division of exact int64 counts. Docs shorter than n
+    words have no shingles and are absent (undefined, not 0).
+
+    Returns (id_col, n_grams, n_dup_instances, dup_ratio).
+    """
+    from go_muse_spark.functions import text as X
+    from go_muse_spark.operators.dedup import _widen
+
+    sh = F.expr(X.shingles("spark", n, text_col))
+    g = (
+        _widen(docs)
+        .select(F.col(id_col), F.explode(sh).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return g.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "n_dup_instances"
+        ),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("c")
+        ).alias("dup_ratio"),
     )
