@@ -1629,6 +1629,32 @@ def q_funnel_latency(spark, sf_dir):
     )
 
 
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the compacted state
+    stream: P(to | from) with exact counts — the behavioral model a
+    product-analytics or anomaly stack fits over event sequences.
+    Composition: state_transitions (one exchange, output-sensitive)
+    then one (from, to) aggregate + a from-marginal window; NULL `from`
+    (series starts) is its own row, the start distribution."""
+    ev = load_table(spark, sf_dir, "events")
+    tr = state_transitions(ev, "event_type")
+    from pyspark.sql import Window
+
+    cnt = tr.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("from_state"))
+    return cnt.select(
+        "from_state",
+        "to_state",
+        "n",
+        tot.alias("n_from"),
+        F.round(F.col("n").cast("double") / tot * 1e6, 0)
+        .cast("long")
+        .alias("p_u"),
+    )
+
+
 def q_rollquant_24h(spark, sf_dir):
     """Trailing 24h exact p50/p95 over the 1h tier (rolling SLO curve):
     RANGE frame inclusive of the current bucket, gaps absent."""
@@ -1879,6 +1905,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changes_24h": q_changes_24h,
         "repetition_ratio": q_repetition_ratio,
         "funnel_latency": q_funnel_latency,
+        "markov_transitions": q_markov_transitions,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -2356,6 +2383,32 @@ SELECT count(step2_us) AS n12,
        cast(round(quantile_cont(step3_us - step2_us, 0.95)) AS bigint)
          AS p95_23_us
 FROM f
+""",
+        "markov_transitions": """
+WITH tr AS (
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type AS st,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_type) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, t, prev AS from_state, st AS to_state
+  FROM p WHERE prev IS NULL OR prev <> st
+)
+SELECT user_id, cast(t AS bigint) AS t_us, from_state, to_state,
+       cast(row_number() OVER (PARTITION BY user_id
+                               ORDER BY t, to_state) AS int) AS trans_idx
+FROM f
+), c AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM tr GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+       cast(sum(n) OVER (PARTITION BY from_state) AS bigint) AS n_from,
+       cast(round(cast(n AS double)
+                  / sum(n) OVER (PARTITION BY from_state) * 1e6)
+            AS bigint) AS p_u
+FROM c
 """,
         "rollquant_24h": """
 WITH r AS (

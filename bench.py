@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "kmeans_step",
     "gaps_6h",
     "state_transitions",
+    "markov_transitions",
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed
     # cost (9s / 38s), which would drown the signal this list exists for
