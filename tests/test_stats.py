@@ -416,3 +416,73 @@ def test_change_stats_counts_transitions(spark):
     for h in range(6):
         assert got[h]["n_changes"] == expect_chg[h], h
         assert got[h]["n_resets"] == expect_rst[h], h
+
+
+def test_windowed_ops_randomized_numpy_parity(spark):
+    """Brute-force replay of linear_fit / change_stats / moving_quantile
+    on a randomized-but-seeded gappy series: every frame recomputed
+    independently in numpy must match Spark's sliding evaluation."""
+    import numpy as np
+
+    from go_muse_spark.operators.rollup import moving_quantile
+    from go_muse_spark.operators.stats import change_stats, linear_fit
+
+    rng = np.random.default_rng(1234)
+    hours = np.sort(
+        rng.choice(np.arange(120), size=70, replace=False)
+    )  # gappy
+    vals = rng.integers(0, 50, size=70)
+    rows = [
+        (1, int(h) * 3600, int(v)) for h, v in zip(hours, vals)
+    ]
+    df = (
+        spark.createDataFrame(rows, "conv_id long, es long, v long")
+        .withColumn("bucket_ts", F.col("es").cast("timestamp"))
+        .drop("es")
+    )
+    W = 12  # 12h trailing
+    lf = {
+        int(r["bucket_ts"].timestamp() // 3600): r
+        for r in linear_fit(
+            df, "v", W * 3600, 3600, horizon_secs=7200, min_points=3
+        ).collect()
+    }
+    cs = {
+        int(r["bucket_ts"].timestamp() // 3600): r
+        for r in change_stats(df, "v", W * 3600).collect()
+    }
+    mq = {
+        int(r["bucket_ts"].timestamp() // 3600): r
+        for r in moving_quantile(df, "v", W * 3600, pcts=(0.5,)).collect()
+    }
+    for i, (h, v) in enumerate(zip(hours, vals)):
+        in_w = [
+            j for j in range(i + 1) if hours[j] > h - W and hours[j] <= h
+        ]
+        t = hours[in_w].astype(np.float64)
+        y = vals[in_w].astype(np.float64)
+        n = len(in_w)
+        # linear_fit
+        r = lf[int(h)]
+        assert r["n_win"] == n
+        denom = n * (t * t).sum() - t.sum() ** 2
+        if n >= 3 and denom > 0:
+            slope = (n * (t * y).sum() - t.sum() * y.sum()) / denom
+            pred = y.mean() + slope * (h + 2 - t.mean())
+            assert abs(r["slope_per_s"] - slope / 3600) < 1e-12
+            assert abs(r["predict"] - pred) < 1e-9
+        else:
+            assert r["slope_per_s"] is None
+        # change_stats: flags over TRANSITIONS inside the frame
+        chg = rst = 0
+        for j in in_w:
+            if j == 0:
+                continue
+            if vals[j] != vals[j - 1]:
+                chg += 1
+            if vals[j] < vals[j - 1]:
+                rst += 1
+        assert cs[int(h)]["n_changes"] == chg
+        assert cs[int(h)]["n_resets"] == rst
+        # moving_quantile: exact interpolated median of the frame
+        assert abs(mq[int(h)]["p_50"] - np.quantile(y, 0.5)) < 1e-9
