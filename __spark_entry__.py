@@ -35,6 +35,7 @@ from go_muse_spark.operators.rollup import (
     rollup_transcripts,
 )
 from go_muse_spark.operators.search import (
+    muse_search_multi,
     IncrementalResults,
     SearchParams,
     muse_search_rollup,
@@ -1338,6 +1339,10 @@ _REF_TOPK = (
     "CASE WHEN j - (L // 4) BETWEEN 0 AND 4 "
     "THEN [1.0, 3.0, 5.0, 3.0, 1.0][j - (L // 4) + 1] ELSE 0.0 END"
 )
+_REF_MULTI_B = (
+    "CASE WHEN j - (L // 2) BETWEEN 0 AND 3 "
+    "THEN [2.0, -5.0, -5.0, 2.0][j - (L // 2) + 1] ELSE 0.0 END"
+)
 _REF_GROUPED = (
     "CASE WHEN j - (L // 3) BETWEEN 0 AND 3 "
     "THEN [2.0, 5.0, 5.0, 2.0][j - (L // 3) + 1] ELSE 0.0 END"
@@ -1655,6 +1660,37 @@ def q_markov_transitions(spark, sf_dir):
     )
 
 
+def q_muse_multi_1h(spark, sf_dir):
+    """k-pattern fleet search: TWO references scored against the hourly
+    corpus in ONE scan/shuffle — each flush FFTs the candidates once
+    (kernels.batch_y_spec) and finishes a multiply+irfft per reference;
+    per-ref Results semantics (filters + top-10). Oracle: the exact
+    sparse-xcorr decomposition replayed per reference, UNION ALL."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    lo, hi, n = series_bounds(rolled, 3600)
+    refA = np.zeros(n)
+    refA[n // 4 : n // 4 + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+    refB = np.zeros(n)
+    refB[n // 2 : n // 2 + 4] = [2.0, -5.0, -5.0, 2.0]
+    out = muse_search_multi(
+        rolled,
+        {"A": refA, "B": refB},
+        3600,
+        group_by=None,
+        params=SearchParams(
+            top_n=10, max_lag=n, threshold=0.0, mode="abs", n_salt=4
+        ),
+        bounds=(lo, hi, n),
+    )
+    return out.select(
+        "ref_key",
+        "group_key",
+        "series_key",
+        "lag",
+        F.round(F.col("score") * 1e6, 0).cast("long").alias("score_u"),
+    )
+
+
 def q_rollquant_24h(spark, sf_dir):
     """Trailing 24h exact p50/p95 over the 1h tier (rolling SLO curve):
     RANGE frame inclusive of the current bucket, gaps absent."""
@@ -1906,6 +1942,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "funnel_latency": q_funnel_latency,
         "markov_transitions": q_markov_transitions,
+        "muse_multi_1h": q_muse_multi_1h,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -1962,6 +1999,13 @@ def oracle_sql() -> dict[str, str]:
     # windowed encoder emits byte-identical chunks -> identical decode
     d["chunks_windowed_roundtrip_1h"] = d["chunks_roundtrip_1h"]
     d["muse_topk_1h"] = _muse_oracle(_REF_TOPK, _MUSE_RR_PER_USER)
+    d["muse_multi_1h"] = (
+        "SELECT 'A' AS ref_key, * FROM ("
+        + _muse_oracle(_REF_TOPK, _MUSE_RR_PER_USER)
+        + ") UNION ALL SELECT 'B' AS ref_key, * FROM ("
+        + _muse_oracle(_REF_MULTI_B, _MUSE_RR_PER_USER)
+        + ")"
+    )
     d["muse_signed_1h"] = _muse_oracle(
         _REF_DIP,
         _MUSE_RR_PER_USER,

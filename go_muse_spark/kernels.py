@@ -170,30 +170,55 @@ def batch_xcorr(
     This one-rfft-per-Arrow-batch shape is the vectorization the reference
     lacks (it FFTs per candidate with scratch reuse, muse_batch.go:62-64).
     """
+    y_spec, ok = batch_y_spec(y_matrix, spec.n, spec.ref_n)
+    return xcorr_from_spec(spec.x_spec, y_spec, ok, spec.n)
+
+
+def batch_y_spec(
+    y_matrix: np.ndarray, fft_n: int, ref_n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The candidate half of batch_xcorr, factored out so MULTIPLE
+    prepared references can score the same candidates from ONE rfft —
+    the reuse the single-ref API cannot express (a k-reference search
+    re-FFTs every candidate k times through batch_xcorr).
+
+    Returns (y_spec complex128 (m, fft_n//2+1), ok bool[m]) where ok
+    marks rows with nonzero finite sample sigma (sigma=0 rows z-norm
+    against 1.0 and are masked to (0, 0.0) downstream, matching the
+    reference's per-candidate semantics).
+    """
     y = np.asarray(y_matrix, dtype=np.float64)
     if y.ndim != 2:
         raise ValueError("y_matrix must be 2-D (m, L)")
     m, length = y.shape
-    if length != spec.ref_n:
+    if length != ref_n:
         raise ValueError(
-            f"candidate length {length} != reference length {spec.ref_n} "
+            f"candidate length {length} != reference length {ref_n} "
             "(reference group.go:45-51 equal-length invariant)"
         )
-    n = spec.n
     mean = y.mean(axis=1, keepdims=True)
     sigma = y.std(axis=1, ddof=1, keepdims=True)
     ok = (sigma[:, 0] != 0.0) & np.isfinite(sigma[:, 0])
     safe_sigma = np.where(sigma == 0.0, 1.0, sigma)
     z = (y - mean) / safe_sigma
     # front zero-pad the whole matrix at once
-    zp = np.zeros((m, n), dtype=np.float64)
-    zp[:, n - length :] = z
-    cc = np.fft.irfft(
-        np.conj(np.fft.rfft(zp, axis=1)) * spec.x_spec[None, :], n, axis=1
-    )
+    zp = np.zeros((m, fft_n), dtype=np.float64)
+    zp[:, fft_n - length :] = z
+    return np.fft.rfft(zp, axis=1), ok
+
+
+def xcorr_from_spec(
+    x_spec: np.ndarray, y_spec: np.ndarray, ok: np.ndarray, fft_n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Finish a batched xcorr from precomputed spectra: multiply, one
+    inverse FFT, first-max-wins argmax, circular lag wrap, sigma=0 mask.
+    Identical arithmetic to the fused batch_xcorr (which now delegates
+    here), so golden-parity tests cover both entry points."""
+    n = fft_n
+    cc = np.fft.irfft(np.conj(y_spec) * x_spec[None, :], n, axis=1)
     idx = np.argmax(np.abs(cc), axis=1)  # first max wins, matches maxAbsIndex
     lags = np.where(idx > n // 2, idx - n, idx).astype(np.int64)
-    scores = cc[np.arange(m), idx]
+    scores = cc[np.arange(idx.size), idx]
     lags = np.where(ok, lags, 0)
     scores = np.where(ok, scores, 0.0)
     return lags, scores

@@ -48,6 +48,8 @@ __all__ = [
     "top_k",
     "mean_abs_score",
     "IncrementalResults",
+    "score_rollup_multi",
+    "muse_search_multi",
 ]
 
 SIGN_ANY, SIGN_POS, SIGN_NEG = "any", "pos", "neg"
@@ -441,3 +443,186 @@ class IncrementalResults:
             return [], 0.0
         mean = sum(abs(r["score"]) for r in self._rows) / len(self._rows)
         return list(self._rows), mean
+
+
+def score_rollup_multi(
+    rolled: DataFrame,
+    refs: "dict[str, np.ndarray]",
+    tier_secs: int,
+    group_by: list[str] | None = None,
+    mode: str = "abs",
+    n_salt: int = 4,
+    series_cols: tuple[str, ...] = ("conv_id",),
+    value_col: str = "turn_cnt",
+    bucket_col: str = "bucket_ts",
+    bounds=None,
+) -> DataFrame:
+    """Score MANY prepared references against the corpus in ONE scan —
+    the fleet-search shape the reference's one-ref-per-Batch API cannot
+    express (a k-pattern sweep there re-reads and re-FFTs the corpus k
+    times). Same plan as score_rollup (one exchange on the series key,
+    sparse scatter, batched rfft) with one change: each flush computes
+    the candidates' spectrum ONCE (kernels.batch_y_spec) and finishes k
+    cheap multiply+irfft passes against the broadcast reference spectra
+    — corpus I/O, shuffle, z-norm and the forward FFT are all amortized
+    across the whole pattern set.
+
+    refs: {ref_key: values} — every reference must match the aligned
+    series length; zero-variance references raise (muse.go:33-42).
+
+    Returns (ref_key, group_key, series_key, lag, score): per ref, the
+    best candidate per group.
+    """
+    spark = rolled.sparkSession
+    if not refs:
+        raise ValueError("need at least one reference")
+    if bounds is None:
+        lo, hi, n = series_bounds(rolled, tier_secs, bucket_col)
+    else:
+        lo, hi, n = bounds
+    out_schema = (
+        "ref_key string, group_key string, series_key string, "
+        "lag long, score double"
+    )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    names, specs = [], []
+    for name, vals in refs.items():
+        arr = np.asarray(vals, dtype=np.float64)
+        if arr.size != n:
+            raise ValueError(
+                f"reference {name!r} length {arr.size} != aligned "
+                f"series length {n}"
+            )
+        names.append(name)
+        specs.append(K.prepare_ref(arr))
+    fft_n, ref_n = specs[0].n, specs[0].ref_n
+    x_specs = np.stack([sp.x_spec for sp in specs])
+    bc = spark.sparkContext.broadcast((names, x_specs, fft_n, ref_n))
+    signed = mode == "signed"
+
+    sk = F.concat_ws("|", *[F.col(c) for c in series_cols]).alias("__sk")
+    idx = (
+        (F.unix_timestamp(F.col(bucket_col)) - F.unix_timestamp(F.lit(lo)))
+        / F.lit(int(tier_secs))
+    ).cast("long").alias("__idx")
+    val = F.col(value_col).cast("double").alias("__val")
+    per_series = not group_by
+    if per_series:
+        keyed = rolled.select(sk, idx, val)
+    else:
+        keyed = rolled.select(
+            label_id_cols(group_by).alias("group_key"), sk, idx, val
+        )
+    n_part = n_salt * spark.sparkContext.defaultParallelism
+    batch_rows = 256
+
+    def score_partition(batches):
+        ref_names, xs, nfft, rn = bc.value
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        sks = pdf["__sk"].to_numpy()
+        gks = sks if per_series else pdf["group_key"].to_numpy()
+        idxs = pdf["__idx"].to_numpy(dtype=np.int64)
+        vals = pdf["__val"].to_numpy(dtype=np.float64)
+        change = np.flatnonzero(sks[1:] != sks[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(sks)]))
+
+        y = np.zeros((batch_rows, rn), dtype=np.float64)
+        meta: list = []
+
+        def flush():
+            if not meta:
+                return None
+            y_spec, ok = K.batch_y_spec(y[: len(meta)], nfft, rn)
+            g = np.array([m[0] for m in meta])
+            s = np.array([m[1] for m in meta])
+            outs = []
+            for r, name in enumerate(ref_names):
+                lags, scores = K.xcorr_from_spec(xs[r], y_spec, ok, nfft)
+                sc = K.clamp_signed(scores) if signed else K.clamp_abs(scores)
+                order = np.lexsort((s, -np.abs(sc)))
+                first = ~pd.Series(g[order]).duplicated().to_numpy()
+                pick = order[first]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "ref_key": name,
+                            "group_key": g[pick],
+                            "series_key": s[pick],
+                            "lag": lags[pick],
+                            "score": sc[pick],
+                        }
+                    )
+                )
+            y[: len(meta)] = 0.0
+            meta.clear()
+            return pd.concat(outs, ignore_index=True)
+
+        for s_, e_ in zip(starts, ends):
+            row = len(meta)
+            y[row, idxs[s_:e_]] = vals[s_:e_]
+            meta.append((gks[s_], sks[s_]))
+            if len(meta) == batch_rows:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    local_best = (
+        keyed.repartition(n_part, "__sk")
+        .sortWithinPartitions("__sk", "__idx")
+        .mapInPandas(score_partition, out_schema)
+    )
+    return (
+        local_best.withColumn("_abs", F.abs("score"))
+        .groupBy("ref_key", "group_key")
+        .agg(
+            F.expr(
+                "min_by(struct(series_key, lag, score), struct(-_abs, series_key))"
+            ).alias("best")
+        )
+        .select(
+            "ref_key",
+            "group_key",
+            F.col("best.series_key").alias("series_key"),
+            F.col("best.lag").alias("lag"),
+            F.col("best.score").alias("score"),
+        )
+    )
+
+
+def muse_search_multi(
+    rolled: DataFrame,
+    refs: "dict[str, np.ndarray]",
+    tier_secs: int,
+    group_by: list[str] | None = None,
+    params: SearchParams | None = None,
+    series_cols: tuple[str, ...] = ("conv_id",),
+    value_col: str = "turn_cnt",
+    bounds=None,
+) -> DataFrame:
+    """k-pattern Batch.Run: one corpus scan, per-reference filters and
+    top-K (Results semantics applied independently per ref_key — the
+    same rank/tie rules as top_k, partitioned by reference)."""
+    from pyspark.sql import Window
+
+    p = params or SearchParams()
+    scored = score_rollup_multi(
+        rolled, refs, tier_secs, group_by, p.mode, p.n_salt,
+        series_cols, value_col, bounds=bounds,
+    )
+    passed = apply_result_filters(scored, p.max_lag, p.threshold, p.sign)
+    w = Window.partitionBy("ref_key").orderBy(
+        F.abs(F.col("score")).desc(), F.col("group_key")
+    )
+    return (
+        passed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= p.top_n)
+        .drop("__rk")
+    )

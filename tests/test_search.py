@@ -242,3 +242,75 @@ def test_empty_inputs_yield_empty_results(spark):
         muse_search_rollup(empty_rollup, ref, 3600,
                            params=SearchParams(top_n=5)).count() == 0
     )
+
+
+def test_multi_ref_matches_single_ref_per_key(spark):
+    """score_rollup_multi with k refs must reproduce k independent
+    score_rollup runs bit-for-bit (same kernels, amortized rfft), and
+    muse_search_multi must apply top-K per reference."""
+    import numpy as np
+
+    from go_muse_spark.operators.search import (
+        SearchParams,
+        muse_search_multi,
+        muse_search_rollup,
+        score_rollup,
+        score_rollup_multi,
+        series_bounds,
+    )
+    from go_muse_spark.operators.rollup import rollup_transcripts
+    from go_muse_spark.sources.transcripts import generate_transcripts
+
+    pdf = generate_transcripts(n_convs=25, seed=11, hot_turns=400).to_pandas()
+    rolled = rollup_transcripts(spark.createDataFrame(pdf), "1h")
+    lo, hi, n = series_bounds(rolled, 3600)
+    refA = np.zeros(n); refA[n // 4 : n // 4 + 5] = [1, 3, 5, 3, 1]
+    refB = np.zeros(n); refB[n // 2 : n // 2 + 4] = [2, -5, -5, 2]
+    refs = {"A": refA, "B": refB}
+    multi = score_rollup_multi(
+        rolled, refs, 3600, bounds=(lo, hi, n)
+    ).collect()
+    by_ref = {}
+    for r in multi:
+        by_ref.setdefault(r["ref_key"], {})[r["group_key"]] = (
+            r["series_key"], r["lag"], r["score"],
+        )
+    for name, ref in refs.items():
+        single = {
+            r["group_key"]: (r["series_key"], r["lag"], r["score"])
+            for r in score_rollup(
+                rolled, ref, 3600, bounds=(lo, hi, n)
+            ).collect()
+        }
+        assert by_ref[name] == single, name
+    # per-ref top-K: k rows per reference, same membership as the
+    # single-ref pipeline's top-K
+    p = SearchParams(top_n=5, max_lag=n, threshold=0.0, mode="abs")
+    topm = muse_search_multi(
+        rolled, refs, 3600, params=p, bounds=(lo, hi, n)
+    ).collect()
+    cnt = {}
+    for r in topm:
+        cnt[r["ref_key"]] = cnt.get(r["ref_key"], 0) + 1
+    assert cnt == {"A": 5, "B": 5}
+    for name, ref in refs.items():
+        want = {
+            (r["group_key"], r["series_key"], r["lag"], r["score"])
+            for r in muse_search_rollup(
+                rolled, ref, 3600, params=p, bounds=(lo, hi, n)
+            ).collect()
+        }
+        got = {
+            (r["group_key"], r["series_key"], r["lag"], r["score"])
+            for r in topm if r["ref_key"] == name
+        }
+        assert got == want, name
+    # validation: wrong-length and zero-variance refs raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        score_rollup_multi(rolled, {"bad": np.ones(3)}, 3600, bounds=(lo, hi, n))
+    with _pytest.raises(ValueError):
+        score_rollup_multi(rolled, {"flat": np.zeros(n)}, 3600, bounds=(lo, hi, n))
+    with _pytest.raises(ValueError):
+        score_rollup_multi(rolled, {}, 3600, bounds=(lo, hi, n))
