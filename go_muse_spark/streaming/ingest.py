@@ -26,6 +26,7 @@ __all__ = [
     "streaming_dense_1m",
     "streaming_sessions",
     "streaming_dedup",
+    "streaming_search",
 ]
 
 
@@ -266,3 +267,71 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def streaming_search(
+    stream: DataFrame,
+    ref_values,
+    tier_secs: int,
+    checkpoint_dir: str,
+    bounds: tuple,
+    params=None,
+    series_cols: tuple[str, ...] = ("conv_id",),
+    value_col: str = "turn_cnt",
+    trigger_seconds: int | None = None,
+):
+    """Streaming muse search: every micro-batch is rolled up, scored
+    against the prepared reference, and folded into the persistent
+    EP1 accumulator (search.IncrementalResults) — the reference's
+    batch-loop lifecycle (muse_test.go:67-69) driven by Structured
+    Streaming instead of a for-loop. Semantics match the reference: a
+    batch is a set of WHOLE candidate series (group.go's Add cadence),
+    so route each series' rows into one micro-batch upstream (e.g. by
+    file or partition); series fragments scored separately would be new
+    independent candidates, exactly as re-Adding a UID is in the
+    reference.
+
+    `bounds` = (lo, hi, n) fixes the alignment window up front — a
+    stream cannot discover a closed global range, so the caller pins
+    the search horizon (the same contract as score_rollup's bounds
+    fast-path). Returns (query, results): stop the query, then
+    results.fetch() for the running top-K + mean |score|.
+    """
+    from go_muse_spark.operators.rollup import rollup_transcripts
+    from go_muse_spark.operators.search import (
+        IncrementalResults,
+        SearchParams,
+        score_rollup,
+    )
+
+    p = params or SearchParams()
+    results = IncrementalResults(p)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tier = {60: "1m", 3600: "1h", 86400: "1d"}.get(tier_secs)
+        if tier is None:
+            raise ValueError(f"no tier for tier_secs={tier_secs}")
+        rolled = rollup_transcripts(batch_df, tier)
+        scored = score_rollup(
+            rolled,
+            ref_values,
+            tier_secs,
+            group_by=None,
+            mode=p.mode,
+            n_salt=p.n_salt,
+            series_cols=series_cols,
+            value_col=value_col,
+            bounds=bounds,
+        )
+        results.update(scored)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start(), results

@@ -457,3 +457,61 @@ def test_streaming_dedup_drops_redelivery_keeps_late(spark, tmp_path):
     # every key exactly once: re-deliveries inside the horizon dropped
     assert got["n"] == static.count()
     assert got["d"] == static.count()
+
+
+def test_streaming_search_matches_batch_topk(spark, tmp_path):
+    """Series-granular micro-batches folded through the EP1 accumulator
+    must reproduce the one-shot batch search's top-K exactly."""
+    import numpy as np
+
+    from go_muse_spark.operators.rollup import rollup_transcripts
+    from go_muse_spark.operators.search import (
+        SearchParams,
+        muse_search_rollup,
+        series_bounds,
+    )
+    from go_muse_spark.streaming.ingest import streaming_search
+
+    pdf = generate_transcripts(n_convs=16, seed=3, hot_turns=300).to_pandas()
+    static = spark.createDataFrame(pdf)
+    rolled = rollup_transcripts(static, "1h")
+    lo, hi, n = series_bounds(rolled, 3600)
+    ref = np.zeros(n)
+    ref[n // 3 : n // 3 + 4] = [1.0, 4.0, 4.0, 1.0]
+    p = SearchParams(top_n=6, max_lag=n, threshold=0.0, mode="abs")
+
+    want = [
+        (r["group_key"], r["series_key"], r["lag"], round(r["score"], 9))
+        for r in muse_search_rollup(
+            rolled, ref, 3600, params=p, bounds=(lo, hi, n)
+        ).collect()
+    ]
+
+    # two batches split BY SERIES (whole conversations per batch)
+    src = tmp_path / "ssearch"
+    src.mkdir()
+    convs = sorted(pdf["conv_id"].unique())
+    half = set(convs[: len(convs) // 2])
+    static.filter(F.col("conv_id").isin(half)).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    static.filter(~F.col("conv_id").isin(half)).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q, results = streaming_search(
+        stream, ref, 3600, str(tmp_path / "ckpt"), (lo, hi, n), params=p
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows, mean = results.fetch()
+    got = [
+        (r["group_key"], r["series_key"], r["lag"], round(r["score"], 9))
+        for r in rows
+    ]
+    assert got == want
+    assert mean > 0
