@@ -28,6 +28,10 @@ DEFAULT = [
     "seasonal_profile", "mad_outliers", "ngram_diversity",
     "unigram_logprob", "session_window_8h", "kmeans_step",
     "gaps_6h", "state_transitions",
+    "boilerplate_4w", "latency_1d", "brown_1h", "sax_1d", "sax_motifs",
+    "rollquant_24h", "seasonal_anomaly", "mixture_sample", "predict_1h",
+    "burn_rate", "changes_24h", "repetition_ratio", "funnel_latency",
+    "markov_transitions", "muse_multi_1h",
 ]
 
 
