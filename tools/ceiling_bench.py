@@ -1,0 +1,44 @@
+"""Spark-free scaling ceiling probe: N pinned worker processes each run
+an identical memory-bandwidth-heavy numpy loop; aggregate throughput at
+4 vs 16 workers bounds what ANY 4->16 scaling on this host can reach."""
+import multiprocessing as mp
+import os
+import time
+
+import numpy as np
+
+WORK_MB = 64
+REPS = 60
+
+
+def worker(core, q):
+    os.sched_setaffinity(0, {core})
+    a = np.arange(WORK_MB * 131072, dtype=np.float64)  # 64 MB
+    b = np.empty_like(a)
+    t0 = time.time()
+    s = 0.0
+    for _ in range(REPS):
+        np.multiply(a, 1.0000001, out=b)
+        s += float(b[-1])
+    q.put((time.time() - t0, s))
+
+
+def run(n):
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(c, q)) for c in range(n)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    walls = [q.get()[0] for _ in ps]
+    for p in ps:
+        p.join()
+    total = time.time() - t0
+    work = n * REPS * WORK_MB  # MB of multiplies completed
+    return work / total  # MB/s aggregate
+
+
+if __name__ == "__main__":
+    best4 = max(run(4) for _ in range(3))
+    best16 = max(run(16) for _ in range(3))
+    eff = (best16 / best4) / 4
+    print(f"agg4={best4:.0f} MB/s agg16={best16:.0f} MB/s ceiling_eff={eff:.3f}")
