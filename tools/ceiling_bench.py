@@ -38,7 +38,14 @@ def run(n):
 
 
 if __name__ == "__main__":
-    best4 = max(run(4) for _ in range(3))
-    best16 = max(run(16) for _ in range(3))
-    eff = (best16 / best4) / 4
-    print(f"agg4={best4:.0f} MB/s agg16={best16:.0f} MB/s ceiling_eff={eff:.3f}")
+    import sys
+
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 4 * lo
+    best_lo = max(run(lo) for _ in range(3))
+    best_hi = max(run(hi) for _ in range(3))
+    eff = (best_hi / best_lo) / (hi / lo)
+    print(
+        f"agg{lo}={best_lo:.0f} MB/s agg{hi}={best_hi:.0f} MB/s "
+        f"ceiling_eff={eff:.3f}"
+    )

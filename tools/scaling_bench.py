@@ -78,6 +78,19 @@ def main() -> None:
     thr_lo = lo["throughput_turns_per_sec"]
     thr_hi = hi["throughput_turns_per_sec"]
     eff = (thr_hi / thr_lo) / 4.0
+    # Same-moment hardware ceiling: the host's OWN 4->16 bandwidth
+    # scaling (tools/ceiling_bench.py), measured right after the legs.
+    # An efficiency reading is only interpretable against this pair —
+    # the 2026-08-18 night runs measured engine 0.733 while the raw
+    # bandwidth ceiling was 0.433 on the same machine minutes apart.
+    try:
+        probe = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "ceiling_bench.py"),
+             str(n), str(4 * n)],
+            capture_output=True, text=True, timeout=600, check=True,
+        ).stdout.strip()
+    except Exception as e:  # never fail the run for the probe
+        probe = f"ceiling probe failed: {e}"
     stamp = dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds")
     all_lo = [r["value"] for r in lo_runs]
     all_hi = [r["value"] for r in hi_runs]
@@ -95,12 +108,15 @@ best-of-3 in-process), min wall per leg:
 
 **Scaling efficiency (N -> 4N) = (thr_4N / thr_N) / 4 = {eff:.3f}**
 (north_rule bar: >= 0.8)
+Same-moment Spark-free hardware ceiling ({n} vs {4*n} pinned numpy
+workers): `{probe}`
 """
     with open(out_md, "a") as f:
         f.write(section)
     print(json.dumps({"n": n, "thr_n": thr_lo, "thr_4n": thr_hi,
                       "efficiency": round(eff, 3),
-                      "lo_walls": all_lo, "hi_walls": all_hi}))
+                      "lo_walls": all_lo, "hi_walls": all_hi,
+                      "ceiling_probe": probe}))
 
 
 if __name__ == "__main__":
