@@ -1519,7 +1519,7 @@ def q_predict_1h(spark, sf_dir):
 
 def q_burn_rate(spark, sf_dir):
     """Multiwindow SLO burn rate (SRE workbook): per user-hour, the
-    error-event ratio over the trailing 1h and 6h windows against a 10%%
+    error-event ratio over the trailing 1h and 6h windows against a 10%
     budget; page when BOTH windows burn > 2x. One conditional rollup +
     two RANGE frames over the same series exchange."""
     from pyspark.sql import Window
@@ -2254,7 +2254,7 @@ FROM documents
 WITH b AS (
   SELECT doc_id, source, text,
          cast(len(string_split(text, ' ')) AS bigint) AS n_toks
-  FROM documents
+  FROM documents WHERE source IS NOT NULL
 ), t AS (
   SELECT source, cast(sum(n_toks) AS bigint) AS T FROM b GROUP BY 1
 ), m AS (SELECT min(T) AS mn FROM t),

@@ -107,19 +107,27 @@ def approx_quantile_rollup(
     """
     if not quantiles:
         raise ValueError("need at least one quantile")
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
     bucket = F.expr(
         f"unix_micros(cast({ts_col} as timestamp)) div {int(bucket_secs) * 1_000_000}"
     ) * F.lit(int(bucket_secs))
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i, q in enumerate(quantiles):
-        if not 0.0 <= q <= 1.0:
-            raise ValueError(f"quantile out of range: {q}")
-        aggs.append(
-            F.expr(
-                f"approx_percentile({value_col}, {float(q)}, {int(accuracy)})"
-            ).alias(f"q_{i}")
-        )
-    return events.groupBy(bucket.alias("bucket_epoch"), *dims).agg(*aggs)
+    # ONE summary per group queried at every requested quantile (the
+    # array form) — a per-quantile approx_percentile would build and
+    # shuffle-merge k independent sketches, multiplying the exact cost
+    # this operator exists to bound
+    arr = ", ".join(str(float(q)) for q in quantiles)
+    qs = F.expr(
+        f"approx_percentile({value_col}, array({arr}), {int(accuracy)})"
+    ).alias("__qs")
+    out = events.groupBy(bucket.alias("bucket_epoch"), *dims).agg(
+        F.count(F.lit(1)).alias("n"), qs
+    )
+    cols = ["bucket_epoch", *dims, "n"]
+    for i in range(len(quantiles)):
+        cols.append(F.element_at("__qs", i + 1).alias(f"q_{i}"))
+    return out.select(*cols)
 
 
 def approx_top_items(
@@ -162,7 +170,10 @@ def approx_top_items(
         counts: "pd.Series | None" = None
         dec = 0
         for pdf in batches:
-            b = pdf[key_col].astype(str).value_counts()
+            # NULL keys are not items (match the aggregate family's NULL
+            # handling); astype first would alias them to the string
+            # 'None'/'nan' and merge them with genuine such keys
+            b = pdf[key_col].dropna().astype(str).value_counts()
             counts = b if counts is None else counts.add(b, fill_value=0)
             if len(counts) > m:
                 t = int(counts.nlargest(m + 1).iloc[-1])

@@ -211,14 +211,19 @@ def mixture_sample(
 
     Numerics: token totals are exact int64; rate = min/T is one double
     division of identical operands; the threshold round() sees the same
-    double in any engine. NULL strata are dropped (no rate).
+    double in any engine. NULL strata are dropped BEFORE the rate
+    derivation — otherwise a handful of stray unlabeled docs would set
+    the global minimum token mass and over-downsample every real
+    stratum while themselves vanishing in the join.
 
     Returns the kept rows plus (n_toks, keep_thr) for auditability.
     """
     if key_sql is None:
         key_sql = X.char_hash("spark", text_col)
     n_toks = F.size(F.split(F.col(text_col), " "))
-    base = docs.withColumn("n_toks", n_toks.cast("long"))
+    base = docs.filter(F.col(strata_col).isNotNull()).withColumn(
+        "n_toks", n_toks.cast("long")
+    )
     tot = base.groupBy(strata_col).agg(F.sum("n_toks").alias("__T"))
     mn = tot.agg(F.min("__T").alias("__mn"))
     rates = tot.crossJoin(F.broadcast(mn)).select(

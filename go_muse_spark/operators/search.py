@@ -214,128 +214,25 @@ def score_rollup(
     shared global [lo, hi] range; salting bounds the cost of hot groups.
 
     group_by names label columns; None => per-series (group.go:84-89).
+
+    Implementation: the single-reference case of score_rollup_multi
+    (one entry, ref_key dropped) — ONE copy of the tie-break-sensitive
+    scoring machinery exists, so a determinism fix can never diverge
+    the two paths (their bit-parity is test-asserted).
     """
-    spark = rolled.sparkSession
-    if bounds is None:
-        lo, hi, n = series_bounds(rolled, tier_secs, bucket_col)
-    else:
-        lo, hi, n = bounds
-    if n == 0:  # empty rollup -> empty result (muse.go:47-50)
-        return spark.createDataFrame(
-            [], "group_key string, series_key string, lag long, score double"
-        )
-    ref = np.asarray(ref_values, dtype=np.float64)
-    if ref.size != n:
-        raise ValueError(
-            f"reference length {ref.size} != aligned series length {n}"
-        )
-    spec = K.prepare_ref(ref)
-    bc = spark.sparkContext.broadcast((spec.x_spec, spec.n, spec.ref_n))
-    signed = mode == "signed"
-
-    sk = F.concat_ws("|", *[F.col(c) for c in series_cols]).alias("__sk")
-    idx = (
-        (F.unix_timestamp(F.col(bucket_col)) - F.unix_timestamp(F.lit(lo)))
-        / F.lit(int(tier_secs))
-    ).cast("long").alias("__idx")
-    val = F.col(value_col).cast("double").alias("__val")
-    # per-series grouping (group_by=None) would shuffle the SAME string
-    # twice per row as (group_key, __sk); derive group_key = __sk after
-    # the exchange instead
-    per_series = not group_by
-    if per_series:
-        keyed = rolled.select(sk, idx, val)
-    else:
-        keyed = rolled.select(
-            label_id_cols(group_by).alias("group_key"), sk, idx, val
-        )
-
-    out_schema = "group_key string, series_key string, lag long, score double"
-    n_part = n_salt * spark.sparkContext.defaultParallelism
-    batch_rows = 256  # series per rfft call: (256, fft_n) stays L2/L3-sized
-
-    # ONE exchange on the series key co-locates each series' sparse rows;
-    # scoring then runs over whole partitions with numpy boundary slicing
-    # (grouped applyInPandas costs ~1 ms of Arrow/pandas machinery PER
-    # GROUP — 100k single-series groups made that the dominant term).
-    # Partials: one best per group per matrix flush; merged relationally.
-    # Skew: partitioning by series (never by group) means a hot GROUP
-    # spreads over many partitions by construction; n_salt only scales
-    # the partition count.
-
-    def score_partition(batches):
-        x_spec, fft_n, ref_n = bc.value
-        local_spec = K.RefSpectrum(x_spec, fft_n, ref_n)
-        frames = [pdf for pdf in batches if len(pdf)]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        sks = pdf["__sk"].to_numpy()
-        gks = sks if per_series else pdf["group_key"].to_numpy()
-        idxs = pdf["__idx"].to_numpy(dtype=np.int64)
-        vals = pdf["__val"].to_numpy(dtype=np.float64)
-        change = np.flatnonzero(sks[1:] != sks[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(sks)]))
-
-        y = np.zeros((batch_rows, ref_n), dtype=np.float64)
-        meta: list = []  # (group_key, series_key) per filled row
-
-        def flush():
-            if not meta:
-                return None
-            lags, scores = K.batch_xcorr(local_spec, y[: len(meta)])
-            sc = K.clamp_signed(scores) if signed else K.clamp_abs(scores)
-            g = np.array([m[0] for m in meta])
-            s = np.array([m[1] for m in meta])
-            order = np.lexsort((s, -np.abs(sc)))
-            first = ~pd.Series(g[order]).duplicated().to_numpy()
-            pick = order[first]
-            out = pd.DataFrame(
-                {
-                    "group_key": g[pick],
-                    "series_key": s[pick],
-                    "lag": lags[pick],
-                    "score": sc[pick],
-                }
-            )
-            y[: len(meta)] = 0.0
-            meta.clear()
-            return out
-
-        for s, e in zip(starts, ends):
-            row = len(meta)
-            y[row, idxs[s:e]] = vals[s:e]
-            meta.append((gks[s], sks[s]))
-            if len(meta) == batch_rows:
-                out = flush()
-                if out is not None:
-                    yield out
-        out = flush()
-        if out is not None:
-            yield out
-
-    local_best = (
-        keyed.repartition(n_part, "__sk")
-        .sortWithinPartitions("__sk", "__idx")
-        .mapInPandas(score_partition, out_schema)
+    out = score_rollup_multi(
+        rolled,
+        {"": np.asarray(ref_values, dtype=np.float64)},
+        tier_secs,
+        group_by,
+        mode,
+        n_salt,
+        series_cols,
+        value_col,
+        bucket_col,
+        bounds=bounds,
     )
-    return (
-        local_best.withColumn("_abs", F.abs("score"))
-        .groupBy("group_key")
-        .agg(
-            F.expr(
-                "min_by(struct(series_key, lag, score), struct(-_abs, series_key))"
-            ).alias("best")
-        )
-        .select(
-            "group_key",
-            F.col("best.series_key").alias("series_key"),
-            F.col("best.lag").alias("lag"),
-            F.col("best.score").alias("score"),
-        )
-    )
-
+    return out.drop("ref_key")
 
 def muse_search_rollup(
     rolled: DataFrame,

@@ -15,7 +15,7 @@ adds on top of the reference's series operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["chunk_documents", "remove_boilerplate"]
@@ -66,27 +66,34 @@ def remove_boilerplate(
     nothing but boilerplate come back as the empty string rather than
     vanishing — downstream length filters decide their fate.
 
-    Plan shape (two exchanges, no joins):
+    Plan shape:
       scan -> map-side chunk explode
-           -> Exchange(chunk) + window count(*)   [the global dup count]
-           -> Exchange(id)    + hash agg          [ordered reassembly]
-    The window count keys on the chunk STRING so the count is exact and
-    the DuckDB oracle can replay it verbatim; at 100 TB key the
-    exchange on a digest instead — sha2(chunk, 256) for collision-free,
-    xxhash64 for 8-byte keys at ~1e-11 corpus-level collision odds —
-    exactly as exact_dedup(by_hash="sha256") already does for whole
-    docs (operators/dedup.py). Reassembly carries every chunk to the
-    doc-side aggregate with a kept flag instead of re-joining cleaned
-    chunks against the doc list, so fully-boilerplate docs need no
-    second pass.
+           -> hash agg on chunk (map-side partials!)   [global dup count]
+           -> equi-join counts back onto the chunks
+           -> Exchange(id) + hash agg                  [ordered reassembly]
+    The count is a groupBy, NOT a window count: the most frequent
+    boilerplate chunk — the exact thing this operator targets, repeated
+    maybe 10^9 times at crawl scale — would serialize every instance
+    into one window partition, while the aggregate emits one partial
+    row per distinct chunk per task and the join's residual hot-key
+    probe is AQE-skew-splittable (a window partition is not). The count
+    keys on the chunk STRING so the DuckDB oracle can replay it
+    verbatim; at 100 TB key it on a digest — sha2(chunk, 256) for
+    collision-free, xxhash64 for 8-byte keys at ~1e-11 corpus-level
+    odds — as exact_dedup(by_hash="sha256") already does for whole
+    docs. Reassembly carries every chunk to the doc-side aggregate with
+    a kept flag instead of re-joining cleaned chunks against the doc
+    list, so fully-boilerplate docs need no second pass.
 
     Returns (id_col, clean_text, n_chunks, n_removed).
     """
     if min_dup < 1:
         raise ValueError("min_dup must be >= 1")
     chunks = chunk_documents(docs, chunk_words, text_col, id_col)
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("chunk"))
-    flagged = chunks.withColumn("__kept", (cnt < min_dup).cast("int"))
+    counts = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("__cnt"))
+    flagged = chunks.join(counts, "chunk").withColumn(
+        "__kept", (F.col("__cnt") < min_dup).cast("int")
+    )
     piece = F.struct(
         F.col("pos").alias("pos"),
         F.col("__kept").alias("kept"),

@@ -278,6 +278,7 @@ def streaming_search(
     params=None,
     series_cols: tuple[str, ...] = ("conv_id",),
     value_col: str = "turn_cnt",
+    ts_col: str = "ts",
     trigger_seconds: int | None = None,
 ):
     """Streaming muse search: every micro-batch is rolled up, scored
@@ -294,7 +295,12 @@ def streaming_search(
     `bounds` = (lo, hi, n) fixes the alignment window up front — a
     stream cannot discover a closed global range, so the caller pins
     the search horizon (the same contract as score_rollup's bounds
-    fast-path). Returns (query, results): stop the query, then
+    fast-path). Rows OUTSIDE the pinned horizon are filtered out per
+    batch before scoring: a stream by definition eventually produces
+    event times past (or, late, before) any pre-pinned window, and an
+    out-of-range bucket index would otherwise crash the scorer (idx >=
+    n) or, worse, wrap a negative index into the wrong end of the
+    series. Returns (query, results): stop the query, then
     results.fetch() for the running top-K + mean |score|.
     """
     from go_muse_spark.operators.rollup import rollup_transcripts
@@ -306,13 +312,20 @@ def streaming_search(
 
     p = params or SearchParams()
     results = IncrementalResults(p)
+    tier = {60: "1m", 3600: "1h", 86400: "1d"}.get(tier_secs)
+    if tier is None:  # validate BEFORE the query starts, not mid-stream
+        raise ValueError(f"no tier for tier_secs={tier_secs}")
+    lo, _hi, n_len = bounds
+    import datetime as _dt
+
+    horizon_end = lo + _dt.timedelta(seconds=int(tier_secs) * int(n_len))
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.filter(
+            (F.col(ts_col) >= F.lit(lo)) & (F.col(ts_col) < F.lit(horizon_end))
+        )
         if batch_df.isEmpty():
             return
-        tier = {60: "1m", 3600: "1h", 86400: "1d"}.get(tier_secs)
-        if tier is None:
-            raise ValueError(f"no tier for tier_secs={tier_secs}")
         rolled = rollup_transcripts(batch_df, tier)
         scored = score_rollup(
             rolled,

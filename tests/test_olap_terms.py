@@ -353,3 +353,15 @@ def test_approx_top_items_mg_bounds(spark, sf_dir):
     assert top["est"] <= 500 <= top["est"] + top["err_ub"]
     with pytest.raises(ValueError):
         approx_top_items(df, "k", m=0)
+
+
+def test_approx_top_items_ignores_null_keys(spark):
+    from go_muse_spark.operators.cardinality import approx_top_items
+
+    rows = [("hot",)] * 50 + [(None,)] * 200 + [("None",)] * 3
+    df = spark.createDataFrame(rows, "k string").repartition(2)
+    got = approx_top_items(df, "k", m=8, out_k=2).collect()
+    assert got[0]["key"] == "hot"
+    # the literal string "None" is its own key, never merged with NULLs
+    lit = [r for r in got if r["key"] == "None"]
+    assert not lit or lit[0]["est"] <= 3 + got[0]["err_ub"]

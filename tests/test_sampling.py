@@ -233,3 +233,18 @@ def test_mixture_sample_balances_to_smallest(spark):
     # determinism: same input -> identical kept set
     again = {r["doc_id"] for r in mixture_sample(docs, denom=10000).collect()}
     assert again == {r["doc_id"] for r in out}
+
+
+def test_mixture_sample_null_strata_never_set_the_floor(spark):
+    from go_muse_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"tok{i} " + "w " * 9, "A") for i in range(20)]
+    rows += [(100 + i, "x " * 10, "B") for i in range(10)]
+    rows += [(200, "stray", None), (201, "lost doc", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixture_sample(docs, denom=10000).collect()
+    # NULL-source docs are dropped AND do not drag keep_thr toward ~0:
+    # B (the smallest REAL stratum) keeps threshold 10000
+    assert all(r["source"] is not None for r in out)
+    thr = {r["source"]: r["keep_thr"] for r in out}
+    assert thr.get("B") == 10000

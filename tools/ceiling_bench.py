@@ -26,15 +26,16 @@ def worker(core, q):
 def run(n):
     q = mp.Queue()
     ps = [mp.Process(target=worker, args=(c, q)) for c in range(n)]
-    t0 = time.time()
     for p in ps:
         p.start()
     walls = [q.get()[0] for _ in ps]
     for p in ps:
         p.join()
-    total = time.time() - t0
+    # aggregate throughput over the SLOWEST worker's measured loop wall
+    # (workers time only the multiply loop, not fork/allocation/queue
+    # overhead, which grows with n and would bias the wide leg low)
     work = n * REPS * WORK_MB  # MB of multiplies completed
-    return work / total  # MB/s aggregate
+    return work / max(walls)  # MB/s aggregate
 
 
 if __name__ == "__main__":
