@@ -73,7 +73,10 @@ from go_muse_spark.operators.sessions import (
     interval_union,
     session_stats,
 )
-from go_muse_spark.operators.cardinality import distinct_rollup
+from go_muse_spark.operators.cardinality import (
+    distinct_rollup,
+    rolling_distinct,
+)
 from go_muse_spark.operators.textdedup import remove_boilerplate
 from go_muse_spark.operators.olap import (
     dimensional_rollup,
@@ -1691,6 +1694,17 @@ def q_muse_multi_1h(spark, sf_dir):
     )
 
 
+def q_wau_7d(spark, sf_dir):
+    """Rolling 7-day distinct users per day (WAU): per-bucket dedup
+    FIRST, then offset-explode onto the 7 trailing anchors, one exact
+    count-distinct per anchor — distinct cannot slide in a window
+    frame, this is the relational shape that scales (and the HLL swap
+    is documented for 90-day MAU at 10^9 DAU)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_distinct(ev, "user_id", 7, bucket_secs=86400)
+    return out
+
+
 def q_rollquant_24h(spark, sf_dir):
     """Trailing 24h exact p50/p95 over the 1h tier (rolling SLO curve):
     RANGE frame inclusive of the current bucket, gaps absent."""
@@ -1943,6 +1957,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "markov_transitions": q_markov_transitions,
         "muse_multi_1h": q_muse_multi_1h,
+        "wau_7d": q_wau_7d,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -2453,6 +2468,18 @@ SELECT from_state, to_state, n,
                   / sum(n) OVER (PARTITION BY from_state) * 1e6)
             AS bigint) AS p_u
 FROM c
+""",
+        "wau_7d": """
+WITH pb AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS b, user_id FROM events
+), mx AS (SELECT max(b) AS m FROM pb),
+proj AS (
+  SELECT (pb.b + o.o) * 86400 AS bucket_epoch, pb.user_id
+  FROM pb, (SELECT unnest(generate_series(0, 6)) AS o) o, mx
+  WHERE pb.b + o.o <= mx.m
+)
+SELECT bucket_epoch, count(DISTINCT user_id) AS n_keys
+FROM proj GROUP BY 1
 """,
         "rollquant_24h": """
 WITH r AS (

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "cohort_1d",
     "lttb_1d",
     "uniques_1h",
+    "wau_7d",
     "hist_value_1d",
     "split_docs",
     "boilerplate_4w",

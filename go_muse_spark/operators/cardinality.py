@@ -32,6 +32,7 @@ __all__ = [
     "approx_distinct_rollup",
     "approx_quantile_rollup",
     "approx_top_items",
+    "rolling_distinct",
 ]
 
 
@@ -208,4 +209,65 @@ def approx_top_items(
         .select("key", "est", "err_ub")
         .orderBy(F.col("est").desc(), F.col("key").asc())
         .limit(out_k)
+    )
+
+
+def rolling_distinct(
+    events: DataFrame,
+    key_col: str,
+    window_buckets: int,
+    bucket_secs: int = 86400,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling distinct count — the DAU/WAU/MAU family ("distinct users
+    in the 7 days ending at each day"). Distinct is not a subtractable
+    aggregate, so no window frame can slide it; the standard relational
+    shape is OFFSET-EXPLODE: each (bucket, key) observation is first
+    deduplicated per bucket, then projected onto the W anchor buckets
+    whose trailing window contains it, and one exact count-distinct per
+    anchor finishes.
+
+    Cost model (why this scales): dedup-per-bucket FIRST means the
+    explode multiplies only O(active keys per bucket) rows by W, never
+    raw events; the final distinct is Spark's two-phase Expand over
+    O(W x daily actives). For sliding windows too wide/hot for exact
+    (W=90 MAU over 10^9 DAU) swap the final distinct for
+    approx_count_distinct exactly as approx_distinct_rollup does — the
+    explode shape is unchanged.
+
+    Anchors with no observations are absent (a day nobody was active
+    reports no row, matching the rollup family's gap semantics).
+    Returns (bucket_epoch, n_keys) where bucket_epoch is the anchor
+    (window END, inclusive) bucket.
+    """
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    bucket = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp))"
+        f" div {int(bucket_secs) * 1_000_000}"
+    )
+    per_bucket = events.select(
+        bucket.alias("__b"), F.col(key_col).alias("__k")
+    ).distinct()
+    k = F.explode(
+        F.sequence(F.lit(0), F.lit(int(window_buckets) - 1))
+    ).alias("__o")
+    projected = per_bucket.select("__b", "__k", k).select(
+        ((F.col("__b") + F.col("__o")) * F.lit(int(bucket_secs))).alias(
+            "bucket_epoch"
+        ),
+        "__k",
+        F.col("__o"),
+    )
+    # an observation only feeds anchors that actually exist as buckets
+    # with their own activity? No — PromQL-style: every anchor in the
+    # observation's forward window counts it, including quiet anchors.
+    # But anchors PAST the data's end are phantoms of the explode; the
+    # caller's window end is the max observed bucket, so clip there.
+    max_b = per_bucket.agg(F.max("__b").alias("__mx"))
+    return (
+        projected.crossJoin(F.broadcast(max_b))
+        .filter(F.col("bucket_epoch") <= F.col("__mx") * F.lit(int(bucket_secs)))
+        .groupBy("bucket_epoch")
+        .agg(F.count_distinct("__k").alias("n_keys"))
     )

@@ -365,3 +365,28 @@ def test_approx_top_items_ignores_null_keys(spark):
     # the literal string "None" is its own key, never merged with NULLs
     lit = [r for r in got if r["key"] == "None"]
     assert not lit or lit[0]["est"] <= 3 + got[0]["err_ub"]
+
+
+def test_rolling_distinct_wau_semantics(spark):
+    from go_muse_spark.operators.cardinality import rolling_distinct
+
+    # users active: day0 {a,b}, day1 {b}, day3 {c}; window = 3 days
+    rows = [
+        ("a", "1970-01-01 05:00:00"), ("b", "1970-01-01 09:00:00"),
+        ("b", "1970-01-01 10:00:00"),  # same user twice in one day
+        ("b", "1970-01-02 01:00:00"),
+        ("c", "1970-01-04 01:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["bucket_epoch"] // 86400: r["n_keys"]
+        for r in rolling_distinct(ev, "user", 3).collect()
+    }
+    # anchor day0: {a,b}=2; day1: {a,b}=2; day2: {a,b}=2 (day0 still in
+    # the 3-day window); day3: {b,c}=2 (day1's b + day3's c); anchors
+    # past the last observed bucket are clipped
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2}
+    with pytest.raises(ValueError):
+        rolling_distinct(ev, "user", 0)
