@@ -1705,6 +1705,35 @@ def q_wau_7d(spark, sf_dir):
     return out
 
 
+def q_quality_gate(spark, sf_dir):
+    """Unified retention decision: one row per doc with per-rule flags
+    (vocabulary uniqueness, duplicate 3-gram ratio, corpus-LM
+    log-probability, length) and the conjunction — the keep/drop
+    artifact a curation pipeline actually materializes, with reasons.
+    Composition of three existing passes joined on doc_id; thresholds
+    chosen to split the fixture corpus non-trivially."""
+    q = q_quality_score(spark, sf_dir).select("doc_id", "uniq_ratio")
+    r = q_repetition_ratio(spark, sf_dir).select(
+        "doc_id", "n_grams", "ratio_u"
+    )
+    lp = q_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "n_toks", "logprob_u"
+    )
+    j = q.join(r, "doc_id").join(lp, "doc_id")
+    pass_uniq = (F.col("uniq_ratio") >= 0.4).alias("pass_uniq")
+    pass_rep = (F.col("ratio_u") < 100000).alias("pass_rep")
+    pass_lp = (F.col("logprob_u") > -3412000).alias("pass_lp")
+    pass_len = (F.col("n_toks") >= 20).alias("pass_len")
+    out = j.select("doc_id", pass_uniq, pass_rep, pass_lp, pass_len)
+    return out.withColumn(
+        "passed",
+        F.col("pass_uniq")
+        & F.col("pass_rep")
+        & F.col("pass_lp")
+        & F.col("pass_len"),
+    )
+
+
 def q_rollquant_24h(spark, sf_dir):
     """Trailing 24h exact p50/p95 over the 1h tier (rolling SLO curve):
     RANGE frame inclusive of the current bucket, gaps absent."""
@@ -1958,6 +1987,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "muse_multi_1h": q_muse_multi_1h,
         "wau_7d": q_wau_7d,
+        "quality_gate": q_quality_gate,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -2013,6 +2043,17 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base(stop_list)
     # windowed encoder emits byte-identical chunks -> identical decode
     d["chunks_windowed_roundtrip_1h"] = d["chunks_roundtrip_1h"]
+    d["quality_gate"] = (
+        "WITH q AS (" + d["quality_score"] + "), r AS ("
+        + d["repetition_ratio"] + "), lp AS (" + d["unigram_logprob"] + ") "
+        "SELECT q.doc_id, q.uniq_ratio >= 0.4 AS pass_uniq, "
+        "r.ratio_u < 100000 AS pass_rep, "
+        "lp.logprob_u > -3412000 AS pass_lp, "
+        "lp.n_toks >= 20 AS pass_len, "
+        "(q.uniq_ratio >= 0.4 AND r.ratio_u < 100000 "
+        " AND lp.logprob_u > -3412000 AND lp.n_toks >= 20) AS passed "
+        "FROM q JOIN r USING (doc_id) JOIN lp USING (doc_id)"
+    )
     d["muse_topk_1h"] = _muse_oracle(_REF_TOPK, _MUSE_RR_PER_USER)
     d["muse_multi_1h"] = (
         "SELECT 'A' AS ref_key, * FROM ("

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "lttb_1d",
     "uniques_1h",
     "wau_7d",
+    "quality_gate",
     "hist_value_1d",
     "split_docs",
     "boilerplate_4w",
