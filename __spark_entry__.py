@@ -1710,8 +1710,12 @@ def q_quality_gate(spark, sf_dir):
     (vocabulary uniqueness, duplicate 3-gram ratio, corpus-LM
     log-probability, length) and the conjunction — the keep/drop
     artifact a curation pipeline actually materializes, with reasons.
-    Composition of three existing passes joined on doc_id; thresholds
+    Composition of three existing passes LEFT-joined from the full doc
+    list on doc_id, so every document gets a keep/drop row even when a
+    metric pass can't score it (no 3-grams, no tokens) — a missing
+    metric is a failing flag, never a silently absent row; thresholds
     chosen to split the fixture corpus non-trivially."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     q = q_quality_score(spark, sf_dir).select("doc_id", "uniq_ratio")
     r = q_repetition_ratio(spark, sf_dir).select(
         "doc_id", "n_grams", "ratio_u"
@@ -1719,11 +1723,20 @@ def q_quality_gate(spark, sf_dir):
     lp = q_unigram_logprob(spark, sf_dir).select(
         "doc_id", "n_toks", "logprob_u"
     )
-    j = q.join(r, "doc_id").join(lp, "doc_id")
-    pass_uniq = (F.col("uniq_ratio") >= 0.4).alias("pass_uniq")
-    pass_rep = (F.col("ratio_u") < 100000).alias("pass_rep")
-    pass_lp = (F.col("logprob_u") > -3412000).alias("pass_lp")
-    pass_len = (F.col("n_toks") >= 20).alias("pass_len")
+    j = (
+        docs.join(q, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .join(lp, "doc_id", "left")
+    )
+    fail = F.lit(False)
+    pass_uniq = F.coalesce(F.col("uniq_ratio") >= 0.4, fail).alias(
+        "pass_uniq"
+    )
+    pass_rep = F.coalesce(F.col("ratio_u") < 100000, fail).alias("pass_rep")
+    pass_lp = F.coalesce(F.col("logprob_u") > -3412000, fail).alias(
+        "pass_lp"
+    )
+    pass_len = F.coalesce(F.col("n_toks") >= 20, fail).alias("pass_len")
     out = j.select("doc_id", pass_uniq, pass_rep, pass_lp, pass_len)
     return out.withColumn(
         "passed",
@@ -2046,13 +2059,18 @@ def oracle_sql() -> dict[str, str]:
     d["quality_gate"] = (
         "WITH q AS (" + d["quality_score"] + "), r AS ("
         + d["repetition_ratio"] + "), lp AS (" + d["unigram_logprob"] + ") "
-        "SELECT q.doc_id, q.uniq_ratio >= 0.4 AS pass_uniq, "
-        "r.ratio_u < 100000 AS pass_rep, "
-        "lp.logprob_u > -3412000 AS pass_lp, "
-        "lp.n_toks >= 20 AS pass_len, "
-        "(q.uniq_ratio >= 0.4 AND r.ratio_u < 100000 "
-        " AND lp.logprob_u > -3412000 AND lp.n_toks >= 20) AS passed "
-        "FROM q JOIN r USING (doc_id) JOIN lp USING (doc_id)"
+        "SELECT d.doc_id, "
+        "coalesce(q.uniq_ratio >= 0.4, false) AS pass_uniq, "
+        "coalesce(r.ratio_u < 100000, false) AS pass_rep, "
+        "coalesce(lp.logprob_u > -3412000, false) AS pass_lp, "
+        "coalesce(lp.n_toks >= 20, false) AS pass_len, "
+        "(coalesce(q.uniq_ratio >= 0.4, false) "
+        " AND coalesce(r.ratio_u < 100000, false) "
+        " AND coalesce(lp.logprob_u > -3412000, false) "
+        " AND coalesce(lp.n_toks >= 20, false)) AS passed "
+        "FROM (SELECT doc_id FROM documents) d "
+        "LEFT JOIN q USING (doc_id) LEFT JOIN r USING (doc_id) "
+        "LEFT JOIN lp USING (doc_id)"
     )
     d["muse_topk_1h"] = _muse_oracle(_REF_TOPK, _MUSE_RR_PER_USER)
     d["muse_multi_1h"] = (

@@ -85,9 +85,18 @@ def _widen(df: DataFrame) -> DataFrame:
     the entire minhash pipeline serialized behind a 1-task stage at
     bench scale). Repartitioning 5k text rows costs ~nothing; at
     production scale the scan already yields >= defaultParallelism
-    splits and this is a guarded no-op (no shuffle added)."""
+    splits and this is a guarded no-op (no shuffle added).
+
+    The guard reads the leaf scan's file list (pure plan analysis, no
+    job, no RDD plan translation) — a scan over fewer files than cores
+    is the 1-task shape this exists to fix; production tables have many
+    ~128 MB-class files so the guard never fires there. Non-file
+    sources (empty inputFiles) fall back to the physical-partition
+    probe."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    files = df.inputFiles()
+    n_splits = len(files) if files else df.rdd.getNumPartitions()
+    if n_splits < par:
         df = df.repartition(par)
     return df
 

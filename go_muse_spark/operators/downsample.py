@@ -71,7 +71,7 @@ def m4_downsample(
     last_v, min_ts, min_v, max_ts, max_v).
     """
     ts = F.unix_timestamp(F.col(bucket_col))
-    px = F.from_unixtime(ts - ts % F.lit(out_secs)).cast("timestamp")
+    px = F.timestamp_seconds(ts - ts % F.lit(out_secs))
     v = F.col(value_col)
     t = F.col(bucket_col)
     return (
@@ -151,7 +151,7 @@ def ewma(
         .filter(F.col("__own") == 1)
         .select(
             *by,
-            F.from_unixtime("__tgt").cast("timestamp").alias(bucket_col),
+            F.timestamp_seconds(F.col("__tgt")).alias(bucket_col),
             "value",
             (F.col("__num") / F.col("w_norm")).alias("ewma"),
             "w_norm",

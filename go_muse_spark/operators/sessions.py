@@ -72,7 +72,7 @@ def sessionize(
     than a table scan.
     """
     reserved = {"__gap_new", "__b", "__prev_ts", "__carry_ts", "__off",
-                session_col}
+                "__last", "__n_new", session_col}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(

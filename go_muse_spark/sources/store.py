@@ -24,6 +24,7 @@ an already-committed batch no-ops (crash-resume idempotence).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -101,8 +102,11 @@ class ParquetTableStore:
                     os.rename(old, live)
             shutil.rmtree(backup, ignore_errors=True)
         if os.path.isdir(self.root):
+            # exact-match the uuid4-hex suffix so recovering "chunks"
+            # never sweeps a live "_stage_chunks_1m_<uuid>" stage
+            pat = re.compile(rf"_stage_{re.escape(table)}_[0-9a-f]{{32}}$")
             for d in os.listdir(self.root):
-                if d.startswith(f"_stage_{table}_"):
+                if pat.fullmatch(d):
                     shutil.rmtree(
                         os.path.join(self.root, d), ignore_errors=True
                     )
