@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_muse_spark.operators.compress import (
+    compact_chunks,
     decode_chunks,
     encode_chunks,
     encode_chunks_windowed,
@@ -672,6 +673,66 @@ def q_chunks_windowed_roundtrip_1h(spark, sf_dir):
     )
 
 
+def q_compact_roundtrip_1h(spark, sf_dir):
+    """Storage-maintenance loop end to end: encode the 1h tier into
+    deliberately fragmented chunks (chunk_size=64, the shape incremental
+    MERGE batches leave behind), COMPACT them back to full-size chunks
+    (decode -> re-encode at 256, one conv_id exchange — the engine's
+    rewrite_data_files), then decode the compacted table. Bit-exact
+    codecs make compaction commute with every read, so the oracle is
+    the plain gap-filled rollup SQL, same as chunks_roundtrip_1h."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    fragged = encode_chunks(
+        rolled, "1h", "turn_cnt", chunk_size=64, fill="zero"
+    )
+    compacted = compact_chunks(
+        fragged, "turn_cnt", chunk_size=256, tier="1h"
+    )
+    decoded = decode_chunks(compacted, "turn_cnt")
+    return decoded.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.col("turn_cnt").cast("long").alias("turn_cnt"),
+    )
+
+
+def q_retention_1m(spark, sf_dir):
+    """Storage-management loop end to end: ingest the corpus as one
+    MERGE batch into a real on-disk tier store, run apply_retention with
+    a 3-day TTL on the 1m tier anchored at the data's own max(ts) (the
+    deterministic "now"), then read the surviving table back. Retention
+    is partition-granular (O(1) unlinks, the parquet twin of Iceberg's
+    DELETE WHERE part < cutoff + expire_snapshots) and logged to the
+    checkpoint lineage; the oracle is the minute rollup filtered to the
+    kept date range."""
+    import datetime as dt
+    import tempfile
+
+    from go_muse_spark.plans.continuous import (
+        ContinuousAggregates,
+        tier_table,
+    )
+    from go_muse_spark.sources.store import ParquetTableStore
+
+    tx = _tx(spark, sf_dir)
+    store = ParquetTableStore(
+        spark, tempfile.mkdtemp(prefix="gms_retention_")
+    )
+    ca = ContinuousAggregates(store, tiers=("1m",), chunk_tiers=())
+    ca.ingest(tx, "batch-1")
+    now = tx.agg(F.max("ts")).collect()[0][0]
+    ca.apply_retention("ret-1", now, {"1m": 3})
+    kept = store.read(tier_table("1m"))
+    return kept.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        "turn_cnt",
+        "tool_cnt",
+        "first_ts",
+        "last_ts",
+    )
+
+
 def q_distinct_label_groups(spark, sf_dir):
     """indexLabelValues (group.go:76-104): distinct label-value combos with
     canonical sorted-key identity (labels.go:54-73)."""
@@ -1218,6 +1279,48 @@ def q_muse_grouped_1h(spark, sf_dir):
         ref,
         3600,
         group_by=["event_type"],
+        params=SearchParams(top_n=10, max_lag=n, mode="abs", n_salt=4),
+        series_cols=("conv_id", "event_type"),
+        bounds=(lo, hi, n),
+    ))
+
+
+def q_muse_grouped_dims_1h(spark, sf_dir):
+    """Grouped Batch.Run over MAP-TYPED dynamic labels: the reference
+    groups by an arbitrary label-name subset chosen at query time
+    (group.go:76-104, indexLabelValues over requested keys); here the
+    labels live in one map<string,string> dims column and the subset
+    {event_type} — with a decoy second key present in every map — is
+    serialized to the canonical "k:v" group key by labels.label_id_map,
+    passed straight into the search as a Column group_by. Must produce
+    exactly the first-class-column answer (same oracle as
+    muse_grouped_1h), proving the dynamic-dims path changes the keying
+    expression only, never the scoring."""
+    ev = load_table(spark, sf_dir, "events")
+    tx = events_as_transcripts(ev)
+    rolled = (
+        tx.groupBy(
+            "conv_id",
+            F.col("role").alias("event_type"),
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("turn_cnt"))
+        .withColumn(
+            "dims",
+            F.create_map(
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("shard"), F.lit("s0"),
+            ),
+        )
+    )
+    lo, hi, n = series_bounds(rolled, 3600)
+    ref = np.zeros(n)
+    ref[n // 3 : n // 3 + 4] = [2.0, 5.0, 5.0, 2.0]
+    return _muse_out(muse_search_rollup(
+        rolled,
+        ref,
+        3600,
+        group_by=label_id_map("dims", ["event_type"]),
         params=SearchParams(top_n=10, max_lag=n, mode="abs", n_salt=4),
         series_cols=("conv_id", "event_type"),
         bounds=(lo, hi, n),
@@ -2010,6 +2113,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_ffill_1h": q_gapfill_ffill_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "chunks_roundtrip_1h": q_chunks_roundtrip_1h,
+        "compact_roundtrip_1h": q_compact_roundtrip_1h,
+        "retention_1m": q_retention_1m,
         "chunks_windowed_roundtrip_1h": q_chunks_windowed_roundtrip_1h,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
@@ -2047,6 +2152,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "muse_signed_1h": q_muse_signed_1h,
         "muse_incremental_1h": q_muse_incremental_1h,
         "muse_grouped_1h": q_muse_grouped_1h,
+        "muse_grouped_dims_1h": q_muse_grouped_dims_1h,
         "muse_over_chunks_1h": q_muse_over_chunks_1h,
     }
 
@@ -2056,6 +2162,23 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base(stop_list)
     # windowed encoder emits byte-identical chunks -> identical decode
     d["chunks_windowed_roundtrip_1h"] = d["chunks_roundtrip_1h"]
+    # compaction decodes and re-encodes bit-exact chunks -> same points
+    d["compact_roundtrip_1h"] = d["chunks_roundtrip_1h"]
+    # retention drops whole date partitions strictly older than
+    # max-ts-date minus the 3-day TTL; the oracle filters the minute
+    # rollup to the surviving dates
+    d["retention_1m"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('minute', ts) AS bucket_ts,
+         count(*) AS turn_cnt,
+         count(*) FILTER (WHERE event_type = 'tool') AS tool_cnt,
+         min(ts) AS first_ts,
+         max(ts) AS last_ts
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT max(cast(ts AS date)) AS d FROM events)
+SELECT r.* FROM r, mx WHERE cast(r.bucket_ts AS date) >= mx.d - 3
+"""
     d["quality_gate"] = (
         "WITH q AS (" + d["quality_score"] + "), r AS ("
         + d["repetition_ratio"] + "), lp AS (" + d["unigram_logprob"] + ") "
@@ -2087,6 +2210,9 @@ def oracle_sql() -> dict[str, str]:
         sign_where=" AND score < 0",
     )
     d["muse_grouped_1h"] = _muse_oracle(_REF_GROUPED, _MUSE_RR_BY_EVENT_TYPE)
+    # map-typed dims serialize to the identical canonical group key, so
+    # the dynamic-dims query must reproduce the first-class-column answer
+    d["muse_grouped_dims_1h"] = d["muse_grouped_1h"]
     # two-batch accumulation over a partition of the series == one-shot
     # top-K (scores are batch-independent; bounded accumulator keeps the
     # global best), so EP1 shares the flagship's oracle

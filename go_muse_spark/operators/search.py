@@ -31,7 +31,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_muse_spark import kernels as K
@@ -195,7 +195,7 @@ def score_rollup(
     rolled: DataFrame,
     ref_values: np.ndarray,
     tier_secs: int,
-    group_by: list[str] | None = None,
+    group_by: "list[str] | Column | None" = None,
     mode: str = "abs",
     n_salt: int = 8,
     series_cols: tuple[str, ...] = ("conv_id",),
@@ -238,7 +238,7 @@ def muse_search_rollup(
     rolled: DataFrame,
     ref_values: np.ndarray,
     tier_secs: int,
-    group_by: list[str] | None = None,
+    group_by: "list[str] | Column | None" = None,
     params: SearchParams | None = None,
     series_cols: tuple[str, ...] = ("conv_id",),
     value_col: str = "turn_cnt",
@@ -293,7 +293,7 @@ def mean_abs_score(scored: DataFrame) -> float:
 def muse_search(
     df: DataFrame,
     ref_values: np.ndarray,
-    group_by: list[str] | None = None,
+    group_by: "list[str] | Column | None" = None,
     params: SearchParams | None = None,
     series_key: str = "conv_id",
     values_col: str = "values",
@@ -346,7 +346,7 @@ def score_rollup_multi(
     rolled: DataFrame,
     refs: "dict[str, np.ndarray]",
     tier_secs: int,
-    group_by: list[str] | None = None,
+    group_by: "list[str] | Column | None" = None,
     mode: str = "abs",
     n_salt: int = 4,
     series_cols: tuple[str, ...] = ("conv_id",),
@@ -404,13 +404,21 @@ def score_rollup_multi(
         / F.lit(int(tier_secs))
     ).cast("long").alias("__idx")
     val = F.col(value_col).cast("double").alias("__val")
-    per_series = not group_by
+    # group_by: None/[] => per-series (group.go:84-89); a list of
+    # first-class label columns => canonical "k:v,..." key via
+    # label_id_cols; a prebuilt Column (e.g. labels.label_id_map over a
+    # map<string,string> dims column for the reference's dynamic label
+    # subsets, group.go:76-104) is used as the group key verbatim.
+    per_series = not isinstance(group_by, Column) and not group_by
     if per_series:
         keyed = rolled.select(sk, idx, val)
     else:
-        keyed = rolled.select(
-            label_id_cols(group_by).alias("group_key"), sk, idx, val
+        gk = (
+            group_by
+            if isinstance(group_by, Column)
+            else label_id_cols(group_by)
         )
+        keyed = rolled.select(gk.alias("group_key"), sk, idx, val)
     n_part = n_salt * spark.sparkContext.defaultParallelism
     batch_rows = 256
 
@@ -498,7 +506,7 @@ def muse_search_multi(
     rolled: DataFrame,
     refs: "dict[str, np.ndarray]",
     tier_secs: int,
-    group_by: list[str] | None = None,
+    group_by: "list[str] | Column | None" = None,
     params: SearchParams | None = None,
     series_cols: tuple[str, ...] = ("conv_id",),
     value_col: str = "turn_cnt",

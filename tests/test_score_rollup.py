@@ -56,3 +56,36 @@ def test_sparse_scoring_ignores_missing_buckets_as_zero(spark):
     assert rows[0]["group_key"] == "g:all"
     assert rows[0]["series_key"] == "perfectMatch"
     assert abs(rows[0]["score"] - 1.0) < 1e-3
+
+
+def test_group_by_map_dims_column_matches_first_class(spark):
+    """group_by as a prebuilt Column (label_id_map over map-typed dims,
+    the reference's dynamic label-subset grouping, group.go:76-104) must
+    produce exactly the first-class-column answer."""
+    from go_muse_spark.labels import label_id_map
+
+    tx = transcripts_for_tier(spark, "1m")
+    rolled = rollup_transcripts(tx, "1m").withColumn(
+        "env", F.when(F.col("conv_id") < "m", "prod").otherwise("dev")
+    )
+    lo, hi, n = series_bounds(rolled, 60)
+    p = SearchParams(top_n=20, max_lag=10, mode="abs", n_salt=3)
+    by_cols = muse_search_rollup(
+        rolled, np.array(REF, dtype=float), 60,
+        group_by=["env"], params=p, bounds=(lo, hi, n),
+    ).collect()
+    with_map = rolled.withColumn(
+        "dims",
+        F.create_map(
+            F.lit("env"), F.col("env"), F.lit("decoy"), F.lit("x")
+        ),
+    )
+    by_map = muse_search_rollup(
+        with_map, np.array(REF, dtype=float), 60,
+        group_by=label_id_map("dims", ["env"]), params=p,
+        bounds=(lo, hi, n),
+    ).collect()
+    key = lambda r: (r["group_key"], r["series_key"])  # noqa: E731
+    a = {key(r): (r["lag"], round(r["score"], 12)) for r in by_cols}
+    b = {key(r): (r["lag"], round(r["score"], 12)) for r in by_map}
+    assert a == b and len(a) == 2
