@@ -3412,22 +3412,25 @@ FROM f
 """,
         "embedding_near_dups": f"""
 WITH b AS MATERIALIZED (
-  SELECT vec_id, embedding,
+  -- cosine over 1e-6-QUANTIZED coordinates: the dot is an exact int64,
+  -- order-independent, so this sequential fold equals Spark's per-bucket
+  -- BLAS matmul bit for bit (functions/text.py quantized_vec)
+  SELECT vec_id, {X.quantized_vec('duck', 'embedding')} AS q,
          {X.hyperplane_bucket('duck', 'embedding', 8, 64)} AS bucket
   FROM embeddings
 ), probes AS (  -- own bucket + every hamming-1 neighbor (multi-probe)
-  SELECT vec_id, embedding, xor(bucket, f.flip) AS probe
+  SELECT vec_id, q, xor(bucket, f.flip) AS probe
   FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(({X.dot_product('duck', 'a.embedding', 'b.embedding', 64)})
-             / (sqrt({X.dot_product('duck', 'a.embedding', 'a.embedding', 64)})
-                * sqrt({X.dot_product('duck', 'b.embedding', 'b.embedding', 64)})),
+       round(({X.dot_product_q('duck', 'a.q', 'b.q', 64)})
+             / (sqrt({X.dot_product_q('duck', 'a.q', 'a.q', 64)})
+                * sqrt({X.dot_product_q('duck', 'b.q', 'b.q', 64)})),
              6) AS cosine
 FROM probes a JOIN b b ON a.probe = b.bucket AND a.vec_id < b.vec_id
-WHERE round(({X.dot_product('duck', 'a.embedding', 'b.embedding', 64)})
-            / (sqrt({X.dot_product('duck', 'a.embedding', 'a.embedding', 64)})
-               * sqrt({X.dot_product('duck', 'b.embedding', 'b.embedding', 64)})),
+WHERE round(({X.dot_product_q('duck', 'a.q', 'b.q', 64)})
+            / (sqrt({X.dot_product_q('duck', 'a.q', 'a.q', 64)})
+               * sqrt({X.dot_product_q('duck', 'b.q', 'b.q', 64)})),
             6) >= 0.3
 """,
         "chunks_roundtrip_1h": """

@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     "gaps_6h",
     "state_transitions",
     "markov_transitions",
+    "compact_roundtrip_1h",
+    "muse_grouped_dims_1h",
+    # retention_1m is correctness-oracled but excluded here: it measures
+    # parquet writes to a temp store, not engine compute.
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded
     # here: their wall at sf0.1 is codegen-compile / driver-loop fixed
     # cost (9s / 38s), which would drown the signal this list exists for
@@ -202,6 +206,23 @@ def main() -> None:
         noop_write(chunked)
         pipeline_wall = min(pipeline_wall, time.time() - t0)
 
+    # Same-moment noise context: a 1-second 4-worker memory-bandwidth
+    # probe (tools/ceiling_bench) before and after the timed query pass.
+    # The record then carries its own contention fingerprint — when a
+    # recorded wall is 3-4x the quiet-window number (this host's
+    # documented failure mode; r3 recorded chunks_roundtrip_1h at 10.09s
+    # vs 2.37s quiet), a depressed probe reading says "host", a normal
+    # one says "code". Skipped in the scaling legs, which must run
+    # nothing but the measured job.
+    def bw_probe() -> float:
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from ceiling_bench import run as ceiling_run
+            return round(ceiling_run(4, reps=20), 0)
+        except Exception:
+            return -1.0
+
     # ---------------- flagship: muse search rate over the bench corpus
     # (round-over-round continuity for the search path itself: rollup is
     # materialized first so the clock sees scoring, not re-aggregation).
@@ -215,6 +236,7 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("turn_cnt"))
         .localCheckpoint(eager=True)
     ) if not skip_queries else None
+    probe_pre = bw_probe() if not skip_queries else None
     if not skip_queries:
         lo, hi, n_len = series_bounds(rolled_1m, 60)
         n_series = rolled_1m.select("conv_id").distinct().count()
@@ -270,6 +292,7 @@ def main() -> None:
             muse_n_series=n_series,
             muse_series_len=n_len,
             muse_series_per_sec=round(n_series / muse_wall, 1),
+            host_bw_probe_mb_s={"pre": probe_pre, "post": bw_probe()},
         )
     print(json.dumps(out))
     spark.stop()

@@ -80,10 +80,15 @@ def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     return [((2 * i + 3) % P, (104729 * (i + 1)) % P) for i in range(k)]
 
 
-def shingle_hashes(dialect: str, n: int = 3, text_col: str = "text") -> str:
-    """Polynomial hashes of distinct word n-gram shingles."""
+def shingle_hashes(
+    dialect: str, n: int = 3, text_col: str = "text", toks_src: str | None = None
+) -> str:
+    """Polynomial hashes of distinct word n-gram shingles.
+
+    toks_src: see shingles() — pass a staged token-array column on the
+    Spark hot path to keep shingling linear in document length."""
     t = _d(dialect)
-    sh = f"{t['distinct']}({shingles(dialect, n, text_col)})"
+    sh = f"{t['distinct']}({shingles(dialect, n, text_col, toks_src)})"
     return f"{t['transform']}({sh}, t -> {char_hash(dialect, 't')})"
 
 
@@ -131,10 +136,21 @@ def simhash(
     return " + ".join(terms)
 
 
-def shingles(dialect: str, n: int = 3, text_col: str = "text") -> str:
-    """Word n-gram shingle array ('' guard when fewer than n tokens)."""
+def shingles(
+    dialect: str, n: int = 3, text_col: str = "text", toks_src: str | None = None
+) -> str:
+    """Word n-gram shingle array ('' guard when fewer than n tokens).
+
+    toks_src: name of a column already holding the token array. Without
+    it the word split is expanded TEXTUALLY into every element access of
+    the shingle lambda, which Catalyst does not de-duplicate — O(words)
+    re-splits per shingle = O(words^2) per document (measured: a
+    150-word corpus shingled ~10x slower than linear). Spark callers on
+    a hot path should stage `tokens()` into a column first and pass its
+    name; the DuckDB dialect strings feed tiny oracle fixtures where the
+    quadratic term is irrelevant."""
     t = _d(dialect)
-    toks = tokens(dialect, text_col)
+    toks = toks_src or tokens(dialect, text_col)
     if dialect == "spark":
         body = (
             f"transform(sequence(0, size({toks}) - {n}), "
@@ -218,3 +234,28 @@ def dot_product(dialect: str, a: str, b: str, dims: int = 64) -> str:
     else:
         prods = f"list_transform(generate_series(1, {dims}), i -> {a}[i] * {b}[i])"
     return fold_double(dialect, prods)
+
+
+def quantized_vec(dialect: str, v: str) -> str:
+    """Float array -> bigint array at 1e-6 grid (round half away from 0).
+
+    The quantized dot product is an EXACT int64 sum — order-independent,
+    so a numpy/BLAS path on the Spark side and a sequential fold on the
+    DuckDB side produce the identical integer (the float fold, by
+    contrast, pins both engines to left-to-right order). Ties at .5
+    cannot occur: (2k+1)/2e6 has a factor 5^6 in the denominator, which
+    no binary float can represent, so half-up (SQL) and half-even
+    (numpy rint) agree on every representable input."""
+    t = _d(dialect)
+    return f"{t['transform']}({v}, x -> cast(round(x * 1000000.0) as bigint))"
+
+
+def dot_product_q(dialect: str, a: str, b: str, dims: int = 64) -> str:
+    """Exact int64 dot of two pre-quantized bigint arrays (see
+    quantized_vec). Products <= 64 * (1e6*|x|)^2 stay far inside int64
+    for unit-scale embeddings."""
+    if dialect == "spark":
+        prods = f"zip_with({a}, {b}, (u, v) -> u * v)"
+    else:
+        prods = f"list_transform(generate_series(1, {dims}), i -> {a}[i] * {b}[i])"
+    return fold(dialect, prods, "acc + x")

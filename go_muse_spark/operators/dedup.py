@@ -106,9 +106,19 @@ def hashed_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     n-gram shingles, polynomial-hashed. Signature computation, LSH
     banding, AND exact-Jaccard verification all derive from this one
     column (the expression builders repeat their source textually, which
-    would otherwise recompute the hashing per consumer)."""
-    return _widen(docs).select(
-        "doc_id", F.expr(X.shingle_hashes("spark", n)).alias("th")
+    would otherwise recompute the hashing per consumer).
+
+    The word split is staged into a real column first so shingling stays
+    LINEAR in document length (see functions.text.shingles: the inlined
+    split is re-evaluated per element access, O(words^2) per doc —
+    measured 10x on a 150-word corpus). The multiply-referenced
+    non-cheap alias also stops CollapseProject from re-inlining it."""
+    staged = _widen(docs).select(
+        "doc_id", F.expr(X.tokens("spark")).alias("__toks")
+    )
+    return staged.select(
+        "doc_id",
+        F.expr(X.shingle_hashes("spark", n, toks_src="__toks")).alias("th"),
     )
 
 
@@ -251,10 +261,18 @@ def ngram_jaccard_pairs(
     the LSH paths; it does not survive a hot block at 10^12-doc scale.
     """
     sh = _materialize(
-        _widen(docs).select(
+        _widen(docs)
+        .select(
             "doc_id",
             F.col(block_col).alias("blk"),
-            F.expr(X.shingle_hashes("spark", n)).alias("sh"),
+            F.expr(X.tokens("spark")).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            "blk",
+            F.expr(X.shingle_hashes("spark", n, toks_src="__toks")).alias(
+                "sh"
+            ),
         )
     )
     j = X.jaccard("spark", "a.sh", "b.sh")
@@ -386,9 +404,12 @@ def contamination_check(
     Returns (id_col, n_shared) — only documents with >= 1 shared gram;
     n_shared counts DISTINCT shared n-grams.
     """
-    th = F.expr(X.shingle_hashes("spark", n))
-    t = _widen(train).select(id_col, F.explode(th).alias("__h"))
-    b = bench.select(F.explode(th).alias("__h")).distinct()
+    th = F.expr(X.shingle_hashes("spark", n, toks_src="__toks"))
+    toks = F.expr(X.tokens("spark")).alias("__toks")
+    t = _widen(train).select(id_col, toks).select(
+        id_col, F.explode(th).alias("__h")
+    )
+    b = bench.select(toks).select(F.explode(th).alias("__h")).distinct()
     return (
         t.join(F.broadcast(b), "__h")
         .groupBy(id_col)

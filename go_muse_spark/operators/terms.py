@@ -96,8 +96,12 @@ def ngram_diversity(
     from go_muse_spark.functions import text as X
     from go_muse_spark.operators.dedup import _widen
 
-    sh = F.expr(X.shingles("spark", n, text_col))
-    g = _widen(docs).select(*by, F.explode(sh).alias("__g"))
+    sh = F.expr(X.shingles("spark", n, toks_src="__toks"))
+    g = (
+        _widen(docs)
+        .select(*by, F.expr(X.tokens("spark", text_col)).alias("__toks"))
+        .select(*by, F.explode(sh).alias("__g"))
+    )
     return (
         g.groupBy(*by)
         .agg(
@@ -190,9 +194,13 @@ def repetition_ratio(
     from go_muse_spark.functions import text as X
     from go_muse_spark.operators.dedup import _widen
 
-    sh = F.expr(X.shingles("spark", n, text_col))
+    sh = F.expr(X.shingles("spark", n, toks_src="__toks"))
     g = (
         _widen(docs)
+        .select(
+            F.col(id_col),
+            F.expr(X.tokens("spark", text_col)).alias("__toks"),
+        )
         .select(F.col(id_col), F.explode(sh).alias("__g"))
         .groupBy(id_col, "__g")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -11,21 +11,21 @@ WORK_MB = 64
 REPS = 60
 
 
-def worker(core, q):
+def worker(core, q, reps=REPS):
     os.sched_setaffinity(0, {core})
     a = np.arange(WORK_MB * 131072, dtype=np.float64)  # 64 MB
     b = np.empty_like(a)
     t0 = time.time()
     s = 0.0
-    for _ in range(REPS):
+    for _ in range(reps):
         np.multiply(a, 1.0000001, out=b)
         s += float(b[-1])
     q.put((time.time() - t0, s))
 
 
-def run(n):
+def run(n, reps=REPS):
     q = mp.Queue()
-    ps = [mp.Process(target=worker, args=(c, q)) for c in range(n)]
+    ps = [mp.Process(target=worker, args=(c, q, reps)) for c in range(n)]
     for p in ps:
         p.start()
     walls = [q.get()[0] for _ in ps]
@@ -34,7 +34,7 @@ def run(n):
     # aggregate throughput over the SLOWEST worker's measured loop wall
     # (workers time only the multiply loop, not fork/allocation/queue
     # overhead, which grows with n and would bias the wide leg low)
-    work = n * REPS * WORK_MB  # MB of multiplies completed
+    work = n * reps * WORK_MB  # MB of multiplies completed
     return work / max(walls)  # MB/s aggregate
 
 

@@ -1,0 +1,276 @@
+"""Per-path scaling evidence for the north_rule's two-cluster-size
+criterion, covering the operators a 100-TB user actually fans out —
+the tier pipeline's 0.9+ readings (tools/scaling_bench.py) say nothing
+about the muse search, minhash dedup, or embedding-similarity paths,
+so each gets its own N vs 4N pinned comparison here.
+
+Method (identical to scaling_bench.py, see BENCH.md):
+  * same deterministic synthetic input for both legs, generated once
+    into .cache/ (generation excluded from timing);
+  * each leg is a fresh pinned JVM (`taskset -c 0..cpus-1`) — an
+    unpinned local[N] floats over all host cores and is NOT an N-core
+    executor; in-process min-of-2 per leg, legs interleaved over
+    `pairs` rounds with min wall per leg (co-tenant noise bursts then
+    pollute one attempt, not every attempt of one leg);
+  * a same-moment Spark-free bandwidth probe (tools/ceiling_bench.py)
+    bounds what ANY scaling number can reach on this host at that
+    moment — quote (engine_eff, ceiling_eff) pairs, never engine alone.
+
+Usage:
+  python tools/path_scaling_bench.py [N] [pairs] [path ...]
+  python tools/path_scaling_bench.py --child <path> <cpus>   (internal)
+
+Paths: muse | minhash | embedding. Appends a section to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CACHE = os.path.join(REPO, ".cache")
+
+# sized so the 8-core leg carries tens of seconds of parallel compute
+# (fixed stage latency <10%), while 3 interleaved pairs still finish in
+# minutes; override for bigger runs
+MUSE_CONVS = int(os.environ.get("SPARK_GRAFT_PS_MUSE_CONVS", "4000"))
+MINHASH_DOCS = int(os.environ.get("SPARK_GRAFT_PS_DOCS", "40000"))
+EMB_ROWS = int(os.environ.get("SPARK_GRAFT_PS_VECS", "150000"))
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+# ---------------------------------------------------------------- inputs
+# All three inputs are pure expressions of the row index — deterministic
+# across runs and parallelism levels, no RNG, no external data.
+
+
+def muse_input(spark):
+    """Transcript corpus (bench.py's generator) -> 1m rollup, checkpointed
+    so the timed section sees scoring only."""
+    from bench import corpus_path
+
+    os.environ.setdefault("SPARK_GRAFT_CONVS", str(MUSE_CONVS))
+    path = corpus_path(0.1)
+    from pyspark.sql import functions as F
+
+    tx = spark.read.parquet(path)
+    rolled = (
+        tx.groupBy(
+            "conv_id", F.date_trunc("minute", "ts").alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("turn_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    return rolled
+
+
+def docs_path(spark) -> str:
+    """Synthetic near-dup corpus: clusters of 4 docs sharing a 150-word
+    template with cluster-rank-many words overridden — every cluster
+    yields bounded verify pairs (<=6), total pair work linear in N."""
+    path = os.path.join(CACHE, f"ps_docs2_{MINHASH_DOCS}.parquet")
+    if not os.path.exists(path):
+        from pyspark.sql import functions as F
+
+        # template words are murmur3-mixed over (template, position) —
+        # an arithmetic progression here makes every template a window
+        # of one global cyclic word sequence and the near-dup graph
+        # quadratic (first version of this generator did exactly that)
+        n_templates = MINHASH_DOCS // 4
+        df = spark.range(MINHASH_DOCS).select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(149)),
+                    lambda j: F.when(
+                        # rank-many leading words overridden per replica
+                        j < (F.col("id") / n_templates).cast("long") * 5,
+                        F.concat(F.lit("u"), F.col("id"), F.lit("_"), j),
+                    ).otherwise(
+                        F.concat(
+                            F.lit("w"),
+                            F.pmod(
+                                F.hash(
+                                    (F.col("id") % n_templates) * 1024 + j
+                                ),
+                                F.lit(30011),
+                            ),
+                        )
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def emb_path(spark) -> str:
+    """Synthetic embedding table: 64 hash-derived floats per vector."""
+    path = os.path.join(CACHE, f"ps_emb_{EMB_ROWS}.parquet")
+    if not os.path.exists(path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(EMB_ROWS).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: (
+                    F.pmod(F.hash(F.col("id") * 64 + d), F.lit(2001))
+                    .cast("double")
+                    / 1000.0
+                    - 1.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+# ----------------------------------------------------------------- paths
+
+
+def run_muse(spark) -> tuple[float, int]:
+    import numpy as np
+
+    from go_muse_spark.operators.search import (
+        SearchParams,
+        muse_search_rollup,
+        series_bounds,
+    )
+
+    rolled = muse_input(spark)
+    lo, hi, n = series_bounds(rolled, 60)
+    rows = rolled.select("conv_id").distinct().count()
+    ref = np.zeros(n)
+    ref[n // 4 : n // 4 + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop(
+            muse_search_rollup(
+                rolled, ref, 60, group_by=None,
+                params=SearchParams(top_n=10, max_lag=n, mode="abs"),
+                bounds=(lo, hi, n),
+            )
+        )
+        wall = min(wall, time.time() - t0)
+    return wall, rows
+
+
+def run_minhash(spark) -> tuple[float, int]:
+    from go_muse_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.read.parquet(docs_path(spark))
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop(minhash_near_dups(docs, threshold=0.5))
+        wall = min(wall, time.time() - t0)
+    return wall, MINHASH_DOCS
+
+
+def run_embedding(spark) -> tuple[float, int]:
+    from go_muse_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(emb_path(spark))
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop(embedding_near_dups(emb, threshold=0.6, multi_probe=True))
+        wall = min(wall, time.time() - t0)
+    return wall, EMB_ROWS
+
+
+PATHS = {"muse": run_muse, "minhash": run_minhash, "embedding": run_embedding}
+
+
+def child(path: str, cpus: int) -> None:
+    from go_muse_spark.session import get_bench_spark
+
+    spark = get_bench_spark(cpus=cpus, app=f"path-scaling-{path}")
+    wall, rows = PATHS[path](spark)
+    print(json.dumps({"path": path, "cpus": cpus, "wall": round(wall, 3),
+                      "rows": rows}))
+    spark.stop()
+
+
+def run_child(path: str, cpus: int) -> dict:
+    pin = ["taskset", "-c", f"0-{cpus - 1}"]
+    out = subprocess.run(
+        pin + [sys.executable, os.path.abspath(__file__), "--child", path,
+               str(cpus)],
+        capture_output=True, text=True, timeout=1800, check=True,
+        env=dict(os.environ),
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2], int(sys.argv[3]))
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    names = sys.argv[3:] or list(PATHS)
+    results = {}
+    for path in names:
+        lo_walls, hi_walls = [], []
+        for _ in range(pairs):
+            lo_walls.append(run_child(path, n))
+            hi_walls.append(run_child(path, 4 * n))
+        lo = min(r["wall"] for r in lo_walls)
+        hi = min(r["wall"] for r in hi_walls)
+        eff = (lo / hi) / 4.0
+        results[path] = {
+            "rows": lo_walls[0]["rows"],
+            f"wall_{n}": lo, f"wall_{4*n}": hi,
+            "lo_walls": [r["wall"] for r in lo_walls],
+            "hi_walls": [r["wall"] for r in hi_walls],
+            "efficiency": round(eff, 3),
+        }
+    try:
+        probe = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "ceiling_bench.py"),
+             str(n), str(4 * n)],
+            capture_output=True, text=True, timeout=600, check=True,
+        ).stdout.strip()
+    except Exception as e:
+        probe = f"ceiling probe failed: {e}"
+    stamp = dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds")
+    rows_md = "\n".join(
+        f"| {p} | {r['rows']} | {r[f'wall_{n}']} {r['lo_walls']} | "
+        f"{r[f'wall_{4*n}']} {r['hi_walls']} | {r['efficiency']:.3f} |"
+        for p, r in results.items()
+    )
+    section = f"""
+## Per-path scaling run {stamp} (tools/path_scaling_bench.py)
+
+Search / dedup / similarity paths, same protocol as the pipeline runs
+(pinned legs, {pairs} interleaved pairs, min wall per leg, in-process
+min-of-2):
+
+| path | input rows | wall local[{n}] (s) | wall local[{4*n}] (s) | eff (N->4N) |
+|---|---|---|---|---|
+{rows_md}
+
+Same-moment Spark-free hardware ceiling: `{probe}`
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(section)
+    print(json.dumps({"n": n, "paths": results, "ceiling_probe": probe}))
+
+
+if __name__ == "__main__":
+    main()
