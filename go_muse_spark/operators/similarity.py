@@ -36,20 +36,55 @@ def _cosine(a: str, b: str, dims: int) -> F.Column:
 def cosine_topk(
     emb: DataFrame, query_vec_id: int = 0, k: int = 20, dims: int = 64
 ) -> DataFrame:
-    """Exact brute-force cosine top-K vs one stored vector. The 1-row
-    query side is broadcast; at cluster scale this is a map-only scan +
-    TakeOrderedAndProject."""
-    q = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb")
+    """Exact brute-force cosine top-K vs one stored vector — the
+    full-scan baseline, so the scan must run at bandwidth, not at
+    interpreted-expression speed: mapInArrow with one BLAS matvec per
+    Arrow batch (zero-copy flat-buffer reshape), no exchange at all,
+    then TakeOrderedAndProject. Cosines use the same 1e-6-quantized
+    exact-int64 arithmetic as embedding_near_dups, so the vectorized
+    sum is order-independent and the DuckDB oracle's sequential fold
+    matches bit for bit. The query vector is one bounded driver read,
+    broadcast to every task."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = emb.sparkSession
+    row = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()
     )
-    scored = (
-        emb.filter(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(_cosine("embedding", "q_emb", dims), 6).alias("cosine"),
-        )
-    )
+    if not row:
+        raise ValueError(f"query vec_id {query_vec_id!r} not found")
+    qv = np.rint(np.asarray(row[0][0], dtype=np.float64) * 1e6)
+    nq = float(np.sqrt(qv @ qv))
+    bc = spark.sparkContext.broadcast((qv, nq))
+    id_t = dict(emb.dtypes)["vec_id"]
+
+    def score(batches):
+        q, qn = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            Q = np.rint(flat.reshape(n, dims).astype(np.float64) * 1e6)
+            norms = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.round((Q @ q) / (norms * qn), 6)
+            # zero-norm rows -> NULL (not NaN: Spark sorts NaN as the
+            # GREATEST double, which would corrupt the top-K; the old
+            # SQL division produced NULL, which sorts last under desc)
+            cos = pa.array(c, type=pa.float64(), from_pandas=True)
+            yield pa.record_batch(
+                [batch.column("vec_id"), cos], names=["vec_id", "cosine"]
+            )
+
+    scored = emb.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", "embedding"
+    ).mapInArrow(score, f"vec_id {id_t}, cosine double")
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 

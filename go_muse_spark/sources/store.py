@@ -102,9 +102,10 @@ class ParquetTableStore:
                     os.rename(old, live)
             shutil.rmtree(backup, ignore_errors=True)
         if os.path.isdir(self.root):
-            # exact-match the uuid4-hex suffix so recovering "chunks"
-            # never sweeps a live "_stage_chunks_1m_<uuid>" stage
-            pat = re.compile(rf"_stage_{re.escape(table)}_[0-9a-f]{{32}}$")
+            # match only a pure-hex suffix so recovering "chunks" never
+            # sweeps "_stage_chunks_1m_<uuid>": any longer table name
+            # adds an underscore after the prefix, which hex can't match
+            pat = re.compile(rf"_stage_{re.escape(table)}_[0-9a-f]+$")
             for d in os.listdir(self.root):
                 if pat.fullmatch(d):
                     shutil.rmtree(
