@@ -420,23 +420,41 @@ def score_rollup_multi(
         )
         keyed = rolled.select(gk.alias("group_key"), sk, idx, val)
     n_part = n_salt * spark.sparkContext.defaultParallelism
-    batch_rows = 256
 
     def score_partition(batches):
         ref_names, xs, nfft, rn = bc.value
-        frames = [pdf for pdf in batches if len(pdf)]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-        sks = pdf["__sk"].to_numpy()
-        gks = sks if per_series else pdf["group_key"].to_numpy()
-        idxs = pdf["__idx"].to_numpy(dtype=np.int64)
-        vals = pdf["__val"].to_numpy(dtype=np.float64)
-        change = np.flatnonzero(sks[1:] != sks[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(sks)]))
+        # FFT-length-adaptive flush width: the flush's live set is ~6
+        # arrays of batch_rows x nfft doubles/complex (dense scatter,
+        # zero-pad, forward spectrum, product, irfft, |cc|), so a fixed
+        # 256 rows is ~1 GB per Python worker at 64k-point series — x32
+        # workers that OOMed the host (observed). Cap the dense set near
+        # 256 MB; short series keep the full 256-row batch.
+        rows_cap = min(256, max(8, (1 << 28) // (max(nfft, 1) * 64)))
 
-        y = np.zeros((batch_rows, rn), dtype=np.float64)
+        def complete_runs(pdf_iter):
+            # stream Arrow batches, holding back the trailing series run
+            # (it may continue in the next batch) — the whole partition
+            # is never materialized, O(batch + one series) memory
+            carry = None
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                sks_ = pdf["__sk"].to_numpy()
+                not_last = np.flatnonzero(sks_ != sks_[-1])
+                cut = int(not_last[-1]) + 1 if len(not_last) else 0
+                if cut == 0:
+                    carry = pdf
+                    continue
+                carry = pdf.iloc[cut:]
+                yield pdf.iloc[:cut]
+            if carry is not None and len(carry):
+                yield carry
+
+        batch_rows_eff = rows_cap
+        y = np.zeros((batch_rows_eff, rn), dtype=np.float64)
         meta: list = []
 
         def flush():
@@ -467,14 +485,22 @@ def score_rollup_multi(
             meta.clear()
             return pd.concat(outs, ignore_index=True)
 
-        for s_, e_ in zip(starts, ends):
-            row = len(meta)
-            y[row, idxs[s_:e_]] = vals[s_:e_]
-            meta.append((gks[s_], sks[s_]))
-            if len(meta) == batch_rows:
-                out = flush()
-                if out is not None:
-                    yield out
+        for pdf in complete_runs(batches):
+            sks = pdf["__sk"].to_numpy()
+            gks = sks if per_series else pdf["group_key"].to_numpy()
+            idxs = pdf["__idx"].to_numpy(dtype=np.int64)
+            vals = pdf["__val"].to_numpy(dtype=np.float64)
+            change = np.flatnonzero(sks[1:] != sks[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(sks)]))
+            for s_, e_ in zip(starts, ends):
+                row = len(meta)
+                y[row, idxs[s_:e_]] = vals[s_:e_]
+                meta.append((gks[s_], sks[s_]))
+                if len(meta) == batch_rows_eff:
+                    out = flush()
+                    if out is not None:
+                        yield out
         out = flush()
         if out is not None:
             yield out
