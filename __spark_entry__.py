@@ -1174,6 +1174,38 @@ def q_muse_topk_1h(spark, sf_dir):
     ))
 
 
+def q_muse_windowed_1h(spark, sf_dir):
+    """Bounded-window search: score only the FIRST HALF of the hourly
+    domain via explicit bounds=(lo, hi_w, nw) instead of letting
+    series_bounds stretch the aligned domain to the corpus extremes.
+    This is the realistic shape at scale — with heavy-tailed series a
+    single long-running conversation otherwise widens EVERY series'
+    dense/FFT domain (one hot conv at 1h gaps spans ~2 years => 2^20-pt
+    FFTs for all, ~60x the work; measured on the scaling corpus).
+    Series with no in-window rows drop out; the rest align over exactly
+    nw buckets. Oracle: same sparse-xcorr decomposition with the scored
+    length L halved and rollup rows filtered to b < L."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    lo, hi, n = series_bounds(rolled, 3600)
+    nw = max(n // 2, 2)
+    import datetime as _dt
+
+    hi_w = lo + _dt.timedelta(seconds=3600 * (nw - 1))
+    windowed = rolled.filter(F.col("bucket_ts") <= F.lit(hi_w))
+    ref = np.zeros(nw)
+    pos = nw // 4
+    ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+    return _muse_out(muse_search_rollup(
+        windowed,
+        ref,
+        3600,
+        group_by=None,
+        params=SearchParams(top_n=10, max_lag=nw, threshold=0.0, mode="abs", n_salt=4),
+        series_cols=("conv_id",),
+        bounds=(lo, hi_w, nw),
+    ))
+
+
 def q_muse_signed_1h(spark, sf_dir):
     """Muse.Run (EP1) signed-score semantics + the NEG sign filter
     (muse.go:73-88, results.go:20-26): the signed cc at the best-|cc|
@@ -1356,8 +1388,9 @@ WITH dims AS (
          cast((epoch(max(date_trunc('hour', ts)))
                - epoch(min(date_trunc('hour', ts)))) / 3600 AS bigint) + 1 AS L
   FROM events
-), dims2 AS (
-  SELECT lo, L, cast(power(2, ceil(log2(L))) AS bigint) AS n FROM dims
+), dims2 AS (  -- {l_expr}: scored-domain length (windowed variants shrink it)
+  SELECT lo, {l_expr} AS L,
+         cast(power(2, ceil(log2({l_expr}))) AS bigint) AS n FROM dims
 ), refraw AS (
   SELECT j, L, n, ({ref_case}) AS raw
   FROM (SELECT unnest(generate_series(0::BIGINT, L - 1)) AS j, L, n FROM dims2)
@@ -1468,6 +1501,7 @@ def _muse_oracle(
     score_expr: str = _SCORE_ABS,
     sign_where: str = "",
     top_n: int = 10,
+    l_expr: str = "L",
 ) -> str:
     return _MUSE_ORACLE.format(
         ref_case=ref_case,
@@ -1475,6 +1509,7 @@ def _muse_oracle(
         score_expr=score_expr,
         sign_where=sign_where,
         top_n=top_n,
+        l_expr=l_expr,
     )
 
 
@@ -2059,6 +2094,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never value-checked lead, then round-2-checked, then
         # round-3 greens; every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "muse_windowed_1h": q_muse_windowed_1h,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -2201,6 +2237,13 @@ SELECT r.* FROM r, mx WHERE cast(r.bucket_ts AS date) >= mx.d - 3
         "LEFT JOIN lp USING (doc_id)"
     )
     d["muse_topk_1h"] = _muse_oracle(_REF_TOPK, _MUSE_RR_PER_USER)
+    d["muse_windowed_1h"] = _muse_oracle(
+        _REF_TOPK,
+        # same sparse rollup rows, restricted to the scored window
+        "SELECT * FROM (" + _MUSE_RR_PER_USER
+        + ") WHERE b < (SELECT L FROM dims2)",
+        l_expr="greatest(L // 2, 2)",
+    )
     d["muse_multi_1h"] = (
         "SELECT 'A' AS ref_key, * FROM ("
         + _muse_oracle(_REF_TOPK, _MUSE_RR_PER_USER)

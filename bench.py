@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "muse_grouped_1h",
     "muse_over_chunks_1h",
     "muse_multi_1h",
+    "muse_windowed_1h",
     "asof_click_view",
     "asof_click_view_bucketed",
     "sessionize_8h",
