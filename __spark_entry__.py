@@ -1076,6 +1076,61 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _pii_scrub_oracle() -> str:
+    """DuckDB twin of q_pii_scrub: identical seeded text, identical
+    pattern set via the dual-dialect builder in operators/privacy.py."""
+    from go_muse_spark.operators.privacy import pii_pattern_sql
+
+    counts, red = pii_pattern_sql("text")
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || cast(doc_id AS varchar)
+         || '@example.com from 10.' || cast(doc_id % 256 AS varchar)
+         || '.0.' || cast(doc_id % 100 AS varchar)
+         || ' tel 555-' || lpad(cast(doc_id % 1000 AS varchar), 3, '0')
+         || '-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+         || ' acct ' || lpad(cast(doc_id AS varchar), 12, '0') AS text
+  FROM documents
+)
+SELECT doc_id, {counts}, {red} AS scrubbed FROM seeded
+"""
+
+
+def _seeded_pii_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII appended — an email,
+    an IPv4, a phone, and a 12-digit account number derived from doc_id
+    (the base corpus has none, so the scrubber would be untested on it).
+    The oracle builds the identical string with || and lpad."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), d, F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" acct "), F.lpad(d, 12, "0"),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Training-data hygiene: redact emails / IPv4s / phone numbers /
+    long digit runs with typed placeholders and count matches per
+    category (operators/privacy.py). Map-only JVM regex — no shuffle,
+    no Python; the pattern set is the Java/RE2 common subset so DuckDB
+    replays it verbatim."""
+    from go_muse_spark.operators.privacy import scrub_pii
+
+    return scrub_pii(_seeded_pii_docs(spark, sf_dir))
+
+
 def q_token_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -2095,6 +2150,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 greens; every entry stays full-sweep green
         # locally (tools/check_oracle.py).
         "muse_windowed_1h": q_muse_windowed_1h,
+        "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -3634,6 +3690,7 @@ SELECT source, count(*) AS n_docs,
        cast(sum(n_uniq) AS bigint) AS total_uniq_tokens
 FROM f WHERE n_uniq * 1.0 / n_toks >= 0.5 GROUP BY source
 """,
+        "pii_scrub": _pii_scrub_oracle(),
         "token_stats": """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

@@ -50,6 +50,8 @@ __all__ = [
     "IncrementalResults",
     "score_rollup_multi",
     "muse_search_multi",
+    "adaptive_flush_rows",
+    "complete_series_runs",
 ]
 
 SIGN_ANY, SIGN_POS, SIGN_NEG = "any", "pos", "neg"
@@ -342,6 +344,45 @@ class IncrementalResults:
         return list(self._rows), mean
 
 
+def adaptive_flush_rows(nfft: int) -> int:
+    """Flush width for the dense scoring scatter, adapted to FFT length.
+
+    The flush's live set is ~6 arrays of rows x nfft doubles/complex
+    (dense scatter, zero-pad, forward spectrum, product, irfft, |cc|);
+    a fixed 256 rows is ~1 GB per Python worker at 64k-point series
+    (32 workers OOMed a 128 GiB host). Cap the dense set near 256 MB;
+    short series keep the full 256-row batch, floor of 8 keeps the
+    batched rfft worthwhile at extreme lengths."""
+    return min(256, max(8, (1 << 28) // (max(nfft, 1) * 64)))
+
+
+def complete_series_runs(pdf_iter, key: str):
+    """Stream pandas/Arrow batches, yielding frames that end exactly on
+    a series boundary: the trailing run of each batch is held back (it
+    may continue in the next batch) and prepended to the next frame.
+    Memory is O(one batch + one series), independent of partition size
+    — the property that makes per-partition scoring safe at 10^12 rows.
+    Requires the input sorted by `key` within the stream (the scoring
+    exchange sortWithinPartitions them)."""
+    carry = None
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        keys = pdf[key].to_numpy()
+        not_last = np.flatnonzero(keys != keys[-1])
+        cut = int(not_last[-1]) + 1 if len(not_last) else 0
+        if cut == 0:
+            carry = pdf
+            continue
+        carry = pdf.iloc[cut:]
+        yield pdf.iloc[:cut]
+    if carry is not None and len(carry):
+        yield carry
+
+
 def score_rollup_multi(
     rolled: DataFrame,
     refs: "dict[str, np.ndarray]",
@@ -429,31 +470,7 @@ def score_rollup_multi(
         # 256 rows is ~1 GB per Python worker at 64k-point series — x32
         # workers that OOMed the host (observed). Cap the dense set near
         # 256 MB; short series keep the full 256-row batch.
-        rows_cap = min(256, max(8, (1 << 28) // (max(nfft, 1) * 64)))
-
-        def complete_runs(pdf_iter):
-            # stream Arrow batches, holding back the trailing series run
-            # (it may continue in the next batch) — the whole partition
-            # is never materialized, O(batch + one series) memory
-            carry = None
-            for pdf in pdf_iter:
-                if not len(pdf):
-                    continue
-                if carry is not None:
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
-                    carry = None
-                sks_ = pdf["__sk"].to_numpy()
-                not_last = np.flatnonzero(sks_ != sks_[-1])
-                cut = int(not_last[-1]) + 1 if len(not_last) else 0
-                if cut == 0:
-                    carry = pdf
-                    continue
-                carry = pdf.iloc[cut:]
-                yield pdf.iloc[:cut]
-            if carry is not None and len(carry):
-                yield carry
-
-        batch_rows_eff = rows_cap
+        batch_rows_eff = adaptive_flush_rows(nfft)
         y = np.zeros((batch_rows_eff, rn), dtype=np.float64)
         meta: list = []
 
@@ -485,7 +502,7 @@ def score_rollup_multi(
             meta.clear()
             return pd.concat(outs, ignore_index=True)
 
-        for pdf in complete_runs(batches):
+        for pdf in complete_series_runs(batches, "__sk"):
             sks = pdf["__sk"].to_numpy()
             gks = sks if per_series else pdf["group_key"].to_numpy()
             idxs = pdf["__idx"].to_numpy(dtype=np.int64)

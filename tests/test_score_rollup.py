@@ -89,3 +89,84 @@ def test_group_by_map_dims_column_matches_first_class(spark):
     a = {key(r): (r["lag"], round(r["score"], 12)) for r in by_cols}
     b = {key(r): (r["lag"], round(r["score"], 12)) for r in by_map}
     assert a == b and len(a) == 2
+
+
+def test_complete_series_runs_carry():
+    """The streaming batch iterator must re-join series runs split
+    across Arrow batches and never yield a frame that splits a series
+    (the property the scoring scatter relies on at unbounded partition
+    sizes)."""
+    import pandas as pd
+
+    from go_muse_spark.operators.search import complete_series_runs
+
+    def frames(chunks):
+        return [
+            pd.DataFrame({"__sk": list(c), "v": range(len(c))})
+            for c in chunks
+        ]
+
+    # series "b" straddles three batches; "d" is the trailing run
+    out = list(
+        complete_series_runs(
+            iter(frames(["aab", "bb", "bcc", "d"])), "__sk"
+        )
+    )
+    seqs = ["".join(pdf["__sk"]) for pdf in out]
+    assert "".join(seqs) == "aabbbbccd"
+    # every series occupies a contiguous span in exactly one frame
+    for s in "abcd":
+        holders = [i for i, seq in enumerate(seqs) if s in seq]
+        assert len(holders) == 1, f"series {s} split across frames"
+
+    # empty batches and a single series spanning everything
+    out2 = list(
+        complete_series_runs(iter(frames(["", "xx", "", "xx"])), "__sk")
+    )
+    assert len(out2) == 1 and "".join(out2[0]["__sk"]) == "xxxx"
+    assert list(complete_series_runs(iter(frames([""])), "__sk")) == []
+
+
+def test_adaptive_flush_rows_bounds():
+    """Flush width: full 256 rows for short series, shrinks with FFT
+    length so rows*nfft*64B stays near 256 MB, floored at 8."""
+    from go_muse_spark.operators.search import adaptive_flush_rows
+
+    assert adaptive_flush_rows(512) == 256
+    assert adaptive_flush_rows(16384) == 256
+    assert adaptive_flush_rows(65536) == 64
+    assert adaptive_flush_rows(1 << 20) == 8  # the 2-year-domain case
+    for nfft in (512, 16384, 65536, 1 << 20):
+        rows = adaptive_flush_rows(nfft)
+        # inside the cap, at the short-series ceiling, or at the floor
+        # (the floor trades the cap for batched-rfft efficiency)
+        assert rows in (256, 8) or rows * nfft * 64 <= (1 << 28)
+
+
+def test_scoring_parity_with_tiny_arrow_batches(spark):
+    """Force maxRecordsPerBatch=7 so every series straddles several
+    Arrow batches — results must match the default-batch-size run
+    exactly (exercises the carry path inside the scoring UDF)."""
+    tx = transcripts_for_tier(spark, "1m")
+    rolled = rollup_transcripts(tx, "1m")
+    lo, hi, n = series_bounds(rolled, 60)
+    p = SearchParams(top_n=20, max_lag=n, mode="abs", n_salt=2)
+
+    def run():
+        return {
+            (r["group_key"], r["series_key"]): (r["lag"], round(r["score"], 12))
+            for r in muse_search_rollup(
+                rolled, np.array(REF, dtype=float), 60,
+                group_by=None, params=p, bounds=(lo, hi, n),
+            ).collect()
+        }
+
+    base = run()
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        tiny = run()
+    finally:
+        spark.conf.set(key, old)
+    assert base == tiny and len(base) > 0
