@@ -41,7 +41,7 @@ CACHE = os.path.join(REPO, ".cache")
 # (fixed stage latency <10%), while 3 interleaved pairs still finish in
 # minutes; override for bigger runs
 MUSE_CONVS = int(os.environ.get("SPARK_GRAFT_PS_MUSE_CONVS", "100000"))
-MINHASH_DOCS = int(os.environ.get("SPARK_GRAFT_PS_DOCS", "100000"))
+MINHASH_DOCS = int(os.environ.get("SPARK_GRAFT_PS_DOCS", "200000"))
 EMB_ROWS = int(os.environ.get("SPARK_GRAFT_PS_VECS", "400000"))
 
 
