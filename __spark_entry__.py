@@ -1318,6 +1318,43 @@ def q_muse_over_chunks_1h(spark, sf_dir):
     ))
 
 
+def q_muse_windowed_chunks_1h(spark, sf_dir):
+    """Windowed search over the COMPRESSED history: the window predicate
+    prunes the chunk table on chunk_start metadata BEFORE any decode —
+    at scale (a year of Gorilla chunks, score the last 30 days) this is
+    the difference between decoding 30 days and decoding a year; with
+    the store's layout_sort the same predicate also prunes parquet row
+    groups. Boundary chunks decode then trim on bucket_ts; fill-zero
+    rows are dropped to restore the exact sparse rollup shape (rollup
+    counts are >= 1, so zeros only ever come from gap fill). Oracle:
+    identical to muse_windowed_1h — the chunk round trip is exact."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    lo, hi, n = series_bounds(rolled, 3600)
+    nw = max(n // 2, 2)
+    import datetime as _dt
+
+    hi_w = lo + _dt.timedelta(seconds=3600 * (nw - 1))
+    chunks = encode_chunks_windowed(
+        rolled, "1h", "turn_cnt", chunk_size=512, materialize_input=True
+    )
+    pruned = chunks.filter(F.col("chunk_start") <= F.lit(hi_w))
+    decoded = decode_chunks(pruned, "turn_cnt").filter(
+        (F.col("bucket_ts") <= F.lit(hi_w)) & (F.col("turn_cnt") > 0)
+    )
+    ref = np.zeros(nw)
+    pos = nw // 4
+    ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+    return _muse_out(muse_search_rollup(
+        decoded,
+        ref,
+        3600,
+        group_by=None,
+        params=SearchParams(top_n=10, max_lag=nw, threshold=0.0, mode="abs"),
+        series_cols=("conv_id",),
+        bounds=(lo, hi_w, nw),
+    ))
+
+
 def q_muse_incremental_1h(spark, sf_dir):
     """EP1 lifecycle (muse.go:46-92, muse_test.go:67-69): successive
     candidate batches folded into a persistent Results accumulator.
@@ -2150,6 +2187,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 greens; every entry stays full-sweep green
         # locally (tools/check_oracle.py).
         "muse_windowed_1h": q_muse_windowed_1h,
+        "muse_windowed_chunks_1h": q_muse_windowed_chunks_1h,
         "pii_scrub": q_pii_scrub,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
@@ -2300,6 +2338,9 @@ SELECT r.* FROM r, mx WHERE cast(r.bucket_ts AS date) >= mx.d - 3
         + ") WHERE b < (SELECT L FROM dims2)",
         l_expr="greatest(L // 2, 2)",
     )
+    # chunk round trip is exact and fill zeros are dropped, so the
+    # pruned-decode path answers the identical windowed question
+    d["muse_windowed_chunks_1h"] = d["muse_windowed_1h"]
     d["muse_multi_1h"] = (
         "SELECT 'A' AS ref_key, * FROM ("
         + _muse_oracle(_REF_TOPK, _MUSE_RR_PER_USER)

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "muse_over_chunks_1h",
     "muse_multi_1h",
     "muse_windowed_1h",
+    "muse_windowed_chunks_1h",
     "pii_scrub",
     "asof_click_view",
     "asof_click_view_bucketed",
