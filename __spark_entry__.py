@@ -1083,8 +1083,13 @@ def _pii_scrub_oracle() -> str:
 
     counts, red = pii_pattern_sql("text")
     return f"""
-WITH seeded AS (
-  SELECT doc_id,
+WITH seeded AS ({_PII_SEED_SQL})
+SELECT doc_id, {counts}, {red} AS scrubbed FROM seeded
+"""
+
+
+_PII_SEED_SQL = """
+  SELECT doc_id, source,
          coalesce(text, '') || ' contact user' || cast(doc_id AS varchar)
          || '@example.com from 10.' || cast(doc_id % 256 AS varchar)
          || '.0.' || cast(doc_id % 100 AS varchar)
@@ -1092,8 +1097,36 @@ WITH seeded AS (
          || '-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
          || ' acct ' || lpad(cast(doc_id AS varchar), 12, '0') AS text
   FROM documents
+"""
+
+
+def _corpus_prep_full_oracle() -> str:
+    """scrub -> dedup-on-scrubbed -> quality gate -> per-source budget,
+    composed from the same dual-dialect builders as the pii_scrub
+    oracle. GROUP BY scrubbed is the collision-free stand-in for the
+    Spark side's sha2 digest keying."""
+    from go_muse_spark.operators.privacy import pii_pattern_sql
+
+    counts, red = pii_pattern_sql("text")
+    return f"""
+WITH seeded AS ({_PII_SEED_SQL}),
+scrub AS (
+  SELECT doc_id, source, {counts}, {red} AS scrubbed FROM seeded
+), keep AS (
+  SELECT min(doc_id) AS keeper_id FROM scrub GROUP BY scrubbed
+), kept AS (
+  SELECT s.* FROM scrub s JOIN keep k ON s.doc_id = k.keeper_id
+), staged AS (
+  SELECT source,
+         len(string_split(scrubbed, ' ')) AS n_toks,
+         len(list_distinct(string_split(scrubbed, ' '))) AS n_uniq,
+         n_redacted
+  FROM kept
 )
-SELECT doc_id, {counts}, {red} AS scrubbed FROM seeded
+SELECT source, count(*) AS n_docs,
+       cast(sum(n_toks) AS bigint) AS total_tokens,
+       cast(sum(n_redacted) AS bigint) AS total_redacted
+FROM staged WHERE n_uniq * 1.0 / n_toks >= 0.5 GROUP BY source
 """
 
 
@@ -1106,6 +1139,7 @@ def _seeded_pii_docs(spark, sf_dir):
     d = F.col("doc_id").cast("string")
     return docs.select(
         "doc_id",
+        "source",
         F.concat(
             F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact user"), d, F.lit("@example.com from 10."),
@@ -1129,6 +1163,40 @@ def q_pii_scrub(spark, sf_dir):
     from go_muse_spark.operators.privacy import scrub_pii
 
     return scrub_pii(_seeded_pii_docs(spark, sf_dir))
+
+
+def q_corpus_prep_full(spark, sf_dir):
+    """The whole training-data build as ONE Spark plan: PII scrub ->
+    exact dedup on the SCRUBBED text (docs differing only in PII
+    collapse — the reason scrubbing runs first) -> distinct-token
+    quality gate -> per-source token/redaction budget. One digest-width
+    exchange for the dedup, one hash agg for the budget; the scrub adds
+    zero exchanges (see PLANS.md). Oracle composes the same stages as
+    CTEs with GROUP BY scrubbed standing in for the sha2 keying."""
+    from go_muse_spark.operators.privacy import scrub_pii
+
+    scrubbed = scrub_pii(_seeded_pii_docs(spark, sf_dir),
+                         extra_cols=("source",))
+    keep = (
+        scrubbed.groupBy(F.sha2(F.col("scrubbed"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("keeper_id"))
+        .select("keeper_id")
+    )
+    kept = scrubbed.join(
+        keep, scrubbed["doc_id"] == keep["keeper_id"]
+    ).drop("keeper_id")
+    toks = F.split(F.col("scrubbed"), " ")
+    staged = kept.select(
+        "source",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        "n_redacted",
+    ).filter(F.col("n_uniq") / F.col("n_toks") >= 0.5)
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_redacted").cast("long").alias("total_redacted"),
+    )
 
 
 def q_token_stats(spark, sf_dir):
@@ -2189,6 +2257,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "muse_windowed_1h": q_muse_windowed_1h,
         "muse_windowed_chunks_1h": q_muse_windowed_chunks_1h,
         "pii_scrub": q_pii_scrub,
+        "corpus_prep_full": q_corpus_prep_full,
         "mixture_sample": q_mixture_sample,
         "seasonal_anomaly": q_seasonal_anomaly,
         "sax_1d": q_sax_1d,
@@ -3732,6 +3801,7 @@ SELECT source, count(*) AS n_docs,
 FROM f WHERE n_uniq * 1.0 / n_toks >= 0.5 GROUP BY source
 """,
         "pii_scrub": _pii_scrub_oracle(),
+        "corpus_prep_full": _corpus_prep_full_oracle(),
         "token_stats": """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "muse_windowed_1h",
     "muse_windowed_chunks_1h",
     "pii_scrub",
+    "corpus_prep_full",
     "asof_click_view",
     "asof_click_view_bucketed",
     "sessionize_8h",
