@@ -705,7 +705,8 @@ def q_retention_1m(spark, sf_dir):
     DELETE WHERE part < cutoff + expire_snapshots) and logged to the
     checkpoint lineage; the oracle is the minute rollup filtered to the
     kept date range."""
-    import datetime as dt
+    import os
+    import shutil
     import tempfile
 
     from go_muse_spark.plans.continuous import (
@@ -715,9 +716,15 @@ def q_retention_1m(spark, sf_dir):
     from go_muse_spark.sources.store import ParquetTableStore
 
     tx = _tx(spark, sf_dir)
-    store = ParquetTableStore(
-        spark, tempfile.mkdtemp(prefix="gms_retention_")
-    )
+    # fixed per-input path, wiped before reuse: repeated gate runs must
+    # not accumulate corpus-sized temp stores (mkdtemp leaked one per
+    # invocation and nothing ever cleaned them up)
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"gms_retention_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    store = ParquetTableStore(spark, root)
     ca = ContinuousAggregates(store, tiers=("1m",), chunk_tiers=())
     ca.ingest(tx, "batch-1")
     now = tx.agg(F.max("ts")).collect()[0][0]
@@ -1297,6 +1304,22 @@ def q_muse_topk_1h(spark, sf_dir):
     ))
 
 
+def _windowed_burst(rolled):
+    """Shared setup of the two windowed muse queries: halve the hourly
+    domain (MUST track the oracle's l_expr='greatest(L // 2, 2)') and
+    place the flagship burst at nw // 4 (the oracle's _REF_TOPK over the
+    halved L). Returns (lo, hi_w, nw, ref)."""
+    import datetime as _dt
+
+    lo, hi, n = series_bounds(rolled, 3600)
+    nw = max(n // 2, 2)
+    hi_w = lo + _dt.timedelta(seconds=3600 * (nw - 1))
+    ref = np.zeros(nw)
+    pos = nw // 4
+    ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+    return lo, hi_w, nw, ref
+
+
 def q_muse_windowed_1h(spark, sf_dir):
     """Bounded-window search: score only the FIRST HALF of the hourly
     domain via explicit bounds=(lo, hi_w, nw) instead of letting
@@ -1309,15 +1332,8 @@ def q_muse_windowed_1h(spark, sf_dir):
     nw buckets. Oracle: same sparse-xcorr decomposition with the scored
     length L halved and rollup rows filtered to b < L."""
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
-    lo, hi, n = series_bounds(rolled, 3600)
-    nw = max(n // 2, 2)
-    import datetime as _dt
-
-    hi_w = lo + _dt.timedelta(seconds=3600 * (nw - 1))
+    lo, hi_w, nw, ref = _windowed_burst(rolled)
     windowed = rolled.filter(F.col("bucket_ts") <= F.lit(hi_w))
-    ref = np.zeros(nw)
-    pos = nw // 4
-    ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
     return _muse_out(muse_search_rollup(
         windowed,
         ref,
@@ -1397,11 +1413,7 @@ def q_muse_windowed_chunks_1h(spark, sf_dir):
     counts are >= 1, so zeros only ever come from gap fill). Oracle:
     identical to muse_windowed_1h — the chunk round trip is exact."""
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
-    lo, hi, n = series_bounds(rolled, 3600)
-    nw = max(n // 2, 2)
-    import datetime as _dt
-
-    hi_w = lo + _dt.timedelta(seconds=3600 * (nw - 1))
+    lo, hi_w, nw, ref = _windowed_burst(rolled)
     chunks = encode_chunks_windowed(
         rolled, "1h", "turn_cnt", chunk_size=512, materialize_input=True
     )
@@ -1409,15 +1421,12 @@ def q_muse_windowed_chunks_1h(spark, sf_dir):
     decoded = decode_chunks(pruned, "turn_cnt").filter(
         (F.col("bucket_ts") <= F.lit(hi_w)) & (F.col("turn_cnt") > 0)
     )
-    ref = np.zeros(nw)
-    pos = nw // 4
-    ref[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
     return _muse_out(muse_search_rollup(
         decoded,
         ref,
         3600,
         group_by=None,
-        params=SearchParams(top_n=10, max_lag=nw, threshold=0.0, mode="abs"),
+        params=SearchParams(top_n=10, max_lag=nw, threshold=0.0, mode="abs", n_salt=4),
         series_cols=("conv_id",),
         bounds=(lo, hi_w, nw),
     ))

@@ -87,16 +87,17 @@ def _widen(df: DataFrame) -> DataFrame:
     production scale the scan already yields >= defaultParallelism
     splits and this is a guarded no-op (no shuffle added).
 
-    The guard reads the leaf scan's file list (pure plan analysis, no
-    job, no RDD plan translation) — a scan over fewer files than cores
-    is the 1-task shape this exists to fix; production tables have many
-    ~128 MB-class files so the guard never fires there. Non-file
-    sources (empty inputFiles) fall back to the physical-partition
-    probe."""
+    The guard is df.rdd.getNumPartitions(): the only probe that sees the
+    scan's ACTUAL task count after file packing. A file-count heuristic
+    is wrong in both directions — Spark packs many tiny files into few
+    splits (64 x 1 KB files -> ~2 tasks, the serialization this guard
+    exists to catch) and splits few huge files into many (4 x 1 GB ->
+    ~32 tasks, where a forced repartition would add a useless shuffle).
+    The .rdd plan translation costs a few ms of driver work per call —
+    cheap next to the stage it protects; production tables with many
+    ~128 MB-class files never trip the repartition."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    n_splits = len(files) if files else df.rdd.getNumPartitions()
-    if n_splits < par:
+    if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
     return df
 

@@ -82,7 +82,7 @@ class SearchParams:
 def score_series(
     df: DataFrame,
     ref_values: np.ndarray,
-    group_by: list[str] | None,
+    group_by: "list[str] | Column | None",
     mode: str = "abs",
     series_key: str = "conv_id",
     values_col: str = "values",
@@ -104,7 +104,12 @@ def score_series(
     bc = spark.sparkContext.broadcast((spec.x_spec, spec.n, spec.ref_n))
     signed = mode == "signed"
 
-    if group_by:
+    # mirror score_rollup_multi: a prebuilt Column (e.g. label_id_map
+    # over map-typed dims) is the group key verbatim; Column.__bool__
+    # raises, so the isinstance test must come first
+    if isinstance(group_by, Column):
+        keyed = df.withColumn("group_key", group_by)
+    elif group_by:
         keyed = df.withColumn("group_key", label_id_cols(group_by))
     else:
         keyed = df.withColumn("group_key", F.col(series_key))
@@ -364,23 +369,32 @@ def complete_series_runs(pdf_iter, key: str):
     — the property that makes per-partition scoring safe at 10^12 rows.
     Requires the input sorted by `key` within the stream (the scoring
     exchange sortWithinPartitions them)."""
-    carry = None
+    carry: list = []  # frames of the (possibly still-open) trailing run
     for pdf in pdf_iter:
         if not len(pdf):
             continue
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
         keys = pdf[key].to_numpy()
         not_last = np.flatnonzero(keys != keys[-1])
         cut = int(not_last[-1]) + 1 if len(not_last) else 0
         if cut == 0:
-            carry = pdf
+            # whole batch continues the open run: append, don't concat —
+            # a single series spanning many batches stays O(series), not
+            # O(series * batches) of repeated copying
+            carry.append(pdf)
             continue
-        carry = pdf.iloc[cut:]
-        yield pdf.iloc[:cut]
-    if carry is not None and len(carry):
-        yield carry
+        if carry:
+            yield pd.concat([*carry, pdf.iloc[:cut]], ignore_index=True)
+            carry = []
+        else:
+            yield pdf.iloc[:cut]
+        if cut < len(pdf):
+            carry = [pdf.iloc[cut:]]
+    if carry:
+        yield (
+            pd.concat(carry, ignore_index=True)
+            if len(carry) > 1
+            else carry[0]
+        )
 
 
 def score_rollup_multi(

@@ -33,6 +33,51 @@ def _cosine(a: str, b: str, dims: int) -> F.Column:
     return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
 
 
+def _flat_matrix(col, n: int, dims: int):
+    """Arrow list<float> column -> ((n, dims) float64 matrix, valid bool[n]).
+
+    The fast path is the zero-copy flat-buffer reshape — but a single
+    NULL or ragged (len != dims) row would either crash the reshape or,
+    worse, silently SHIFT every later row's coordinates. Such rows get
+    a zero row and valid=False instead; downstream they norm to 0 and
+    fall out as NULL / below-threshold, matching the SQL expression
+    path's NULL-cosine semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # older pyarrow keeps the type
+        arr = (
+            arr.chunk(0) if arr.num_chunks == 1
+            else pa.concat_arrays(arr.chunks)
+        )
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    nulls = arr.is_null().to_numpy(zero_copy_only=False)
+    valid = (~nulls) & (lens == dims)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    if valid.all():
+        return vals.reshape(n, dims).astype(np.float64), valid
+    M = np.zeros((n, dims), dtype=np.float64)
+    idx = np.flatnonzero(valid)
+    if len(idx):
+        gather = offsets[idx][:, None] + np.arange(dims)[None, :]
+        M[idx] = vals[gather]
+    return M, valid
+
+
+def _round6_half_away(x):
+    """round(x, 6) with DuckDB/Spark tie semantics (half AWAY from
+    zero); np.round's half-to-even would diverge from the oracle when
+    the float64 quotient lands exactly on a 5e-7 tie. NaN passes
+    through."""
+    import numpy as np
+
+    return np.trunc(x * 1e6 + np.copysign(0.5, x)) / 1e6
+
+
 def cosine_topk(
     emb: DataFrame, query_vec_id: int = 0, k: int = 20, dims: int = 64
 ) -> DataFrame:
@@ -67,16 +112,15 @@ def cosine_topk(
             n = batch.num_rows
             if n == 0:
                 continue
-            flat = batch.column("embedding").flatten().to_numpy(
-                zero_copy_only=False
-            )
-            Q = np.rint(flat.reshape(n, dims).astype(np.float64) * 1e6)
+            M, _valid = _flat_matrix(batch.column("embedding"), n, dims)
+            Q = np.rint(M * 1e6)
             norms = np.sqrt(np.einsum("ij,ij->i", Q, Q))
             with np.errstate(divide="ignore", invalid="ignore"):
-                c = np.round((Q @ q) / (norms * qn), 6)
-            # zero-norm rows -> NULL (not NaN: Spark sorts NaN as the
-            # GREATEST double, which would corrupt the top-K; the old
-            # SQL division produced NULL, which sorts last under desc)
+                c = _round6_half_away((Q @ q) / (norms * qn))
+            # zero-norm / NULL / ragged rows -> NULL (not NaN: Spark
+            # sorts NaN as the GREATEST double, which would corrupt the
+            # top-K; the old SQL division produced NULL, which sorts
+            # last under desc)
             cos = pa.array(c, type=pa.float64(), from_pandas=True)
             yield pa.record_batch(
                 [batch.column("vec_id"), cos], names=["vec_id", "cosine"]
@@ -329,6 +373,13 @@ def embedding_near_dups(
     import numpy as np
     import pyarrow as pa
 
+    # malformed vectors (NULL / wrong length) are data errors to drop,
+    # not crash on: the hyperplane expression indexes embedding[d] and
+    # ANSI mode faults on short arrays; the Arrow reshape guards itself
+    # but would still pair garbage
+    emb = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dims)
+    )
     if planes is None:
         planes = derive_planes(emb.count(), target_bucket_size)
     b = lsh_buckets(emb, planes, dims)
@@ -410,9 +461,7 @@ def embedding_near_dups(
         if n == 0:
             return empty
         side = tbl.column("side").to_numpy()
-        emb_col = tbl.column("embedding").combine_chunks()
-        flat = emb_col.flatten().to_numpy(zero_copy_only=False)
-        M = flat.reshape(n, dims)
+        M, _valid = _flat_matrix(tbl.column("embedding"), n, dims)
         ids = tbl.column("vec_id").to_numpy()
         pm = side == 0
         if not pm.any() or pm.all():
@@ -420,7 +469,7 @@ def embedding_near_dups(
         # 1e-6-quantized coordinates as integer-valued float64: every
         # partial sum stays < 2^53, hence integer-exact and order-
         # independent — identical to the oracle's sequential int64 fold
-        Q = np.rint(M.astype(np.float64) * 1e6)
+        Q = np.rint(M * 1e6)
         A, B = Q[pm], Q[~pm]
         ia, ib = ids[pm], ids[~pm]
         nb = np.sqrt(np.einsum("ij,ij->i", B, B))
@@ -430,7 +479,7 @@ def embedding_near_dups(
             Ab, nab, iab = A[s : s + block], na[s : s + block], ia[s : s + block]
             with np.errstate(divide="ignore", invalid="ignore"):
                 C = (Ab @ B.T) / np.outer(nab, nb)
-            C = np.round(C, 6)
+            C = _round6_half_away(C)
             # a<b keeps each qualifying pair exactly once (docstring);
             # NaN cosines (zero-norm side) fail the >= and drop out
             with np.errstate(invalid="ignore"):

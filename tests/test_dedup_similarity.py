@@ -476,3 +476,47 @@ def test_chunk_documents_tail_and_validation(spark):
         chunk_documents(docs, 0)
     with _pytest.raises(ValueError):
         remove_boilerplate(docs, min_dup=0)
+
+
+def test_cosine_topk_null_and_ragged_rows(spark):
+    """NULL or wrong-length embeddings must yield NULL cosines (sorted
+    last), never crash or shift the flat-buffer reshape — a single
+    ragged row once corrupted every later row's coordinates."""
+    import numpy as np
+
+    dims = 8
+    base = [float(i + 1) for i in range(dims)]
+    rows = [
+        (0, base),                       # query
+        (1, base),                       # identical -> cosine 1.0
+        (2, None),                       # NULL embedding
+        (3, base[:-1]),                  # ragged (7 floats)
+        (4, [-v for v in base]),         # anti-parallel -> -1.0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = cosine_topk(emb, 0, 10, dims=dims).collect()
+    by_id = {r["vec_id"]: r["cosine"] for r in got}
+    assert abs(by_id[1] - 1.0) < 1e-9
+    assert abs(by_id[4] + 1.0) < 1e-9
+    assert by_id[2] is None and by_id[3] is None
+    # NULLs sort last under desc, so row 1 leads
+    assert got[0]["vec_id"] == 1
+
+
+def test_embedding_near_dups_tolerates_bad_rows(spark):
+    """The bucketed pairing path must drop NULL/ragged rows instead of
+    failing the task or mis-pairing shifted coordinates."""
+    from go_muse_spark.operators.similarity import embedding_near_dups
+
+    dims = 64
+    v = [1.0] * dims
+    rows = [(0, v), (1, v), (2, None), (3, v[:10])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = embedding_near_dups(emb, threshold=0.9, dims=dims).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert (0, 1) in pairs
+    assert all(2 not in p and 3 not in p for p in pairs)

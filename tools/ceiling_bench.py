@@ -24,8 +24,18 @@ FFT_N = 32768  # 256 KB array: L2-resident, compute-dominated
 FFT_REPS = 2000
 
 
+def _pin(core):
+    """Pin to an absolute core; fall back to no pinning when the
+    process's cpuset excludes it (e.g. a bench run under taskset -c
+    8-15) — a dead child would otherwise hang the parent's q.get."""
+    try:
+        os.sched_setaffinity(0, {core})
+    except OSError:
+        pass
+
+
 def worker(core, q, reps=REPS):
-    os.sched_setaffinity(0, {core})
+    _pin(core)
     a = np.arange(WORK_MB * 131072, dtype=np.float64)  # 64 MB
     b = np.empty_like(a)
     t0 = time.time()
@@ -37,7 +47,7 @@ def worker(core, q, reps=REPS):
 
 
 def fft_worker(core, q, reps=FFT_REPS):
-    os.sched_setaffinity(0, {core})
+    _pin(core)
     a = np.sin(np.arange(FFT_N, dtype=np.float64))
     t0 = time.time()
     s = 0.0
@@ -54,7 +64,7 @@ def run(n, reps=REPS, kind="bw"):
     ps = [mp.Process(target=target, args=(c, q, reps)) for c in range(n)]
     for p in ps:
         p.start()
-    walls = [q.get()[0] for _ in ps]
+    walls = [q.get(timeout=300)[0] for _ in ps]  # a dead child must not hang the caller
     for p in ps:
         p.join()
     # aggregate throughput over the SLOWEST worker's measured loop wall
