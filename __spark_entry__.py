@@ -96,6 +96,7 @@ from go_muse_spark.operators.stats import (
     period_delta,
     rolling_zscore,
     series_corr,
+    corr_pairs,
 )
 from go_muse_spark.operators.terms import (
     ngram_diversity,
@@ -399,6 +400,30 @@ def q_corr_traffic_value(spark, sf_dir):
     return cr.select(
         F.col("conv_id").alias("user_id"),
         "n_points",
+        F.round(F.col("corr") * 1e6, 0).cast("long").alias("corr_u"),
+    )
+
+
+def q_corr_pairs_1d(spark, sf_dir):
+    """Correlated-pairs search: every user pair whose daily turn-count
+    series move together (|Pearson| >= 0.5 over >= 10 overlapping days).
+    Candidate set bounded to the 128 most active users BEFORE the
+    quadratic self-join — the broadcast-restrict + bucket-join +
+    algebraic pair aggregate shape that survives 100 TB (see
+    operators/stats.py corr_pairs for the LSH path when N must be
+    unbounded). Zero-lag complement of the muse xcorr search."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1d")
+    pairs = corr_pairs(
+        rolled,
+        "turn_cnt",
+        min_overlap=10,
+        min_abs_corr=0.5,
+        top_series=128,
+    )
+    return pairs.select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
+        "n_overlap",
         F.round(F.col("corr") * 1e6, 0).cast("long").alias("corr_u"),
     )
 
@@ -2328,6 +2353,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_1d": q_top_users_1d,
         "zscore_24h": q_zscore_24h,
         "corr_traffic_value": q_corr_traffic_value,
+        "corr_pairs_1d": q_corr_pairs_1d,
         "rollup_dims": q_rollup_dims,
         "tfidf_top3": q_tfidf_top3,
         "twa_1h": q_twa_1h,
@@ -2586,6 +2612,37 @@ SELECT user_id, cast(n AS bigint) AS n_points,
                    / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy)
          END * 1e6) AS bigint) AS corr_u
 FROM a
+""",
+        "corr_pairs_1d": """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS k,
+         date_trunc('day', ts) AS b,
+         cast(count(*) AS double) AS v
+  FROM events GROUP BY 1, 2
+), top AS (
+  SELECT k FROM (
+    SELECT k, count(*) AS npts FROM r GROUP BY k
+    ORDER BY npts DESC, k LIMIT 128
+  )
+), rt AS (
+  SELECT r.* FROM r JOIN top USING (k)
+), p AS (
+  SELECT a.k AS key_a, bb.k AS key_b, count(*) AS n,
+         sum(a.v) AS sx, sum(bb.v) AS sy,
+         sum(a.v * a.v) AS sxx, sum(bb.v * bb.v) AS syy,
+         sum(a.v * bb.v) AS sxy
+  FROM rt a JOIN rt bb ON a.b = bb.b AND a.k < bb.k
+  GROUP BY 1, 2
+), c AS (
+  SELECT key_a, key_b, n,
+         (n * sxy - sx * sy)
+           / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy) AS corr
+  FROM p
+  WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+)
+SELECT key_a AS user_a, key_b AS user_b, cast(n AS bigint) AS n_overlap,
+       cast(round(corr * 1e6) AS bigint) AS corr_u
+FROM c WHERE abs(corr) >= 0.5
 """,
         "rollup_dims": """
 SELECT event_type, date_trunc('day', ts) AS day_ts,

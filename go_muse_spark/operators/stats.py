@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "rolling_zscore",
     "series_corr",
+    "corr_pairs",
     "period_delta",
     "cusum_changepoint",
     "autocorr_lags",
@@ -166,6 +167,89 @@ def series_corr(
         cov / F.sqrt(vx) / F.sqrt(vy),
     )
     return agg.select(*by, "n_points", corr.alias("corr"))
+
+
+def corr_pairs(
+    rolled: DataFrame,
+    value_col: str,
+    key_col: str = "conv_id",
+    bucket_col: str = "bucket_ts",
+    min_overlap: int = 10,
+    min_abs_corr: float = 0.5,
+    top_series: int | None = None,
+) -> DataFrame:
+    """All-pairs correlated-series search (the StatStream problem, zero
+    lag): every unordered series pair whose Pearson correlation over
+    their OVERLAPPING buckets reaches `min_abs_corr` — "which users'
+    traffic moves together?". The zero-lag relational complement of the
+    muse xcorr search (muse sweeps lags via FFT; this sweeps the pair
+    space via a join, cf. go-muse README's correlation-search framing).
+
+    Semantics:
+      * overlap-only: buckets where either series has no row contribute
+        nothing (a gap is absent, not zero) — pairs with fewer than
+        `min_overlap` shared buckets are dropped, as are pairs where
+        either side has zero variance on the overlap (corr undefined).
+      * pooled integer-exact sums + ONE closed formula, same numerical
+        contract as series_corr above.
+      * pairs are emitted once with key_a < key_b.
+
+    Scale shape: the pair space is quadratic, so the candidate set must
+    be bounded BEFORE the join — `top_series` keeps only the N most
+    active keys (ties broken by key) via a broadcast semi-join, making
+    the self-join's per-bucket fanout ≤ N² regardless of corpus size.
+    The join keys on the bucket (many buckets → even spread; a globally
+    hot bucket is AQE-skew-splittable), and the pair aggregate is fully
+    algebraic: map-side partial sums collapse the join output to
+    O(pairs) rows per partition before the ONE exchange on (key_a,
+    key_b). For unbounded all-series search at 100 TB, use the sketch
+    path instead: corr(x, y) == cosine(z(x), z(y)), so z-normalize the
+    aligned series vectors and feed operators/similarity.py's
+    sign-random-projection LSH (embedding_near_dups) to get candidate
+    pairs in O(N) buckets, then verify exactly with this operator on
+    the candidates.
+    """
+    cols = [F.col(key_col).alias("k"), F.col(bucket_col).alias("b"),
+            F.col(value_col).cast("double").alias("v")]
+    r = rolled.select(*cols)
+    if top_series is not None:
+        top = (
+            r.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("__npts"))
+            .orderBy(F.desc("__npts"), "k")
+            .limit(int(top_series))
+            .select("k")
+        )
+        r = r.join(F.broadcast(top), "k")
+    # materialize the (restricted) series table once: a self-join on the
+    # lazy lineage re-executes the whole upstream scan+rollup for BOTH
+    # branches. In a real deployment the rollup tier is already a
+    # persisted store table (sources/store.py) so the double compute
+    # never exists; localCheckpoint is the in-session equivalent (same
+    # convention as operators/dedup.py _materialize).
+    r = r.localCheckpoint(eager=True)
+    a = r.select(F.col("k").alias("key_a"), "b", F.col("v").alias("x"))
+    bdf = r.select(F.col("k").alias("key_b"), "b", F.col("v").alias("y"))
+    joined = a.join(bdf, "b").where(F.col("key_a") < F.col("key_b"))
+    x, y = F.col("x"), F.col("y")
+    agg = joined.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("n_overlap")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    corr = cov / F.sqrt(vx) / F.sqrt(vy)
+    return (
+        agg.where((n >= int(min_overlap)) & (vx > 0) & (vy > 0))
+        .select("key_a", "key_b", "n_overlap", corr.alias("corr"))
+        .where(F.abs(F.col("corr")) >= float(min_abs_corr))
+    )
 
 
 def cusum_changepoint(

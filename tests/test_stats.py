@@ -486,3 +486,73 @@ def test_windowed_ops_randomized_numpy_parity(spark):
         assert cs[int(h)]["n_resets"] == rst
         # moving_quantile: exact interpolated median of the frame
         assert abs(mq[int(h)]["p_50"] - np.quantile(y, 0.5)) < 1e-9
+
+
+# ---------------------------------------------------------------- corr_pairs
+
+
+def test_corr_pairs_semantics(spark):
+    from go_muse_spark.operators.stats import corr_pairs
+
+    # a and b perfectly correlated, c anti-correlated with a, d constant,
+    # e overlaps a on too few buckets
+    rows = []
+    for h in range(12):
+        rows.append(("a", h, float(h + 1)))
+        rows.append(("b", h, float(2 * (h + 1) + 3)))   # corr(a,b) = +1
+        rows.append(("c", h, float(-3 * (h + 1))))      # corr(a,c) = -1
+        rows.append(("d", h, 7.0))                      # zero variance
+    rows += [("e", h, float(h * h)) for h in range(5)]  # overlap 5 < 10
+    df = _tier(spark, rows, cols=("conv_id", "bucket_ts", "v"))
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in corr_pairs(df, "v", min_overlap=10, min_abs_corr=0.5).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")]["corr"] == pytest.approx(1.0, abs=1e-12)
+    assert out[("a", "c")]["corr"] == pytest.approx(-1.0, abs=1e-12)
+    assert out[("a", "b")]["n_overlap"] == 12
+
+
+def test_corr_pairs_overlap_only_and_threshold(spark):
+    from go_muse_spark.operators.stats import corr_pairs
+
+    import random
+
+    rng = random.Random(7)
+    # two noisy series sharing only hours 4..19; numpy truth on overlap
+    xs = {h: rng.randrange(1, 50) for h in range(0, 20)}
+    ys = {h: xs.get(h, 25) + rng.randrange(-30, 30) for h in range(4, 24)}
+    rows = [("x", h, float(v)) for h, v in xs.items()]
+    rows += [("y", h, float(v)) for h, v in ys.items()]
+    df = _tier(spark, rows, cols=("conv_id", "bucket_ts", "v"))
+    ov = sorted(set(xs) & set(ys))
+    truth = np.corrcoef([xs[h] for h in ov], [ys[h] for h in ov])[0, 1]
+    got = corr_pairs(df, "v", min_overlap=10, min_abs_corr=0.0).collect()
+    assert len(got) == 1
+    assert got[0]["n_overlap"] == len(ov) == 16
+    assert got[0]["corr"] == pytest.approx(truth, abs=1e-9)
+    # threshold above |truth| removes the pair
+    assert (
+        corr_pairs(df, "v", min_overlap=10, min_abs_corr=abs(truth) + 0.01)
+        .count() == 0
+    )
+
+
+def test_corr_pairs_top_series_restriction(spark):
+    from go_muse_spark.operators.stats import corr_pairs
+
+    # 3 correlated series; k has the fewest points so top_series=2 drops
+    # every pair touching it
+    rows = []
+    for h in range(12):
+        rows.append(("a", h, float(h)))
+        rows.append(("b", h, float(3 * h + 1)))
+    rows += [("k", h, float(h)) for h in range(10)]
+    df = _tier(spark, rows, cols=("conv_id", "bucket_ts", "v"))
+    full = corr_pairs(df, "v", min_overlap=10, min_abs_corr=0.9)
+    assert {(r["key_a"], r["key_b"]) for r in full.collect()} == {
+        ("a", "b"), ("a", "k"), ("b", "k")
+    }
+    top2 = corr_pairs(df, "v", min_overlap=10, min_abs_corr=0.9, top_series=2)
+    assert {(r["key_a"], r["key_b"]) for r in top2.collect()} == {("a", "b")}
