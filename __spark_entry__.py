@@ -2288,6 +2288,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never value-checked lead, then round-2-checked, then
         # round-3 greens; every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "corr_pairs_1d": q_corr_pairs_1d,
         "muse_windowed_1h": q_muse_windowed_1h,
         "muse_windowed_chunks_1h": q_muse_windowed_chunks_1h,
         "pii_scrub": q_pii_scrub,
@@ -2353,7 +2354,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_1d": q_top_users_1d,
         "zscore_24h": q_zscore_24h,
         "corr_traffic_value": q_corr_traffic_value,
-        "corr_pairs_1d": q_corr_pairs_1d,
         "rollup_dims": q_rollup_dims,
         "tfidf_top3": q_tfidf_top3,
         "twa_1h": q_twa_1h,

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "top_users_1d",
     "zscore_24h",
     "corr_traffic_value",
+    "corr_pairs_1d",
     "rollup_dims",
     "tfidf_top3",
     "twa_1h",
