@@ -97,6 +97,7 @@ from go_muse_spark.operators.stats import (
     rolling_zscore,
     series_corr,
     corr_pairs,
+    corr_pairs_lsh,
 )
 from go_muse_spark.operators.terms import (
     ngram_diversity,
@@ -424,6 +425,30 @@ def q_corr_pairs_1d(spark, sf_dir):
         F.col("key_a").alias("user_a"),
         F.col("key_b").alias("user_b"),
         "n_overlap",
+        F.round(F.col("corr") * 1e6, 0).cast("long").alias("corr_u"),
+    )
+
+
+def q_corr_pairs_lsh_1d(spark, sf_dir):
+    """Unbounded-N correlation search: 8-bit sign-random-projection
+    signatures over the zero-filled daily spine, 2x4-bit banded
+    candidate generation, exact full-spine verify at |corr| >= 0.5.
+    The integer-exact signature (lcg_sign planes, cleared-denominator
+    sign test) makes the candidate set — and so the whole approximate
+    result — bit-replayable by the DuckDB oracle. The corr_pairs twin
+    that never touches the O(N^2) pair space."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1d")
+    pairs = corr_pairs_lsh(
+        rolled,
+        "turn_cnt",
+        bucket_secs=86400,
+        planes=8,
+        band_bits=4,
+        min_abs_corr=0.5,
+    )
+    return pairs.select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
         F.round(F.col("corr") * 1e6, 0).cast("long").alias("corr_u"),
     )
 
@@ -2289,6 +2314,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 greens; every entry stays full-sweep green
         # locally (tools/check_oracle.py).
         "corr_pairs_1d": q_corr_pairs_1d,
+        "corr_pairs_lsh_1d": q_corr_pairs_lsh_1d,
         "muse_windowed_1h": q_muse_windowed_1h,
         "muse_windowed_chunks_1h": q_muse_windowed_chunks_1h,
         "pii_scrub": q_pii_scrub,
@@ -2643,6 +2669,70 @@ WITH r AS (
 SELECT key_a AS user_a, key_b AS user_b, cast(n AS bigint) AS n_overlap,
        cast(round(corr * 1e6) AS bigint) AS corr_u
 FROM c WHERE abs(corr) >= 0.5
+""",
+        # integer-exact LSH replay: plane signs, H_p, the cleared-
+        # denominator sign test, banding, and the full-spine verify are
+        # all bigint arithmetic, so the approximate candidate set is
+        # bit-identical to the Spark side's (operators/stats.py
+        # corr_pairs_lsh; functions/text.py lcg_sign)
+        "corr_pairs_lsh_1d": """
+WITH r0 AS (
+  SELECT cast(user_id AS varchar) k, date_trunc('day', ts) b,
+         count(*)::bigint v
+  FROM events GROUP BY 1, 2
+), meta AS (
+  SELECT min(b) lo,
+         ((epoch_us(max(b)) - epoch_us(min(b))) // 86400000000 + 1)::bigint T
+  FROM r0
+), r AS (
+  SELECT k,
+         ((epoch_us(b) - epoch_us((SELECT lo FROM meta))) // 86400000000)
+           ::bigint t,
+         v
+  FROM r0
+), stats AS (
+  SELECT k, sum(v)::bigint sx, sum(v * v)::bigint sxx FROM r GROUP BY k
+), hp AS (
+  SELECT p, sum(CASE WHEN ((1103515245 * ((p * 1000003 + tt) % 2147483648)
+                            + 12345) % 2147483648) * 2 >= 2147483648
+                     THEN 1 ELSE -1 END)::bigint H
+  FROM generate_series(0, 7) g(p),
+       (SELECT unnest(generate_series(0, (SELECT T FROM meta) - 1)) tt) s
+  GROUP BY p
+), d AS (
+  SELECT k, p,
+         sum(v * (CASE WHEN ((1103515245 * ((p * 1000003 + t) % 2147483648)
+                              + 12345) % 2147483648) * 2 >= 2147483648
+                       THEN 1 ELSE -1 END))::bigint dp
+  FROM r, generate_series(0, 7) g(p) GROUP BY k, p
+), sig AS (
+  SELECT k, sum(CASE WHEN (SELECT T FROM meta) * dp - sx * H >= 0
+                     THEN (1::bigint << p) ELSE 0 END)::bigint sg
+  FROM d JOIN hp USING (p) JOIN stats USING (k) GROUP BY k
+), bands AS (
+  SELECT k, 0 bi, sg % 16 bv FROM sig
+  UNION ALL SELECT k, 1, sg // 16 FROM sig
+), cand AS (
+  SELECT DISTINCT a.k key_a, b.k key_b FROM bands a JOIN bands b
+  ON a.bi = b.bi AND a.bv = b.bv AND a.k < b.k
+), sxy AS (
+  SELECT c.key_a, c.key_b, coalesce(sum(ra.v * rb.v), 0)::bigint sxy
+  FROM cand c
+  LEFT JOIN r ra ON ra.k = c.key_a
+  LEFT JOIN r rb ON rb.k = c.key_b AND rb.t = ra.t
+  GROUP BY 1, 2
+), v AS (
+  SELECT key_a, key_b,
+         ((SELECT T FROM meta) * sxy - a.sx * b.sx)
+           / sqrt((SELECT T FROM meta) * a.sxx - a.sx * a.sx)
+           / sqrt((SELECT T FROM meta) * b.sxx - b.sx * b.sx) corr
+  FROM sxy JOIN stats a ON a.k = key_a JOIN stats b ON b.k = key_b
+  WHERE (SELECT T FROM meta) * a.sxx - a.sx * a.sx > 0
+    AND (SELECT T FROM meta) * b.sxx - b.sx * b.sx > 0
+)
+SELECT key_a AS user_a, key_b AS user_b,
+       cast(round(corr * 1e6) AS bigint) AS corr_u
+FROM v WHERE abs(corr) >= 0.5
 """,
         "rollup_dims": """
 SELECT event_type, date_trunc('day', ts) AS day_ts,

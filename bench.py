@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "zscore_24h",
     "corr_traffic_value",
     "corr_pairs_1d",
+    "corr_pairs_lsh_1d",
     "rollup_dims",
     "tfidf_top3",
     "twa_1h",

@@ -184,6 +184,27 @@ def lcg_weight(dialect: str, plane: str, dim: str) -> str:
     return f"(cast({h} as double) / {LCG_M} * 2.0 - 1.0)"
 
 
+# Stride for lcg_sign's (plane, index) mixing: a prime far above any real
+# plane count, so distinct planes never alias on indices < LCG_STRIDE.
+LCG_STRIDE = 1000003
+
+
+def lcg_sign(dialect: str, plane: str, idx: str) -> str:
+    """Deterministic ±1 hash sign of (plane, idx) — INTEGER-exact, so a
+    signature built from it is bit-identical in Spark, DuckDB, and numpy.
+
+    The seed is reduced mod LCG_M BEFORE the multiply: idx may be a spine
+    position in the millions (a decade of minutely buckets), and
+    LCG_A * (plane*STRIDE + idx) would overflow int64 around idx ~ 8e9;
+    after the pre-mod the product is bounded by LCG_A * LCG_M < 2^62.
+    The expression is dialect-neutral (CASE / %% / bigint casts parse
+    identically in both engines); the arg is kept for sibling symmetry.
+    """
+    seed = f"(((cast({plane} as bigint) * {LCG_STRIDE}) + ({idx})) % {LCG_M})"
+    h = f"((cast({LCG_A} as bigint) * {seed} + {LCG_C}) % {LCG_M})"
+    return f"(CASE WHEN {h} * 2 >= {LCG_M} THEN 1 ELSE -1 END)"
+
+
 def hyperplane_bucket(
     dialect: str, emb_col: str = "embedding", planes: int = 16, dims: int = 64
 ) -> str:

@@ -29,6 +29,7 @@ O(series), not O(points).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +37,7 @@ __all__ = [
     "rolling_zscore",
     "series_corr",
     "corr_pairs",
+    "corr_pairs_lsh",
     "period_delta",
     "cusum_changepoint",
     "autocorr_lags",
@@ -248,6 +250,170 @@ def corr_pairs(
     return (
         agg.where((n >= int(min_overlap)) & (vx > 0) & (vy > 0))
         .select("key_a", "key_b", "n_overlap", corr.alias("corr"))
+        .where(F.abs(F.col("corr")) >= float(min_abs_corr))
+    )
+
+
+def corr_pairs_lsh(
+    rolled: DataFrame,
+    value_col: str,
+    key_col: str = "conv_id",
+    bucket_col: str = "bucket_ts",
+    bucket_secs: int = 86400,
+    planes: int = 8,
+    band_bits: int = 4,
+    min_abs_corr: float = 0.5,
+) -> DataFrame:
+    """Correlation search over ALL series without the quadratic join —
+    the corr_pairs scale path (StatStream/BRAID's sketch idea, done as
+    sign-random-projection LSH).
+
+    Semantics differ from corr_pairs deliberately: series live on the
+    GLOBAL bucket spine with absent buckets = 0 (a user with no turns
+    that day had zero turns), so Pearson corr(x, y) == cosine(z(x),
+    z(y)) over a COMMON index and the hyperplane trick applies. Each
+    series gets a `planes`-bit signature (sign of z(x)·h_p per plane);
+    pairs sharing any `band_bits`-wide signature band are candidates
+    (simhash-style pigeonhole: hamming distance < planes/band_bits
+    guarantees a shared band) and are then verified EXACTLY, so every
+    emitted pair carries its true full-spine corr >= min_abs_corr.
+    Output is candidate-recall-bounded like ann_lsh/simhash — a pair at
+    plane-collision prob p = 1 - theta/pi surfaces with prob
+    ~ 1-(1-p^band_bits)^(planes/band_bits); recall rises toward 1 as
+    corr -> +1, the near-duplicate regime LSH exists for. Note the sign
+    asymmetry: perfect ANTI-correlation complements every signature bit,
+    so corr ~ -1 pairs share no band by construction — to search for
+    them, run a second pass banding the complemented signature (negate
+    one side). Mid-strength negative pairs can still surface through
+    partially-agreeing bits, which is why the verify keeps |corr|.
+
+    Everything the signature depends on is INTEGER arithmetic (counts
+    are integral; the plane signs are lcg_sign; the z-dot sign test is
+    cleared of its positive denominators: sign(z(x)·h_p) ==
+    sign(T*Σv_t*h_pt - Σv*H_p) with H_p = Σ_spine h_pt), so the
+    signatures — and therefore the candidate set and the exact verify —
+    replay bit-identically in DuckDB. Values are cast to long: the
+    integral-counts contract is what buys cross-engine exactness.
+
+    Scale shape: sparse rows explode x planes (planes grows as log N via
+    derive_planes-style sizing, rows stay 3 columns) into ONE map-side-
+    combined (key, plane) aggregate; signatures are one row per series;
+    candidate generation is the banded equi-join (output-sensitive,
+    never all-pairs); the verify joins sparse rows only for candidate
+    pairs. No stage touches the O(N^2) pair space.
+    """
+    if planes % band_bits != 0 or planes > 62:
+        raise ValueError(f"planes={planes} not divisible by band_bits="
+                         f"{band_bits} (or > 62)")
+    from ..functions.text import LCG_A, LCG_C, LCG_M, LCG_STRIDE, lcg_sign
+
+    r0 = rolled.select(
+        F.col(key_col).alias("k"),
+        F.unix_timestamp(bucket_col).alias("be"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    lo, hi = r0.agg(F.min("be"), F.max("be")).first()
+    if lo is None:
+        return (
+            r0.select("k")
+            .select(F.col("k").alias("key_a"), F.col("k").alias("key_b"),
+                    F.lit(0.0).alias("corr"))
+            .limit(0)
+        )
+    n_spine = (int(hi) - int(lo)) // int(bucket_secs) + 1
+    # spine-position rows; reused by the plane agg, the per-key stats,
+    # and both sides of the verify join -> materialize once (same
+    # rationale as corr_pairs above)
+    r = r0.select(
+        "k",
+        ((F.col("be") - F.lit(int(lo))) / F.lit(int(bucket_secs)))
+        .cast("long").alias("t"),
+        "v",
+    ).localCheckpoint(eager=True)
+
+    # H_p = sum of plane signs over the whole spine: tiny (planes rows),
+    # integer-exact, computed vectorized on the driver
+    seeds = (
+        np.arange(planes, dtype=np.int64)[:, None] * LCG_STRIDE
+        + np.arange(n_spine, dtype=np.int64)[None, :]
+    ) % LCG_M
+    signs = np.where((LCG_A * seeds + LCG_C) % LCG_M * 2 >= LCG_M, 1, -1)
+    hp = r.sparkSession.createDataFrame(
+        [(int(p), int(h)) for p, h in enumerate(signs.sum(axis=1))],
+        "p long, H long",
+    )
+
+    stats = r.groupBy("k").agg(
+        F.sum("v").alias("sx"), F.sum(F.col("v") * F.col("v")).alias("sxx")
+    )
+    w = F.expr(lcg_sign("spark", "p", "t"))
+    d = (
+        r.withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(planes - 1))))
+        .select("k", "p", (F.col("v") * w).alias("vw"))
+        .groupBy("k", "p")
+        .agg(F.sum("vw").alias("dp"))
+    )
+    T = F.lit(int(n_spine)).cast("long")
+    bit = F.when(
+        T * F.col("dp") - F.col("sx") * F.col("H") >= 0,
+        F.expr("shiftleft(cast(1 as bigint), cast(p as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    sig = (
+        d.join(F.broadcast(hp), "p")
+        .join(stats, "k")
+        .groupBy("k")
+        .agg(F.sum(bit).alias("sg"))
+        .localCheckpoint(eager=True)
+    )
+    n_bands = planes // band_bits
+    width = 1 << band_bits
+    # integer shifts only (a float pow/floor would go inexact past 2^53
+    # for wide signatures); n_bands is tiny so a literal-shift union is
+    # both exact and planner-friendly
+    parts = [
+        sig.select(
+            "k",
+            F.lit(i).alias("bi"),
+            (F.shiftright(F.col("sg"), i * band_bits) % width).alias("bv"),
+        )
+        for i in range(n_bands)
+    ]
+    bands = parts[0]
+    for part in parts[1:]:
+        bands = bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["bi", "bv"])
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .distinct()
+    )
+    # exact full-spine verify on the candidates only; left joins keep
+    # zero-overlap pairs (their Sxy is 0, corr can be strongly negative)
+    ra = r.select(F.col("k").alias("key_a"), "t", F.col("v").alias("va"))
+    rb = r.select(F.col("k").alias("__kb"),
+                  F.col("t").alias("tb"), F.col("v").alias("vb"))
+    sxy = (
+        cand.join(ra, "key_a")
+        .join(rb, (F.col("key_b") == F.col("__kb"))
+              & (F.col("t") == F.col("tb")), "left")
+        .groupBy("key_a", "key_b")
+        .agg(F.coalesce(F.sum(F.col("va") * F.col("vb")), F.lit(0))
+             .cast("long").alias("sxy"))
+    )
+    sa = stats.select(F.col("k").alias("key_a"), F.col("sx").alias("sxa"),
+                      F.col("sxx").alias("sxxa"))
+    sb = stats.select(F.col("k").alias("key_b"), F.col("sx").alias("sxb"),
+                      F.col("sxx").alias("sxxb"))
+    va = T * F.col("sxxa") - F.col("sxa") * F.col("sxa")
+    vb = T * F.col("sxxb") - F.col("sxb") * F.col("sxb")
+    corr = (T * F.col("sxy") - F.col("sxa") * F.col("sxb")) \
+        / F.sqrt(va) / F.sqrt(vb)
+    return (
+        sxy.join(sa, "key_a")
+        .join(sb, "key_b")
+        .where((va > 0) & (vb > 0))
+        .select("key_a", "key_b", corr.alias("corr"))
         .where(F.abs(F.col("corr")) >= float(min_abs_corr))
     )
 

@@ -556,3 +556,82 @@ def test_corr_pairs_top_series_restriction(spark):
     }
     top2 = corr_pairs(df, "v", min_overlap=10, min_abs_corr=0.9, top_series=2)
     assert {(r["key_a"], r["key_b"]) for r in top2.collect()} == {("a", "b")}
+
+
+# ------------------------------------------------------------ corr_pairs_lsh
+
+
+def test_corr_pairs_lsh_recalls_identical_shape(spark):
+    from go_muse_spark.operators.stats import corr_pairs_lsh
+
+    # a and b share the exact shape (b = 2a) -> identical z-vectors ->
+    # identical signatures -> guaranteed candidate; c is constant on the
+    # full spine (zero variance) and must be excluded, not crash
+    rows = []
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]
+    for h, v in enumerate(vals):
+        rows.append(("a", h, v))
+        rows.append(("b", h, 2 * v))
+        rows.append(("c", h, 5))
+    df = _tier(spark, rows, cols=("conv_id", "bucket_ts", "v"))
+    out = corr_pairs_lsh(
+        df, "v", bucket_secs=3600, planes=8, band_bits=4, min_abs_corr=0.9
+    ).collect()
+    assert [(r["key_a"], r["key_b"]) for r in out] == [("a", "b")]
+    assert out[0]["corr"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_corr_pairs_lsh_zero_fill_spine(spark):
+    from go_muse_spark.operators.stats import corr_pairs_lsh
+
+    # both series present only on even buckets with equal values; the
+    # zero-filled spine makes them identical length-12 vectors -> corr 1
+    rows = []
+    for h in range(0, 12, 2):
+        rows.append(("x", h, h + 3))
+        rows.append(("y", h, h + 3))
+    # odd-bucket-only series with a different shape anchors the spine
+    rows += [("z", h, 7 - h % 5) for h in range(1, 12, 2)]
+    df = _tier(spark, rows, cols=("conv_id", "bucket_ts", "v"))
+    out = {
+        (r["key_a"], r["key_b"]): r["corr"]
+        for r in corr_pairs_lsh(
+            df, "v", bucket_secs=3600, planes=8, band_bits=4,
+            min_abs_corr=0.95,
+        ).collect()
+    }
+    assert ("x", "y") in out
+    assert out[("x", "y")] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_corr_pairs_lsh_exact_verify_matches_numpy(spark):
+    from go_muse_spark.operators.stats import corr_pairs_lsh
+
+    import random
+
+    rng = random.Random(17)
+    n_spine = 24
+    series = {}
+    for k in ("p", "q", "r", "s"):
+        series[k] = {
+            h: rng.randrange(1, 20)
+            for h in range(n_spine)
+            if rng.random() < 0.8
+        }
+    # ensure the spine endpoints exist so every engine sees n_spine=24
+    series["p"][0] = 5
+    series["q"][n_spine - 1] = 5
+    rows = [(k, h, v) for k, d in series.items() for h, v in d.items()]
+    df = _tier(spark, rows, cols=("conv_id", "bucket_ts", "v"))
+    out = corr_pairs_lsh(
+        df, "v", bucket_secs=3600, planes=4, band_bits=2, min_abs_corr=0.0
+    ).collect()
+    assert out, "planes=4/band_bits=2 should always yield some candidate"
+    dense = {
+        k: np.array([d.get(h, 0) for h in range(n_spine)], dtype=float)
+        for k, d in series.items()
+    }
+    for r in out:
+        truth = np.corrcoef(dense[r["key_a"]], dense[r["key_b"]])[0, 1]
+        assert r["corr"] == pytest.approx(truth, abs=1e-9), (
+            r["key_a"], r["key_b"])
