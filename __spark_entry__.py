@@ -432,7 +432,8 @@ def q_corr_pairs_1d(spark, sf_dir):
 def q_corr_pairs_lsh_1d(spark, sf_dir):
     """Unbounded-N correlation search: 8-bit sign-random-projection
     signatures over the zero-filled daily spine, 2x4-bit banded
-    candidate generation, exact full-spine verify at |corr| >= 0.5.
+    candidate generation (shared bands for positive corr, complement
+    bands for negative), exact full-spine verify at |corr| >= 0.5.
     The integer-exact signature (lcg_sign planes, cleared-denominator
     sign test) makes the candidate set — and so the whole approximate
     result — bit-replayable by the DuckDB oracle. The corr_pairs twin
@@ -2713,8 +2714,13 @@ WITH r0 AS (
   SELECT k, 0 bi, sg % 16 bv FROM sig
   UNION ALL SELECT k, 1, sg // 16 FROM sig
 ), cand AS (
-  SELECT DISTINCT a.k key_a, b.k key_b FROM bands a JOIN bands b
-  ON a.bi = b.bi AND a.bv = b.bv AND a.k < b.k
+  SELECT DISTINCT key_a, key_b FROM (
+    SELECT a.k key_a, b.k key_b FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.k < b.k
+    UNION ALL
+    SELECT a.k, b.k FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.bv = 15 - b.bv AND a.k < b.k
+  )
 ), sxy AS (
   SELECT c.key_a, c.key_b, coalesce(sum(ra.v * rb.v), 0)::bigint sxy
   FROM cand c

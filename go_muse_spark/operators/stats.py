@@ -263,6 +263,7 @@ def corr_pairs_lsh(
     planes: int = 8,
     band_bits: int = 4,
     min_abs_corr: float = 0.5,
+    anti: bool = True,
 ) -> DataFrame:
     """Correlation search over ALL series without the quadratic join —
     the corr_pairs scale path (StatStream/BRAID's sketch idea, done as
@@ -280,12 +281,12 @@ def corr_pairs_lsh(
     Output is candidate-recall-bounded like ann_lsh/simhash — a pair at
     plane-collision prob p = 1 - theta/pi surfaces with prob
     ~ 1-(1-p^band_bits)^(planes/band_bits); recall rises toward 1 as
-    corr -> +1, the near-duplicate regime LSH exists for. Note the sign
-    asymmetry: perfect ANTI-correlation complements every signature bit,
-    so corr ~ -1 pairs share no band by construction — to search for
-    them, run a second pass banding the complemented signature (negate
-    one side). Mid-strength negative pairs can still surface through
-    partially-agreeing bits, which is why the verify keeps |corr|.
+    corr -> +1 (or -1), the near-duplicate regime LSH exists for.
+    Negating a series complements every signature bit, so corr ~ -1
+    pairs land in COMPLEMENT bands rather than shared ones; `anti=True`
+    (default) also joins each band against its bitwise complement —
+    the same output-sensitive equi-join, one extra arm — so strong
+    anti-correlation is searched at the same recall as strong positive.
 
     Everything the signature depends on is INTEGER arithmetic (counts
     are integral; the plane signs are lcg_sign; the z-dot sign test is
@@ -386,8 +387,21 @@ def corr_pairs_lsh(
         .join(bands.alias("b"), ["bi", "bv"])
         .where(F.col("a.k") < F.col("b.k"))
         .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
-        .distinct()
     )
+    if anti:
+        # complement-band arm: band i of a negated series is the bitwise
+        # complement (width-1 - bv), so anti-correlated pairs meet here
+        cand = cand.unionByName(
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.bi") == F.col("b.bi"))
+                & (F.col("a.bv") == F.lit(width - 1) - F.col("b.bv")),
+            )
+            .where(F.col("a.k") < F.col("b.k"))
+            .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        )
+    cand = cand.distinct()
     # exact full-spine verify on the candidates only; left joins keep
     # zero-overlap pairs (their Sxy is 0, corr can be strongly negative)
     ra = r.select(F.col("k").alias("key_a"), "t", F.col("v").alias("va"))

@@ -635,3 +635,26 @@ def test_corr_pairs_lsh_exact_verify_matches_numpy(spark):
         truth = np.corrcoef(dense[r["key_a"]], dense[r["key_b"]])[0, 1]
         assert r["corr"] == pytest.approx(truth, abs=1e-9), (
             r["key_a"], r["key_b"])
+
+
+def test_corr_pairs_lsh_anti_arm(spark):
+    from go_muse_spark.operators.stats import corr_pairs_lsh
+
+    # b = 30 - a on a full spine -> corr exactly -1 -> complement
+    # signature; only the anti arm can surface the pair
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]
+    rows = []
+    for h, v in enumerate(vals):
+        rows.append(("a", h, v))
+        rows.append(("b", h, 30 - v))
+    df = _tier(spark, rows, cols=("conv_id", "bucket_ts", "v"))
+    hit = corr_pairs_lsh(
+        df, "v", bucket_secs=3600, planes=8, band_bits=4, min_abs_corr=0.9
+    ).collect()
+    assert [(r["key_a"], r["key_b"]) for r in hit] == [("a", "b")]
+    assert hit[0]["corr"] == pytest.approx(-1.0, abs=1e-12)
+    miss = corr_pairs_lsh(
+        df, "v", bucket_secs=3600, planes=8, band_bits=4, min_abs_corr=0.9,
+        anti=False,
+    ).collect()
+    assert miss == []
