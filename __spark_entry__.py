@@ -2713,14 +2713,11 @@ WITH r0 AS (
 ), bands AS (
   SELECT k, 0 bi, sg % 16 bv FROM sig
   UNION ALL SELECT k, 1, sg // 16 FROM sig
+), cbands AS (
+  SELECT k, bi, least(bv, 15 - bv) cv FROM bands
 ), cand AS (
-  SELECT DISTINCT key_a, key_b FROM (
-    SELECT a.k key_a, b.k key_b FROM bands a JOIN bands b
-    ON a.bi = b.bi AND a.bv = b.bv AND a.k < b.k
-    UNION ALL
-    SELECT a.k, b.k FROM bands a JOIN bands b
-    ON a.bi = b.bi AND a.bv = 15 - b.bv AND a.k < b.k
-  )
+  SELECT DISTINCT a.k key_a, b.k key_b FROM cbands a JOIN cbands b
+  ON a.bi = b.bi AND a.cv = b.cv AND a.k < b.k
 ), sxy AS (
   SELECT c.key_a, c.key_b, coalesce(sum(ra.v * rb.v), 0)::bigint sxy
   FROM cand c

@@ -284,9 +284,10 @@ def corr_pairs_lsh(
     corr -> +1 (or -1), the near-duplicate regime LSH exists for.
     Negating a series complements every signature bit, so corr ~ -1
     pairs land in COMPLEMENT bands rather than shared ones; `anti=True`
-    (default) also joins each band against its bitwise complement —
-    the same output-sensitive equi-join, one extra arm — so strong
-    anti-correlation is searched at the same recall as strong positive.
+    (default) joins on the CANONICAL band value min(bv, width-1-bv),
+    which equates a band with its bitwise complement — still one
+    output-sensitive equi-join — so strong anti-correlation is searched
+    at the same recall as strong positive.
 
     Everything the signature depends on is INTEGER arithmetic (counts
     are integral; the plane signs are lcg_sign; the z-dot sign test is
@@ -382,26 +383,25 @@ def corr_pairs_lsh(
     bands = parts[0]
     for part in parts[1:]:
         bands = bands.unionByName(part)
+    if anti:
+        # anti arm folded into ONE equi-join: band i of a negated series
+        # is the bitwise complement (width-1 - bv), and
+        #   bv_a == bv_b  OR  bv_a == (width-1) - bv_b
+        # is exactly  min(bv_a, width-1-bv_a) == min(bv_b, width-1-bv_b)
+        # (width-1 is odd, so bv == width-1-bv never holds and the
+        # canonical value is unambiguous). Joining on the canonical band
+        # value searches positive AND anti correlation in a single
+        # output-sensitive join instead of a two-arm union.
+        bands = bands.withColumn(
+            "bv", F.least(F.col("bv"), F.lit(width - 1) - F.col("bv"))
+        )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["bi", "bv"])
         .where(F.col("a.k") < F.col("b.k"))
         .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .distinct()
     )
-    if anti:
-        # complement-band arm: band i of a negated series is the bitwise
-        # complement (width-1 - bv), so anti-correlated pairs meet here
-        cand = cand.unionByName(
-            bands.alias("a")
-            .join(
-                bands.alias("b"),
-                (F.col("a.bi") == F.col("b.bi"))
-                & (F.col("a.bv") == F.lit(width - 1) - F.col("b.bv")),
-            )
-            .where(F.col("a.k") < F.col("b.k"))
-            .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
-        )
-    cand = cand.distinct()
     # exact full-spine verify on the candidates only; left joins keep
     # zero-overlap pairs (their Sxy is 0, corr can be strongly negative)
     ra = r.select(F.col("k").alias("key_a"), "t", F.col("v").alias("va"))
