@@ -297,12 +297,13 @@ def corr_pairs_lsh(
     replay bit-identically in DuckDB. Values are cast to long: the
     integral-counts contract is what buys cross-engine exactness.
 
-    Scale shape: sparse rows explode x planes (planes grows as log N via
-    derive_planes-style sizing, rows stay 3 columns) into ONE map-side-
-    combined (key, plane) aggregate; signatures are one row per series;
-    candidate generation is the banded equi-join (output-sensitive,
-    never all-pairs); the verify joins sparse rows only for candidate
-    pairs. No stage touches the O(N^2) pair space.
+    Scale shape: ONE map-side-combined groupBy(key) computes the per-key
+    stats and all `planes` hyperplane dots as sum columns (planes <= 62,
+    so column-wise beats an explode x planes row blowup plus a second
+    (key, plane) exchange); signatures are one row per series; candidate
+    generation is the banded equi-join (output-sensitive, never
+    all-pairs); the verify joins sparse rows only for candidate pairs.
+    No stage touches the O(N^2) pair space.
     """
     if planes % band_bits != 0 or planes > 62:
         raise ValueError(f"planes={planes} not divisible by band_bits="
@@ -340,33 +341,40 @@ def corr_pairs_lsh(
         + np.arange(n_spine, dtype=np.int64)[None, :]
     ) % LCG_M
     signs = np.where((LCG_A * seeds + LCG_C) % LCG_M * 2 >= LCG_M, 1, -1)
-    hp = r.sparkSession.createDataFrame(
-        [(int(p), int(h)) for p, h in enumerate(signs.sum(axis=1))],
-        "p long, H long",
-    )
+    hsum = signs.sum(axis=1)
 
-    stats = r.groupBy("k").agg(
-        F.sum("v").alias("sx"), F.sum(F.col("v") * F.col("v")).alias("sxx")
-    )
-    w = F.expr(lcg_sign("spark", "p", "t"))
-    d = (
-        r.withColumn("p", F.explode(F.sequence(F.lit(0), F.lit(planes - 1))))
-        .select("k", "p", (F.col("v") * w).alias("vw"))
-        .groupBy("k", "p")
-        .agg(F.sum("vw").alias("dp"))
-    )
+    # ONE groupBy("k") computes the per-key stats AND every plane dot:
+    # planes <= 62, so the dots are `planes` sum COLUMNS of the same
+    # map-side-combined aggregate instead of an explode x planes row
+    # blowup feeding a second (k, p) exchange plus an H_p join — the
+    # H_p constants fold in as literals. Fewer exchanges at every scale,
+    # and the verify reuses sx/sxx from the same per-key table.
     T = F.lit(int(n_spine)).cast("long")
-    bit = F.when(
-        T * F.col("dp") - F.col("sx") * F.col("H") >= 0,
-        F.expr("shiftleft(cast(1 as bigint), cast(p as int))"),
-    ).otherwise(F.lit(0).cast("long"))
+    dots = [
+        F.sum(F.col("v") * F.expr(lcg_sign("spark", str(p), "t")))
+        .alias(f"dp{p}")
+        for p in range(planes)
+    ]
+    perkey = r.groupBy("k").agg(
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        *dots,
+    )
+    bits = [
+        F.when(
+            T * F.col(f"dp{p}") - F.col("sx") * F.lit(int(hsum[p])) >= 0,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(planes)
+    ]
+    sg = bits[0]
+    for b in bits[1:]:
+        sg = sg + b
     sig = (
-        d.join(F.broadcast(hp), "p")
-        .join(stats, "k")
-        .groupBy("k")
-        .agg(F.sum(bit).alias("sg"))
+        perkey.select("k", "sx", "sxx", sg.alias("sg"))
         .localCheckpoint(eager=True)
     )
+    stats = sig
     n_bands = planes // band_bits
     width = 1 << band_bits
     # integer shifts only (a float pow/floor would go inexact past 2^53
