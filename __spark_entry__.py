@@ -106,6 +106,7 @@ from go_muse_spark.operators.terms import (
     unigram_logprob,
 )
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
+from go_muse_spark.operators.matrix_profile import matrix_profile
 from go_muse_spark.operators.timeweight import (
     instant_snapshot,
     state_transitions,
@@ -451,6 +452,48 @@ def q_corr_pairs_lsh_1d(spark, sf_dir):
         F.col("key_a").alias("user_a"),
         F.col("key_b").alias("user_b"),
         F.round(F.col("corr") * 1e6, 0).cast("long").alias("corr_u"),
+    )
+
+
+def q_matrix_profile_1d(spark, sf_dir):
+    """Matrix profile over each user's zero-filled daily turn-count
+    series (m=7, exclusion m//4=1): for every week-long window, the max
+    z-normalized Pearson correlation against any other window of the
+    same series — motif strength per position, the self-join twin of
+    the muse search (operators/matrix_profile.py). Integer-exact pooled
+    sums make the profile bit-replayable by the SQL oracle; the argmax
+    pointer (mp_idx) stays operator-level (pytest vs brute force)
+    because cross-engine float ties make an index oracle unstable."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1d")
+    dense = gap_fill(rolled, "1d", mode="zero", value_cols=("turn_cnt",))
+    mp = matrix_profile(dense, "turn_cnt", 7)
+    return mp.select(
+        F.col("conv_id").alias("user_id"),
+        "pos",
+        "bucket_ts",
+        F.round(F.col("mp_corr") * 1e6, 0).cast("long").alias("mp_corr_u"),
+    )
+
+
+def q_matrix_profile_1h(spark, sf_dir):
+    """Hourly matrix profile (m=24h windows, exclusion 6h) over a
+    deterministic cohort (user_id % 10 = 0) and a 14-day slice — the
+    discord view: the LOWEST mp_corr_u positions are the days that
+    resemble no other day of the same conversation, the classic
+    anomaly primitive a threshold alert can't express. Slice + cohort
+    keep the O(n^2)-row oracle affordable; the operator itself is
+    bounded by block size, not series length."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") < "2024-01-15") & (F.col("user_id") % 10 == 0)
+    )
+    rolled = rollup_transcripts(events_as_transcripts(ev), "1h")
+    dense = gap_fill(rolled, "1h", mode="zero", value_cols=("turn_cnt",))
+    mp = matrix_profile(dense, "turn_cnt", 24)
+    return mp.select(
+        F.col("conv_id").alias("user_id"),
+        "pos",
+        "bucket_ts",
+        F.round(F.col("mp_corr") * 1e6, 0).cast("long").alias("mp_corr_u"),
     )
 
 
@@ -2314,6 +2357,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never value-checked lead, then round-2-checked, then
         # round-3 greens; every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "matrix_profile_1d": q_matrix_profile_1d,
+        "matrix_profile_1h": q_matrix_profile_1h,
         "corr_pairs_1d": q_corr_pairs_1d,
         "corr_pairs_lsh_1d": q_corr_pairs_lsh_1d,
         "muse_windowed_1h": q_muse_windowed_1h,
@@ -2423,9 +2468,88 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _mp_oracle(trunc: str, iv: str, m: int, excl: int, flt: str = "") -> str:
+    """Brute-force matrix profile in O(n^2) SQL rows (not O(n^2 m)):
+    per-lag elementwise products + a length-m window sum give every
+    window pair's cross term; per-window integer sums give the rest.
+    The Pearson closed form is written with the exact expression tree
+    the numpy kernel uses (m*sxy - sx_i*sx_j over the PRODUCT of the
+    two sqrts), so on integer counts both engines produce bit-identical
+    doubles and the 1e-6 rounding can never straddle."""
+    return f"""
+WITH tx AS (
+  SELECT cast(user_id AS varchar) AS user_id, ts FROM events{flt}
+), r AS (
+  SELECT user_id, date_trunc('{trunc}', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM tx GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 {iv})) AS b
+  FROM bounds
+), s AS (
+  SELECT sp.user_id, sp.b,
+         cast(coalesce(r.v, 0) AS bigint) AS v,
+         cast(row_number() OVER (
+              PARTITION BY sp.user_id ORDER BY sp.b) AS bigint) - 1 AS p
+  FROM spine sp LEFT JOIN r ON r.user_id = sp.user_id AND r.b = sp.b
+), wsum AS (
+  SELECT user_id, p, b,
+         sum(v) OVER w AS sx, sum(v * v) OVER w AS sxx,
+         count(*) OVER w AS cnt
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+), win AS (
+  SELECT user_id, p, b, sx, sxx FROM wsum WHERE cnt = {m}
+), prod AS (
+  SELECT a.user_id, b2.p - a.p AS d, a.p AS p, a.v * b2.v AS xy
+  FROM s a JOIN s b2
+    ON b2.user_id = a.user_id AND b2.p - a.p >= {excl}
+), xs AS (
+  SELECT user_id, d, p,
+         sum(xy) OVER wd AS sxy, count(*) OVER wd AS cnt
+  FROM prod
+  WINDOW wd AS (PARTITION BY user_id, d ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+), c AS (
+  SELECT x.user_id, x.p AS i, x.p + x.d AS j,
+         CASE WHEN ({m} * wi.sxx - wi.sx * wi.sx) > 0
+                   AND ({m} * wj.sxx - wj.sx * wj.sx) > 0
+              THEN cast({m} * x.sxy - wi.sx * wj.sx AS double)
+                   / (sqrt(cast({m} * wi.sxx - wi.sx * wi.sx AS double))
+                      * sqrt(cast({m} * wj.sxx - wj.sx * wj.sx AS double)))
+         END AS c
+  FROM xs x
+  JOIN win wi ON wi.user_id = x.user_id AND wi.p = x.p
+  JOIN win wj ON wj.user_id = x.user_id AND wj.p = x.p + x.d
+  WHERE x.cnt = {m}
+), arms AS (
+  SELECT user_id, i AS p, c FROM c
+  UNION ALL
+  SELECT user_id, j AS p, c FROM c
+)
+SELECT a.user_id, cast(a.p AS int) AS pos, w.b AS bucket_ts,
+       cast(round(max(a.c) * 1e6) AS bigint) AS mp_corr_u
+FROM arms a JOIN win w ON w.user_id = a.user_id AND w.p = a.p
+WHERE a.c IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     d = _oracle_sql_base(stop_list)
+    d["matrix_profile_1d"] = _mp_oracle("day", "DAY", 7, 1)
+    d["matrix_profile_1h"] = _mp_oracle(
+        "hour",
+        "HOUR",
+        24,
+        6,
+        " WHERE ts < TIMESTAMP '2024-01-15' AND user_id % 10 = 0",
+    )
     # windowed encoder emits byte-identical chunks -> identical decode
     d["chunks_windowed_roundtrip_1h"] = d["chunks_roundtrip_1h"]
     # compaction decodes and re-encodes bit-exact chunks -> same points
