@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_muse_spark.operators.compress import (
@@ -30,6 +30,7 @@ from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.rollup import (
     moving_quantile,
     counter_rate,
+    prom_increase,
     moving_aggregate,
     rollup_all_tiers,
     rollup_from_finer,
@@ -59,7 +60,11 @@ from go_muse_spark.operators.downsample import (
     sax_words,
     top_series_per_bucket,
 )
-from go_muse_spark.operators.joins import asof_join, interval_join
+from go_muse_spark.operators.joins import (
+    asof_interp_join,
+    asof_join,
+    interval_join,
+)
 from go_muse_spark.operators.sampling import (
     mixture_sample,
     pack_sequences,
@@ -261,6 +266,32 @@ def q_rollup_1h_quantiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.9)") * 1e6, 0)
         .cast("long")
         .alias("p90_u"),
+    )
+
+
+def q_prom_increase_1h(spark, sf_dir):
+    """PromQL-exact extrapolated increase() per hour bucket over a
+    per-user cumulative turn counter: the raw first-to-last increase is
+    scaled to the full bucket span with Prometheus' published boundary
+    rule (gap capped at half the average sample spacing past 1.1x, plus
+    the counter duration-to-zero clamp) — the number a Prometheus user
+    expects, which plain counter_rate's bucket deltas are not. Both
+    engines evaluate the identical expression tree on exact
+    epoch-microsecond integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ctr = ev.select("user_id", "ts", "event_id").withColumn(
+        "ctr", F.row_number().over(w).cast("double")
+    )
+    out = prom_increase(
+        ctr, "ctr", "1h", by=("user_id",), order_cols=("event_id",)
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.col("raw_increase").cast("long").alias("raw_inc"),
+        F.round(F.col("increase") * 1e6, 0).cast("long").alias("inc_u"),
     )
 
 
@@ -888,6 +919,33 @@ def q_filter_label_values(spark, sf_dir):
         (F.col("event_type") == "click") & (F.col("user_id") % 10 == 3)
     ).select("event_id", "ts", F.col("user_id").cast("string").alias("user_id"),
              "event_type", "value")
+
+
+def q_asof_interp_click(spark, sf_dir):
+    """Interpolating as-of join (TimescaleDB interpolate() semantics —
+    asof's step-function carry can't express it): each click gets the
+    user's view value LINEARLY INTERPOLATED at the click timestamp
+    between the bracketing view events; NULL when unbracketed, exact
+    hit returns the row value untouched. One union + one keyed
+    exchange, two frames over one sort; the lerp runs on exact
+    epoch-microsecond integers with the same float64 expression tree as
+    the oracle, so values match bit-for-bit before rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_interp_join(clicks, views, ["user_id"], "value")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value_i") * 1e6, 0).cast("long").alias("v_interp_u"),
+        F.unix_micros(F.col("ts_prev").cast("timestamp")).alias("tp_us"),
+        F.unix_micros(F.col("ts_next").cast("timestamp")).alias("tn_us"),
+    )
 
 
 def q_asof_click_view(spark, sf_dir):
@@ -2359,6 +2417,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally (tools/check_oracle.py).
         "matrix_profile_1d": q_matrix_profile_1d,
         "matrix_profile_1h": q_matrix_profile_1h,
+        "asof_interp_click": q_asof_interp_click,
+        "prom_increase_1h": q_prom_increase_1h,
         "corr_pairs_1d": q_corr_pairs_1d,
         "corr_pairs_lsh_1d": q_corr_pairs_lsh_1d,
         "muse_windowed_1h": q_muse_windowed_1h,
@@ -2542,6 +2602,83 @@ GROUP BY 1, 2, 3
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     d = _oracle_sql_base(stop_list)
+    d["asof_interp_click"] = """
+WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+), u AS (
+  SELECT user_id, event_id, ts, true AS is_left,
+         NULL::TIMESTAMP AS rts, NULL::DOUBLE AS rv
+  FROM l
+  UNION ALL
+  SELECT user_id, NULL, ts, false, ts, value FROM r
+), w AS (
+  SELECT *,
+         last_value(rts IGNORE NULLS) OVER wp AS tp,
+         last_value(rv IGNORE NULLS) OVER wp AS vp,
+         first_value(rts IGNORE NULLS) OVER wn AS tn,
+         first_value(rv IGNORE NULLS) OVER wn AS vn
+  FROM u
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, is_left
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY ts, is_left
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id, epoch_us(ts) AS t_us,
+       cast(round(
+         CASE WHEN tp IS NULL THEN NULL
+              WHEN epoch_us(tp) = epoch_us(ts) THEN vp
+              WHEN tn IS NOT NULL
+              THEN vp + (vn - vp)
+                   * (cast(epoch_us(ts) - epoch_us(tp) AS double)
+                      / cast(epoch_us(tn) - epoch_us(tp) AS double))
+         END * 1e6) AS bigint) AS v_interp_u,
+       epoch_us(tp) AS tp_us, epoch_us(tn) AS tn_us
+FROM w WHERE is_left
+"""
+    d["prom_increase_1h"] = """
+WITH s AS (
+  SELECT user_id, ts,
+         cast(row_number() OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS double) AS v,
+         date_trunc('hour', ts) AS bucket_ts
+  FROM events
+), a AS (
+  SELECT user_id, bucket_ts,
+         count(*) AS n_samples,
+         min(epoch_us(ts)) AS f_us, max(epoch_us(ts)) AS l_us,
+         min(v) AS fv, max(v) AS lv
+  FROM s GROUP BY 1, 2
+), e AS (
+  SELECT user_id, bucket_ts, n_samples, f_us, l_us, fv, lv,
+         cast(l_us - f_us AS double) AS sampled,
+         cast(l_us - f_us AS double)
+           / cast(n_samples - 1 AS double) AS avgd,
+         cast(f_us - epoch_us(bucket_ts) AS double) AS dstart0,
+         cast(epoch_us(bucket_ts) + 3600000000 - l_us AS double) AS dend0
+  FROM a WHERE n_samples >= 2 AND l_us > f_us
+), x AS (
+  SELECT *,
+         CASE WHEN dstart0 >= 1.1 * avgd THEN avgd / 2
+              ELSE dstart0 END AS dstart1,
+         CASE WHEN dend0 >= 1.1 * avgd THEN avgd / 2
+              ELSE dend0 END AS dend1,
+         lv - fv AS raw
+  FROM e
+), y AS (
+  SELECT *,
+         CASE WHEN raw > 0 AND fv >= 0
+                   AND sampled * (fv / raw) < dstart1
+              THEN sampled * (fv / raw) ELSE dstart1 END AS dstart2
+  FROM x
+)
+SELECT user_id, bucket_ts, cast(n_samples AS bigint) AS n_samples,
+       cast(raw AS bigint) AS raw_inc,
+       cast(round(raw * ((sampled + dstart2 + dend1) / sampled) * 1e6)
+            AS bigint) AS inc_u
+FROM y
+"""
     d["matrix_profile_1d"] = _mp_oracle("day", "DAY", 7, 1)
     d["matrix_profile_1h"] = _mp_oracle(
         "hour",

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "asof_interp_join", "interval_join"]
 
 
 def interval_join(
@@ -300,4 +300,115 @@ def asof_join(
         *lcols,
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols],
         F.col("__m.__ts").alias(f"{ts_col}{suffix}"),
+    )
+
+
+def asof_interp_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    suffix: str = "_i",
+) -> DataFrame:
+    """Interpolating as-of join: each left row gets the right-side value
+    LINEARLY INTERPOLATED at its timestamp between the latest right row
+    at-or-before and the earliest right row strictly after (TimescaleDB
+    interpolate() / kdb-style aj-with-lerp semantics, which plain
+    asof_join's step-function carry cannot express).
+
+    Output = all left columns plus ``{value_col}{suffix}`` (double,
+    NULL when the left timestamp is not bracketed by right rows — no
+    extrapolation), ``{ts_col}_prev`` and ``{ts_col}_next`` (the
+    bracketing right timestamps; _next is NULL on an exact-timestamp
+    hit where no later right row is needed... it carries the strict
+    successor regardless, for observability).
+
+    Exactly-equal timestamps hit the prev row and return its value
+    untouched. Like asof_join, several right rows sharing one
+    (key, ts) make the winner unspecified — pre-aggregate the right
+    side if that can occur.
+
+    Plan: tag + union both sides, ONE hash exchange on the key, ONE
+    in-partition sort on (ts, is_left) — right rows sort before left
+    rows at equal ts — then two frames over that single sort: a
+    backward last(ignorenulls) carries the prev right row (inclusive),
+    a forward first(ignorenulls) pulls the strict-next right row
+    (same-ts rights land BEFORE the left row, so the following frame is
+    naturally strict). Cost: one shuffle of |L| + |R| rows, no
+    range-join blowup; the lerp itself is whole-stage-codegen
+    arithmetic on exact epoch-microsecond integers.
+    """
+    reserved = {"__r", "__is_left", "__prev", "__next"}
+    out_names = {f"{value_col}{suffix}", f"{ts_col}_prev", f"{ts_col}_next"}
+    clash = (reserved | out_names) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_interp_join: left column(s) {sorted(clash)} collide "
+            f"with output or reserved internal names — rename them or "
+            f"pass a different suffix"
+        )
+
+    lcols = list(left.columns)
+    lhs = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(True).alias("__is_left"),
+        F.lit(None)
+        .cast("struct<__ts:timestamp,__v:double>")
+        .alias("__r"),
+    )
+    rhs = right.select(
+        *on,
+        F.col(ts_col),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lcols
+            if c not in (*on, ts_col)
+        ],
+        F.lit(False).alias("__is_left"),
+        F.struct(
+            F.col(ts_col).cast("timestamp").alias("__ts"),
+            F.col(value_col).cast("double").alias("__v"),
+        ).alias("__r"),
+    ).select(*lcols, "__is_left", "__r")
+
+    ub = lhs.unionByName(rhs)
+    order = [F.col(ts_col).asc(), F.col("__is_left").asc()]
+    w_prev = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = ub.select(
+        "*",
+        F.last("__r", ignorenulls=True).over(w_prev).alias("__prev"),
+        F.first("__r", ignorenulls=True).over(w_next).alias("__next"),
+    ).filter(F.col("__is_left"))
+
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tp = F.unix_micros(F.col("__prev.__ts"))
+    tn = F.unix_micros(F.col("__next.__ts"))
+    vp = F.col("__prev.__v")
+    vn = F.col("__next.__v")
+    interp = (
+        F.when(F.col("__prev").isNull(), F.lit(None).cast("double"))
+        .when(tp == t, vp)
+        .when(
+            F.col("__next").isNotNull(),
+            vp
+            + (vn - vp)
+            * ((t - tp).cast("double") / (tn - tp).cast("double")),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return carried.select(
+        *lcols,
+        interp.alias(f"{value_col}{suffix}"),
+        F.col("__prev.__ts").alias(f"{ts_col}_prev"),
+        F.col("__next.__ts").alias(f"{ts_col}_next"),
     )

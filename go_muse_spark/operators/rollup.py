@@ -24,6 +24,7 @@ __all__ = [
     "rollup_from_finer",
     "rollup_all_tiers",
     "counter_rate",
+    "prom_increase",
     "moving_aggregate",
     "moving_quantile",
 ]
@@ -155,6 +156,91 @@ def counter_rate(
         )
         .filter(F.col("__pt").isNotNull())
         .drop("__pt")
+    )
+
+
+def prom_increase(
+    samples,
+    value_col: str,
+    tier: str = "1h",
+    by: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    counter: bool = True,
+    order_cols: tuple[str, ...] = (),
+):
+    """PromQL-exact extrapolated increase() per tumbling tier bucket.
+
+    counter_rate answers "delta between ROLLED buckets"; this is the
+    other Prometheus primitive — raw samples in, and the published
+    extrapolation rule (promql/functions.go extrapolatedRate, public
+    upstream source) out: the raw reset-corrected increase between the
+    bucket's first and last samples is scaled by how much of the bucket
+    the samples actually cover, where each boundary gap contributes
+    min(gap, half the average sample spacing) once the gap exceeds
+    1.1x that spacing, and a counter is additionally clamped so the
+    extrapolation never implies the counter was negative at the bucket
+    start (duration-to-zero rule). Buckets need >= 2 samples spanning
+    > 0 time, like Prometheus.
+
+    Plan: ONE exchange on (by, bucket) — the in-bucket lag/sort and the
+    closing aggregate share the same keys, so Catalyst reuses the
+    partitioning; every arithmetic stays whole-stage-codegen on exact
+    epoch-microsecond integers (bit-replayable by the SQL oracle).
+
+    Returns (by..., bucket_ts, n_samples, raw_increase, increase).
+    """
+    from pyspark.sql import Window
+
+    unit, secs, _ = TIERS[tier]
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(*by, "bucket_ts").orderBy(*order)
+    v = F.col(value_col).cast("double")
+    if counter:
+        comp = (
+            F.when(
+                F.col("__v") < F.lag("__v").over(w),
+                F.lag("__v").over(w),
+            )
+            .otherwise(F.lit(0.0))
+        )
+    else:
+        comp = F.lit(0.0)
+    tagged = samples.select(
+        *by, b, F.col(ts_col), *order_cols, v.alias("__v")
+    ).select("*", comp.alias("__comp"))
+    agg = tagged.groupBy(*by, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__f_us"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__l_us"),
+        F.min_by("__v", F.struct(*order)).alias("__fv"),
+        F.max_by("__v", F.struct(*order)).alias("__lv"),
+        F.sum("__comp").alias("__resets"),
+    )
+    bs = F.unix_micros(F.col("bucket_ts").cast("timestamp"))
+    be = bs + F.lit(secs * 1_000_000)
+    raw = F.col("__lv") - F.col("__fv") + F.col("__resets")
+    sampled = (F.col("__l_us") - F.col("__f_us")).cast("double")
+    avg = sampled / (F.col("n_samples") - 1).cast("double")
+    dstart = (F.col("__f_us") - bs).cast("double")
+    dend = (be - F.col("__l_us")).cast("double")
+    dstart = F.when(dstart >= 1.1 * avg, avg / 2).otherwise(dstart)
+    if counter:
+        dzero = sampled * (F.col("__fv") / raw)
+        dstart = F.when(
+            (raw > 0) & (F.col("__fv") >= 0) & (dzero < dstart), dzero
+        ).otherwise(dstart)
+    dend = F.when(dend >= 1.1 * avg, avg / 2).otherwise(dend)
+    factor = (sampled + dstart + dend) / sampled
+    return (
+        agg.filter((F.col("n_samples") >= 2) & (sampled > 0))
+        .select(
+            *by,
+            "bucket_ts",
+            "n_samples",
+            raw.alias("raw_increase"),
+            (raw * factor).alias("increase"),
+        )
     )
 
 

@@ -333,3 +333,52 @@ def test_interval_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         interval_join(pts, ivs, on=["k"], bucket_secs=60)
+
+
+def test_asof_interp_bracketed_lerp(spark):
+    from go_muse_spark.operators.joins import asof_interp_join
+
+    left = spark.createDataFrame(
+        [("a", _ts(5), 1), ("a", _ts(10), 2), ("a", _ts(12), 3),
+         ("a", _ts(25), 4), ("a", _ts(2), 5), ("b", _ts(7), 6)],
+        "k string, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(4), 10.0), ("a", _ts(10), 40.0), ("a", _ts(20), 90.0)],
+        "k string, ts timestamp, value double",
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_interp_join(
+            left, right, ["k"], "value"
+        ).collect()
+    }
+    # t=5 between (4,10) and (10,40): 10 + 30 * 1/6
+    assert abs(out[1]["value_i"] - (10.0 + 30.0 / 6.0)) < 1e-12
+    # exact hit at t=10 -> row value, prev ts == t
+    assert out[2]["value_i"] == 40.0
+    assert out[2]["ts_prev"] == _ts(10)
+    # t=12 between (10,40) and (20,90): 40 + 50 * 0.2
+    assert abs(out[3]["value_i"] - 50.0) < 1e-12
+    # t=25 after the last right row -> NULL (no extrapolation)
+    assert out[4]["value_i"] is None and out[4]["ts_next"] is None
+    assert out[4]["ts_prev"] == _ts(20)
+    # t=2 before the first right row -> NULL
+    assert out[5]["value_i"] is None and out[5]["ts_prev"] is None
+    # key with no right rows at all -> NULL
+    assert out[6]["value_i"] is None
+
+
+def test_asof_interp_collision_raises(spark):
+    import pytest
+
+    from go_muse_spark.operators.joins import asof_interp_join
+
+    left = spark.createDataFrame(
+        [("a", _ts(5), 0.0)], "k string, ts timestamp, value_i double"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(4), 1.0)], "k string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_interp_join(left, right, ["k"], "value")

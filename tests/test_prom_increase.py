@@ -1,0 +1,118 @@
+"""prom_increase: Prometheus extrapolatedRate parity on hand-computed
+fixtures (boundary extrapolation, 1.1x threshold, duration-to-zero
+clamp, counter resets, gauge mode, <2-sample guard)."""
+
+import datetime as dt
+
+import pytest
+
+from go_muse_spark.operators.rollup import prom_increase
+
+H0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [("a", H0 + dt.timedelta(seconds=s), float(v), i)
+         for i, (s, v) in enumerate(rows)],
+        "conv_id string, ts timestamp, v double, seq long",
+    )
+
+
+def _run(spark, rows, counter=True):
+    df = _mk(spark, rows)
+    out = prom_increase(
+        df, "v", "1h", by=("conv_id",), counter=counter,
+        order_cols=("seq",),
+    ).collect()
+    return {r["bucket_ts"]: r for r in out}
+
+
+def _expected(samples, bucket_start_s=0, range_s=3600, counter=True):
+    ts = [s for s, _ in samples]
+    vs = [v for _, v in samples]
+    if counter:
+        raw = 0.0
+        for i in range(1, len(vs)):
+            d = vs[i] - vs[i - 1]
+            raw += d if d >= 0 else vs[i]
+    else:
+        raw = float(vs[-1] - vs[0])
+    sampled = float(ts[-1] - ts[0])
+    avg = sampled / (len(ts) - 1)
+    dstart = float(ts[0] - bucket_start_s)
+    dend = float(bucket_start_s + range_s - ts[-1])
+    if dstart >= 1.1 * avg:
+        dstart = avg / 2
+    if counter and raw > 0 and vs[0] >= 0:
+        dzero = sampled * (vs[0] / raw)
+        if dzero < dstart:
+            dstart = dzero
+    if dend >= 1.1 * avg:
+        dend = avg / 2
+    return raw * ((sampled + dstart + dend) / sampled)
+
+
+def test_extrapolates_to_bucket_edges(spark):
+    # dense regular samples well inside the hour: both edges capped at
+    # avg/2 (1.1x rule), no zero-clamp (v0 large)
+    rows = [(600 + 60 * i, 1000 + 10 * i) for i in range(30)]
+    got = _run(spark, rows)[H0]
+    assert got["raw_increase"] == 290.0
+    assert abs(got["increase"] - _expected(rows)) < 1e-9
+    assert got["n_samples"] == 30
+
+
+def test_short_boundary_gap_used_verbatim(spark):
+    # first sample 10s into the hour, avg spacing 120s: 10 < 1.1*120,
+    # so the true gap (not avg/2) extends the interval
+    rows = [(10 + 120 * i, 500 + i) for i in range(28)]
+    got = _run(spark, rows)[H0]
+    assert abs(got["increase"] - _expected(rows)) < 1e-9
+
+
+def test_duration_to_zero_clamps_counter_start(spark):
+    # counter born mid-bucket: v0 tiny vs raw increase, so the
+    # extrapolation toward the bucket start is clamped at the implied
+    # time-of-zero instead of avg/2
+    rows = [(1800 + 60 * i, 1 + 100 * i) for i in range(10)]
+    exp = _expected(rows)
+    got = _run(spark, rows)[H0]
+    assert abs(got["increase"] - exp) < 1e-9
+    # the clamp actually engaged
+    raw, sampled = 900.0, 540.0
+    assert sampled * (1.0 / raw) < (sampled / 9) / 2
+
+
+def test_counter_reset_compensation(spark):
+    rows = [(0, 10), (600, 20), (1200, 3), (1800, 8), (3599, 9)]
+    got = _run(spark, rows)[H0]
+    # raw: +10, reset -> +3, +5, +1 = 19
+    assert got["raw_increase"] == 19.0
+    assert abs(got["increase"] - _expected(rows)) < 1e-9
+
+
+def test_gauge_mode_allows_negative_delta(spark):
+    rows = [(0, 10), (1200, 4), (3599, 7)]
+    got = _run(spark, rows, counter=False)[H0]
+    assert got["raw_increase"] == -3.0
+    assert abs(got["increase"] - _expected(rows, counter=False)) < 1e-9
+
+
+def test_single_sample_and_zero_span_buckets_dropped(spark):
+    rows = [(0, 1)]  # one sample in 10:00
+    rows2 = [(3600, 5), (3600, 7)]  # two samples, same microsecond, 11:00
+    out = _run(spark, rows + rows2)
+    assert H0 not in out
+    assert H0 + dt.timedelta(hours=1) not in out
+
+
+def test_buckets_are_independent(spark):
+    rows = [(60 * i, i) for i in range(120)]  # spans two hours
+    out = _run(spark, rows)
+    b0 = [(s, v) for s, v in rows if s < 3600]
+    b1 = [(s - 3600, v) for s, v in rows if s >= 3600]
+    assert abs(out[H0]["increase"] - _expected(b0)) < 1e-9
+    assert abs(
+        out[H0 + dt.timedelta(hours=1)]["increase"] - _expected(b1)
+    ) < 1e-9
