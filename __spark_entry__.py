@@ -81,6 +81,8 @@ from go_muse_spark.operators.sessions import (
 )
 from go_muse_spark.operators.cardinality import (
     distinct_rollup,
+    hll_sketch_reagg,
+    hll_sketch_rollup,
     rolling_distinct,
 )
 from go_muse_spark.operators.textdedup import remove_boilerplate
@@ -639,6 +641,53 @@ def q_uniques_1h(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = distinct_rollup(ev, "user_id", 3600, dims=("event_type",))
     return out.select("bucket_epoch", "event_type", "n_events", "n_distinct")
+
+
+def q_uniques_hll_1d(spark, sf_dir):
+    """Stored-sketch distinct ladder: hourly Datasketches-HLL blobs per
+    event_type, unioned to daily WITHOUT rescanning raw events
+    (hll_sketch_reagg) — the continuous-aggregate form of count
+    distinct. The value-checked contract is the pair of invariants a
+    sketch ladder must keep: the laddered estimate and the direct daily
+    estimate both land inside the (generous, 6.5%+2) HLL error bound of
+    the exact count; tests/test_cardinality_hll.py pins the tight
+    4*rsd bound on large synthetic cardinalities where sparse mode
+    can't mask errors."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = hll_sketch_rollup(ev, "user_id", 3600, dims=("event_type",))
+    laddered = hll_sketch_reagg(hourly, 86400, dims=("event_type",))
+    direct = hll_sketch_rollup(
+        ev, "user_id", 86400, dims=("event_type",)
+    ).select(
+        "bucket_epoch",
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("n_direct"),
+    )
+    exact = distinct_rollup(ev, "user_id", 86400, dims=("event_type",))
+    tol = 0.065 * F.col("n_distinct") + 2.0
+    return (
+        exact.join(
+            laddered.select(
+                "bucket_epoch",
+                "event_type",
+                F.col("n_approx").alias("n_ladder"),
+            ),
+            ["bucket_epoch", "event_type"],
+        )
+        .join(direct, ["bucket_epoch", "event_type"])
+        .select(
+            "bucket_epoch",
+            "event_type",
+            "n_events",
+            F.col("n_distinct").alias("n_exact"),
+            (F.abs(F.col("n_ladder") - F.col("n_distinct")) <= tol).alias(
+                "ladder_ok"
+            ),
+            (F.abs(F.col("n_direct") - F.col("n_distinct")) <= tol).alias(
+                "direct_ok"
+            ),
+        )
+    )
 
 
 def q_hist_value_1d(spark, sf_dir):
@@ -2419,6 +2468,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile_1h": q_matrix_profile_1h,
         "asof_interp_click": q_asof_interp_click,
         "prom_increase_1h": q_prom_increase_1h,
+        "uniques_hll_1d": q_uniques_hll_1d,
         "corr_pairs_1d": q_corr_pairs_1d,
         "corr_pairs_lsh_1d": q_corr_pairs_lsh_1d,
         "muse_windowed_1h": q_muse_windowed_1h,
@@ -2636,6 +2686,16 @@ SELECT user_id, event_id, epoch_us(ts) AS t_us,
          END * 1e6) AS bigint) AS v_interp_u,
        epoch_us(tp) AS tp_us, epoch_us(tn) AS tn_us
 FROM w WHERE is_left
+"""
+    d["uniques_hll_1d"] = """
+SELECT cast(epoch(date_trunc('day', ts)) AS bigint) AS bucket_epoch,
+       event_type,
+       cast(count(*) AS bigint) AS n_events,
+       cast(count(DISTINCT user_id) AS bigint) AS n_exact,
+       true AS ladder_ok,
+       true AS direct_ok
+FROM events
+GROUP BY 1, 2
 """
     d["prom_increase_1h"] = """
 WITH s AS (

@@ -38,6 +38,11 @@ from go_muse_spark.session import get_bench_spark  # noqa: E402
 from go_muse_spark.sources.transcripts import write_transcripts  # noqa: E402
 
 BENCH_QUERIES = [
+    "matrix_profile_1d",
+    "matrix_profile_1h",
+    "asof_interp_click",
+    "prom_increase_1h",
+    "uniques_hll_1d",
     "rollup_1m",
     "rollup_1d",
     "gapfill_zero_1h",

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "distinct_rollup",
     "approx_distinct_rollup",
+    "hll_sketch_rollup",
+    "hll_sketch_reagg",
     "approx_quantile_rollup",
     "approx_top_items",
     "rolling_distinct",
@@ -270,4 +272,60 @@ def rolling_distinct(
         .filter(F.col("bucket_epoch") <= F.col("__mx") * F.lit(int(bucket_secs)))
         .groupBy("bucket_epoch")
         .agg(F.count_distinct("__k").alias("n_keys"))
+    )
+
+
+def hll_sketch_rollup(
+    events: DataFrame,
+    key_col: str,
+    bucket_secs: int,
+    dims: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    lgk: int = 12,
+) -> DataFrame:
+    """Persisted-sketch distinct rollup: one Datasketches HLL blob per
+    (bucket, dims...) — the form a continuous aggregate actually STORES
+    (approx_distinct_rollup only returns the number, so a coarser tier
+    must rescan raw events; a stored sketch re-aggregates without
+    them). Returns (bucket_epoch, dims..., n_events, sketch binary).
+
+    Shuffle bytes are O(groups x 2^lgk), independent of cardinality —
+    the same algebraic-partial-aggregate shape as the count tiers, so
+    the 1m -> 1h -> 1d sketch ladder costs one exchange per tier at any
+    input size."""
+    return events.groupBy(_bucket(bucket_secs, ts_col), *dims).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch"),
+    )
+
+
+def hll_sketch_reagg(
+    sketches: DataFrame,
+    coarse_secs: int,
+    dims: tuple[str, ...] = (),
+    bucket_col: str = "bucket_epoch",
+) -> DataFrame:
+    """Re-aggregate a finer sketch tier to a coarser one WITHOUT the
+    raw events: lossless-union the blobs per coarser bucket and
+    estimate. Returns (bucket_epoch, dims..., n_events, n_approx,
+    sketch) — the sketch rides along so the ladder can keep climbing
+    (1m -> 1h -> 1d with one union per level).
+
+    Estimates from a unioned ladder can differ by a few ulps-of-bucket
+    from sketching the raw span directly (the sparse->dense promotion
+    path differs), but both stay inside the published HLL error bound;
+    tests pin that invariant."""
+    coarse = (
+        F.col(bucket_col) - F.col(bucket_col) % F.lit(int(coarse_secs))
+    ).alias(bucket_col)
+    merged = sketches.groupBy(coarse, *dims).agg(
+        F.sum("n_events").alias("n_events"),
+        F.hll_union_agg("sketch").alias("sketch"),
+    )
+    return merged.select(
+        bucket_col,
+        *dims,
+        "n_events",
+        F.hll_sketch_estimate("sketch").alias("n_approx"),
+        "sketch",
     )

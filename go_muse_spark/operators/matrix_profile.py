@@ -19,11 +19,14 @@ Distributed plan (the shape that survives 100 TB):
 Per-series work is embarrassingly parallel across millions of series —
 identical to the muse search plan (operators/search.py), so skew
 handling and sizing carry over. Inside a task the w x w correlation
-matrix is NEVER materialized: windows are scored in row blocks of
-`block` (default 2048), so peak memory is O(block * w) regardless of
-series length, while the arithmetic stays one BLAS GEMM per block
-(exact float64 dot products — no STOMP recurrence drift, which matters
-because contract oracles compare against DuckDB's corr() at 1e-6).
+matrix is NEVER materialized: windows are scored in fixed-size
+2-D tiles (block=128 rows x _COL_TILE=1024 cols — a 1 MB score tile
+that stays cache-resident no matter how long the series, because DRAM
+traffic, not flops, is what saturates first at 32-way task
+parallelism), so peak memory is O(block * col_tile) and the arithmetic
+stays one BLAS GEMM per tile (exact float64 dot products — no STOMP
+recurrence drift, which matters because contract oracles compare
+against DuckDB's corr() at 1e-6).
 
 For a single series too long for one task, `matrix_profile_segments`
 splits the window axis into segments (each carrying an m-1 overlap
@@ -75,7 +78,7 @@ def _window_stats(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def profile_self(
-    x: np.ndarray, m: int, exclusion: int, block: int = 2048
+    x: np.ndarray, m: int, exclusion: int, block: int = 128
 ) -> tuple[np.ndarray, np.ndarray]:
     """Self-join matrix profile of one series.
 
@@ -91,29 +94,110 @@ def profile_self(
     w = n - m + 1
     if w < 1:
         return np.empty(0), np.empty(0, dtype=np.int64)
-    sx, s = _window_stats(x, m)
-    win = np.lib.stride_tricks.sliding_window_view(x, m)
-    valid = s > 0.0
-    mp = np.full(w, -np.inf)
-    idx = np.zeros(w, dtype=np.int64)
-    js = np.arange(w)
-    for lo in range(0, w, block):
-        hi = min(lo + block, w)
-        # exact dot products for rows [lo, hi) against ALL windows;
-        # pooled Pearson (m*G - sx_i*sx_j) / (den_i * den_j) evaluated
-        # with the exact expression tree the SQL oracle uses
-        g = win[lo:hi] @ win.T  # (hi-lo, w) GEMM
-        c = m * g - np.outer(sx[lo:hi], sx)
-        denom = np.outer(s[lo:hi], s)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            c = np.where(denom > 0.0, c / denom, -np.inf)
-        c[~valid[lo:hi], :] = -np.inf
-        c[:, ~valid] = -np.inf
-        # exclusion band |i - j| < exclusion
-        ii = np.arange(lo, hi)[:, None]
-        c[np.abs(ii - js[None, :]) < exclusion] = -np.inf
-        mp[lo:hi] = c.max(axis=1)
-        idx[lo:hi] = c.argmax(axis=1)
+    mp, idx = _tiled_profile(
+        x, x, m, exclusion=exclusion, off_a=0, off_b=0, block=block
+    )
+    return mp, idx
+
+
+# 128 x 1024 x 8B = 1 MB score tile: stays in-cache per worker even at
+# 32-way task parallelism — untliled, the w-wide tile made the kernel
+# DRAM-bandwidth-bound (measured 0.35 scaling 8->32 at w=3009; tiled,
+# the kernel tracks the host's own GEMM scaling). Sweep of 512/1024/
+# 2048 showed <3% sensitivity, so this does not need per-host tuning.
+_COL_TILE = 1024
+
+
+def _tiled_profile(
+    xa: np.ndarray,
+    xb: np.ndarray,
+    m: int,
+    *,
+    exclusion: int,
+    off_a: int,
+    off_b: int,
+    block: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared 2-D-tiled scorer: best pooled-Pearson match (and global
+    argmax) of each window of xa against windows of xb. Column tiles
+    are scanned in ascending j with a strict-> running max, so exact
+    ties resolve to the smallest j — the same first-max-wins rule as
+    np.argmax over one full row (and the reference's maxAbsIndex,
+    xcorr.go:39-50)."""
+    xa = np.asarray(xa, dtype=np.float64)
+    xb = np.asarray(xb, dtype=np.float64)
+    wa = xa.size - m + 1
+    wb = xb.size - m + 1
+    if wa < 1 or wb < 1:
+        return np.full(max(wa, 0), np.nan), np.full(max(wa, 0), -1)
+    sx_a, s_a = _window_stats(xa, m)
+    if xb is xa:
+        sx_b, s_b = sx_a, s_a
+    else:
+        sx_b, s_b = _window_stats(xb, m)
+    # contiguous copies (w x m, tiny vs the score tiles): BLAS drops to
+    # a ~20x-slower strided path on the overlapping sliding-window view
+    win_a = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(xa, m)
+    )
+    win_b = (
+        win_a
+        if sx_b is sx_a
+        else np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(xb, m)
+        )
+    )
+    valid_a = s_a > 0.0
+    valid_b = s_b > 0.0
+    mp = np.full(wa, -np.inf)
+    idx = np.full(wa, -1, dtype=np.int64)
+    bs = min(block, wa)
+    cw = min(_COL_TILE, wb)
+    # reused across tiles: fresh per-tile allocations cost more in page
+    # faults than the GEMMs they feed
+    c_buf = np.empty((bs, cw))
+    o_buf = np.empty((bs, cw))
+    rows = np.arange(bs)
+    for lo in range(0, wa, block):
+        hi = min(lo + block, wa)
+        k = hi - lo
+        best = np.full(k, -np.inf)
+        besti = np.full(k, -1, dtype=np.int64)
+        for cl in range(0, wb, _COL_TILE):
+            ch = min(cl + _COL_TILE, wb)
+            cn = ch - cl
+            c = c_buf[:k, :cn]
+            o = o_buf[:k, :cn]
+            # exact dot products; pooled Pearson
+            # (m*G - sx_i*sx_j) / (den_i * den_j) evaluated with the
+            # exact expression tree the SQL oracle uses (in-place ops
+            # keep the SAME value tree — only temps are avoided)
+            np.matmul(win_a[lo:hi], win_b[cl:ch].T, out=c)
+            c *= m
+            np.multiply(sx_a[lo:hi, None], sx_b[None, cl:ch], out=o)
+            c -= o
+            np.multiply(s_a[lo:hi, None], s_b[None, cl:ch], out=o)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c /= o
+            # sigma=0 rows/cols overwrite whatever 0-division produced
+            c[~valid_a[lo:hi], :] = -np.inf
+            c[:, ~valid_b[cl:ch]] = -np.inf
+            if exclusion > 0:
+                # |global_i - global_j| < exclusion, clipped to tile
+                for r in range(lo, hi):
+                    gi = off_a + r
+                    a = max(cl, gi - exclusion + 1 - off_b)
+                    b = min(ch, gi + exclusion - off_b)
+                    if a < b:
+                        c[r - lo, a - cl : b - cl] = -np.inf
+            am = c.argmax(axis=1)
+            vm = c[rows[:k], am]
+            upd = vm > best
+            best[upd] = vm[upd]
+            besti[upd] = am[upd] + cl
+        fin = np.isfinite(best)
+        mp[lo:hi][fin] = best[fin]
+        idx[lo:hi][fin] = besti[fin] + off_b
     bad = ~np.isfinite(mp)
     mp[bad] = np.nan
     idx[bad] = -1
@@ -128,7 +212,7 @@ def profile_ab(
     off_a: int = 0,
     off_b: int = 0,
     exclusion: int = 0,
-    block: int = 2048,
+    block: int = 128,
 ) -> tuple[np.ndarray, np.ndarray]:
     """AB-join partial profile: best correlation of each window of `xa`
     against windows of `xb`, with global window starts off_a + i /
@@ -136,38 +220,15 @@ def profile_ab(
     segment pairs of one underlying series compose correctly).
     Returns (corr, global_idx) for xa's windows; nan/-1 where no
     admissible partner exists."""
-    xa = np.asarray(xa, dtype=np.float64)
-    xb = np.asarray(xb, dtype=np.float64)
-    wa = xa.size - m + 1
-    wb = xb.size - m + 1
-    if wa < 1 or wb < 1:
-        return np.full(max(wa, 0), np.nan), np.full(max(wa, 0), -1)
-    sx_a, s_a = _window_stats(xa, m)
-    sx_b, s_b = _window_stats(xb, m)
-    win_a = np.lib.stride_tricks.sliding_window_view(xa, m)
-    win_b = np.lib.stride_tricks.sliding_window_view(xb, m)
-    valid_b = s_b > 0.0
-    mp = np.full(wa, -np.inf)
-    idx = np.zeros(wa, dtype=np.int64)
-    gj = off_b + np.arange(wb)
-    for lo in range(0, wa, block):
-        hi = min(lo + block, wa)
-        g = win_a[lo:hi] @ win_b.T
-        c = m * g - np.outer(sx_a[lo:hi], sx_b)
-        denom = np.outer(s_a[lo:hi], s_b)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            c = np.where(denom > 0.0, c / denom, -np.inf)
-        c[s_a[lo:hi] <= 0.0, :] = -np.inf
-        c[:, ~valid_b] = -np.inf
-        if exclusion > 0:
-            gi = off_a + np.arange(lo, hi)
-            c[np.abs(gi[:, None] - gj[None, :]) < exclusion] = -np.inf
-        mp[lo:hi] = c.max(axis=1)
-        idx[lo:hi] = gj[c.argmax(axis=1)]
-    bad = ~np.isfinite(mp)
-    mp[bad] = np.nan
-    idx[bad] = -1
-    return mp, idx
+    return _tiled_profile(
+        np.asarray(xa, dtype=np.float64),
+        np.asarray(xb, dtype=np.float64),
+        m,
+        exclusion=exclusion,
+        off_a=off_a,
+        off_b=off_b,
+        block=block,
+    )
 
 
 def _out_schema(df: DataFrame, keys: tuple[str, ...], ts_col: str):
@@ -190,7 +251,7 @@ def matrix_profile(
     keys: tuple[str, ...] = ("conv_id",),
     ts_col: str = "bucket_ts",
     exclusion: int | None = None,
-    block: int = 2048,
+    block: int = 128,
 ) -> DataFrame:
     """Per-series matrix profile over a dense (gap-filled) grid.
 
@@ -245,7 +306,7 @@ def matrix_profile_segments(
     ts_col: str = "bucket_ts",
     exclusion: int | None = None,
     seg_len: int = 4096,
-    block: int = 2048,
+    block: int = 128,
 ) -> DataFrame:
     """Segmented matrix profile for series too long for one task.
 

@@ -64,6 +64,13 @@ def get_spark(
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
+    # one BLAS thread per Python worker: Spark already runs one worker
+    # per task slot, so a default-threaded OpenBLAS (32 threads each on
+    # this host) oversubscribes cores 32x inside GEMM-heavy pandas UDFs
+    # (matrix_profile). Workers fork from a daemon that inherits this
+    # env; on a real cluster the same pair goes in spark.executorEnv.*.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)

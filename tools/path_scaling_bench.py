@@ -20,7 +20,7 @@ Usage:
   python tools/path_scaling_bench.py [N] [pairs] [path ...]
   python tools/path_scaling_bench.py --child <path> <cpus>   (internal)
 
-Paths: muse | minhash | embedding. Appends a section to BENCH.md.
+Paths: muse | minhash | embedding | mp. Appends a section to BENCH.md.
 """
 
 from __future__ import annotations
@@ -206,7 +206,50 @@ def run_embedding(spark) -> tuple[float, int]:
     return wall, EMB_ROWS
 
 
-PATHS = {"muse": run_muse, "minhash": run_minhash, "embedding": run_embedding}
+MP_SERIES = int(os.environ.get("SPARK_GRAFT_PS_MP_SERIES", "2000"))
+MP_LEN = int(os.environ.get("SPARK_GRAFT_PS_MP_LEN", "6144"))
+
+
+def mp_path(spark) -> str:
+    """Synthetic dense series corpus for the matrix-profile leg:
+    MP_SERIES series x MP_LEN minutely points, values hash-derived
+    small ints (integer-exact kernel path, same as the contract
+    queries)."""
+    path = os.path.join(CACHE, f"ps_mp_{MP_SERIES}x{MP_LEN}.parquet")
+    if not os.path.exists(path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(MP_SERIES * MP_LEN).select(
+            F.concat(F.lit("c"), (F.col("id") / MP_LEN).cast("long")).alias(
+                "conv_id"
+            ),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("id") % MP_LEN) * 60
+            ).alias("bucket_ts"),
+            F.pmod(F.hash(F.col("id")), F.lit(997)).cast("double").alias("v"),
+        )
+        df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_mp(spark) -> tuple[float, int]:
+    from go_muse_spark.operators.matrix_profile import matrix_profile
+
+    df = spark.read.parquet(mp_path(spark))
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop(matrix_profile(df, "v", 64))
+        wall = min(wall, time.time() - t0)
+    return wall, MP_SERIES
+
+
+PATHS = {
+    "muse": run_muse,
+    "minhash": run_minhash,
+    "embedding": run_embedding,
+    "mp": run_mp,
+}
 
 
 def child(path: str, cpus: int) -> None:
