@@ -68,6 +68,8 @@ from go_muse_spark.operators.joins import (
 from go_muse_spark.operators.sampling import (
     mixture_sample,
     pack_sequences,
+    priority_sample,
+    priority_sql,
     sample_rates_sql,
     split_assign,
     split_assign_sql,
@@ -105,7 +107,14 @@ from go_muse_spark.operators.stats import (
     series_corr,
     corr_pairs,
     corr_pairs_lsh,
+    classical_decompose,
 )
+from go_muse_spark.operators.freqsketch import (
+    cm_estimate,
+    cm_sketch_reagg,
+    cm_sketch_rollup,
+)
+from go_muse_spark.operators.freqsketch import cells_sql as _cm_cells_sql
 from go_muse_spark.operators.terms import (
     ngram_diversity,
     repetition_ratio,
@@ -113,7 +122,10 @@ from go_muse_spark.operators.terms import (
     unigram_logprob,
 )
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
-from go_muse_spark.operators.matrix_profile import matrix_profile
+from go_muse_spark.operators.matrix_profile import (
+    matrix_profile,
+    matrix_profile_segments,
+)
 from go_muse_spark.operators.timeweight import (
     instant_snapshot,
     state_transitions,
@@ -500,6 +512,59 @@ def q_matrix_profile_1d(spark, sf_dir):
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1d")
     dense = gap_fill(rolled, "1d", mode="zero", value_cols=("turn_cnt",))
     mp = matrix_profile(dense, "turn_cnt", 7)
+    return mp.select(
+        F.col("conv_id").alias("user_id"),
+        "pos",
+        "bucket_ts",
+        F.round(F.col("mp_corr") * 1e6, 0).cast("long").alias("mp_corr_u"),
+    )
+
+
+def q_mp_motifs_1d(spark, sf_dir):
+    """Top-3 motif windows per user (highest matrix-profile correlation
+    = most-repeated weekly pattern) — the extraction a motif-mining UI
+    actually shows. Ranked on the ROUNDED profile with pos as the
+    tiebreak, so the ranking is deterministic and bit-replayable in
+    both engines; TakeOrdered-per-key via one rank window."""
+    mp = q_matrix_profile_1d(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("mp_corr_u").desc(), F.col("pos").asc()
+    )
+    return (
+        mp.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("user_id", "rk", "pos", "bucket_ts", "mp_corr_u")
+    )
+
+
+def q_mp_discords_1d(spark, sf_dir):
+    """Top-3 discord windows per user (LOWEST matrix-profile
+    correlation = the week that resembles no other week of the same
+    conversation) — the anomaly extraction threshold alerts can't
+    express. Same deterministic rounded-value ranking as the motifs
+    twin, ascending."""
+    mp = q_matrix_profile_1d(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("mp_corr_u").asc(), F.col("pos").asc()
+    )
+    return (
+        mp.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("user_id", "rk", "pos", "bucket_ts", "mp_corr_u")
+    )
+
+
+def q_matrix_profile_seg_1d(spark, sf_dir):
+    """The SEGMENTED matrix-profile plan (quadratic segment-pair grid +
+    AB-join kernel + commutative max-reduce — the decomposition for one
+    series too long for a single task) driven against the SAME brute-
+    force SQL oracle as matrix_profile_1d: seg_len=12 forces 3 segments
+    per ~30-day daily series, so every code path (own-span windows,
+    overlap tails, global-offset exclusion, cross-segment pairs) is
+    exercised and value-checked, not just pytest-equality-checked."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1d")
+    dense = gap_fill(rolled, "1d", mode="zero", value_cols=("turn_cnt",))
+    mp = matrix_profile_segments(dense, "turn_cnt", 7, seg_len=12)
     return mp.select(
         F.col("conv_id").alias("user_id"),
         "pos",
@@ -1064,6 +1129,78 @@ def q_stratified_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return stratified_sample(docs, _SAMPLE_RATES).select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_priority_sample_docs(spark, sf_dir):
+    """Weight-aware deterministic sampling (operators/sampling.py
+    priority_sample — Duffield-Lund-Thorup priority sampling): keep the
+    20 highest-priority docs per language with priority = n_chars / u,
+    u derived from the content hash — "sample the corpus favoring
+    long/high-quality docs, reproducibly, no RNG". Both divisions are
+    IEEE-exact on identical operands, so the oracle replays the
+    priorities (and therefore the selected set) bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    out = priority_sample(
+        docs, "cast(n_chars AS double)", 20, by=("lang",)
+    )
+    return out.select(
+        "lang", "rk", "doc_id", "n_chars",
+        F.round("priority", 3).alias("priority"),
+    )
+
+
+def q_cm_heavy_1d(spark, sf_dir):
+    """Count-Min frequency-sketch ladder (operators/freqsketch.py):
+    build 1h sketches (d=4 rows x w=64 cells of pure mod-P integer
+    arithmetic), SUM-merge them to 1d — the fixed-size mergeable state
+    a continuous aggregate stores for "top users per day" — then
+    point-estimate every (day, user) against the exact count. With 150
+    users in 64 cells collisions are forced, so the output exhibits
+    real overcounts while the est >= exact one-sided guarantee holds
+    row by row; the oracle replays sketch build, ladder merge, and
+    min-estimate exactly (sketch linearity makes the day-direct oracle
+    equal the engine's 1h->1d sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    item = "user_id % 1000000007"
+    sk1h = cm_sketch_rollup(ev, item, 3600, d=4, w=64)
+    sk1d = cm_sketch_reagg(sk1h, 86400)
+    day = (
+        F.unix_timestamp(F.col("ts"))
+        - F.unix_timestamp(F.col("ts")) % F.lit(86400)
+    ).alias("bucket_epoch")
+    exact = ev.groupBy(day, "user_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    est = cm_estimate(sk1d, exact, item, d=4, w=64)
+    return est.select(
+        "bucket_epoch",
+        "user_id",
+        "n_exact",
+        "cm_est",
+        (F.col("cm_est") - F.col("n_exact")).alias("overcount"),
+        (F.col("cm_est") >= F.col("n_exact")).alias("ge_exact"),
+    )
+
+
+def q_stl_1h(spark, sf_dir):
+    """Classical additive seasonal-trend decomposition (operators/
+    stats.py classical_decompose): y = trend + seasonal + residual over
+    the zero-filled hourly tier, period 24 — "is this hour's traffic
+    growth, time-of-day, or an actual event?". Detrended values are
+    carried as exact int64 (win*y - window_sum), so the only doubles
+    are three identical-operand divisions and the oracle replays every
+    micro-unit bit-for-bit."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    dense = gap_fill(rolled, "1h", ("turn_cnt",), mode="zero", align="conv")
+    out = classical_decompose(dense, "turn_cnt", 24, 3600)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        "y",
+        "trend_mu",
+        "seasonal_mu",
+        "resid_mu",
     )
 
 
@@ -2466,6 +2603,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally (tools/check_oracle.py).
         "matrix_profile_1d": q_matrix_profile_1d,
         "matrix_profile_1h": q_matrix_profile_1h,
+        "matrix_profile_seg_1d": q_matrix_profile_seg_1d,
+        "mp_motifs_1d": q_mp_motifs_1d,
+        "mp_discords_1d": q_mp_discords_1d,
         "asof_interp_click": q_asof_interp_click,
         "prom_increase_1h": q_prom_increase_1h,
         "uniques_hll_1d": q_uniques_hll_1d,
@@ -2486,6 +2626,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_8h": q_sessionize_8h,
         "interval_click_attrib": q_interval_click_attrib,
         "stratified_sample": q_stratified_sample,
+        "priority_sample_docs": q_priority_sample_docs,
+        "cm_heavy_1d": q_cm_heavy_1d,
+        "stl_1h": q_stl_1h,
         "corpus_prep": q_corpus_prep,
         "muse_grouped_dims_1h": q_muse_grouped_dims_1h,
         "gapfill_zero_1h": _gapfill_zero_1h,
@@ -2649,6 +2792,94 @@ GROUP BY 1, 2, 3
 """
 
 
+def _cm_oracle_sql(d: int = 4, w: int = 64) -> str:
+    """Count-Min replay: build the DAY sketch directly (linearity makes
+    it equal the engine's 1h->1d sum-merge), probe each (day, user)
+    with the same mod-P cell arithmetic, min over the d rows."""
+    item = "(user_id % 1000000007)"
+    build = " UNION ALL ".join(
+        f"SELECT b, {j} AS j, {_cm_cells_sql(item, j, w, d)} AS cell FROM ev"
+        for j in range(d)
+    )
+    probe = " UNION ALL ".join(
+        f"SELECT b, user_id, {j} AS j, "
+        f"{_cm_cells_sql(item, j, w, d)} AS cell FROM du"
+        for j in range(d)
+    )
+    return f"""
+WITH ev AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400 AS b, user_id FROM events
+), cells AS (
+  SELECT b, j, cell, count(*) AS cnt FROM ({build}) GROUP BY 1, 2, 3
+), exact AS (
+  SELECT b, user_id, count(*) AS n_exact FROM ev GROUP BY 1, 2
+), du AS (
+  SELECT DISTINCT b, user_id FROM ev
+), probe AS ({probe})
+SELECT p.b AS bucket_epoch, p.user_id, e.n_exact,
+       cast(min(coalesce(c.cnt, 0)) AS bigint) AS cm_est,
+       cast(min(coalesce(c.cnt, 0)) - e.n_exact AS bigint) AS overcount,
+       min(coalesce(c.cnt, 0)) >= e.n_exact AS ge_exact
+FROM probe p
+JOIN exact e ON e.b = p.b AND e.user_id = p.user_id
+LEFT JOIN cells c ON c.b = p.b AND c.j = p.j AND c.cell = p.cell
+GROUP BY 1, 2, 3
+"""
+
+
+# classical decomposition: detrended values carried as exact int64
+# (25*y - window_sum); the three divisions see identical integer
+# operands in both engines -> every _mu output is bit-equal
+_STL_1H_ORACLE = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts, count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+), bnd AS (
+  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM r GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM bnd
+), dense AS (
+  SELECT s.user_id, s.bucket_ts,
+         cast(coalesce(r.turn_cnt, 0) AS bigint) AS y
+  FROM spine s LEFT JOIN r USING (user_id, bucket_ts)
+), tr AS (
+  SELECT user_id, bucket_ts, y,
+         cast(sum(y) OVER w AS bigint) AS sw,
+         count(*) OVER w AS nw,
+         (epoch_us(bucket_ts) // 3600000000) % 24 AS ph
+  FROM dense
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), dd AS (
+  SELECT *, CASE WHEN nw = 25 THEN 25 * y - sw END AS d FROM tr
+), seas AS (
+  SELECT user_id, ph,
+         cast(round(cast(sum(d) AS bigint) * 1000000
+                    / (25 * count(*)), 0) AS bigint) AS s_mu
+  FROM dd WHERE d IS NOT NULL GROUP BY 1, 2
+), cent AS (
+  SELECT user_id,
+         cast(round(cast(sum(s_mu) AS bigint) / count(*), 0) AS bigint)
+           AS c_mu
+  FROM seas GROUP BY 1
+)
+SELECT dd.user_id, dd.bucket_ts, dd.y,
+       CASE WHEN nw = 25
+            THEN cast(round(sw * 1000000 / 25, 0) AS bigint) END AS trend_mu,
+       CASE WHEN nw = 25 THEN s_mu - c_mu END AS seasonal_mu,
+       CASE WHEN nw = 25
+            THEN dd.y * 1000000
+                 - cast(round(sw * 1000000 / 25, 0) AS bigint)
+                 - (s_mu - c_mu) END AS resid_mu
+FROM dd
+JOIN seas ON seas.user_id = dd.user_id AND seas.ph = dd.ph
+JOIN cent ON cent.user_id = dd.user_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     d = _oracle_sql_base(stop_list)
@@ -2740,6 +2971,23 @@ SELECT user_id, bucket_ts, cast(n_samples AS bigint) AS n_samples,
 FROM y
 """
     d["matrix_profile_1d"] = _mp_oracle("day", "DAY", 7, 1)
+    # the segmented plan computes the IDENTICAL profile (bit-equal
+    # kernels, commutative max-reduce) -> same brute-force oracle
+    d["matrix_profile_seg_1d"] = d["matrix_profile_1d"]
+    # motif/discord extraction: rank over the ROUNDED profile (which
+    # bit-matches across engines) with pos tiebreak -> deterministic
+    d["mp_motifs_1d"] = (
+        "WITH mp AS (" + d["matrix_profile_1d"] + ") "
+        "SELECT user_id, cast(rk AS int) AS rk, pos, bucket_ts, mp_corr_u "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY mp_corr_u DESC, pos ASC) AS rk FROM mp) WHERE rk <= 3"
+    )
+    d["mp_discords_1d"] = (
+        "WITH mp AS (" + d["matrix_profile_1d"] + ") "
+        "SELECT user_id, cast(rk AS int) AS rk, pos, bucket_ts, mp_corr_u "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY mp_corr_u ASC, pos ASC) AS rk FROM mp) WHERE rk <= 3"
+    )
     d["matrix_profile_1h"] = _mp_oracle(
         "hour",
         "HOUR",
@@ -4196,6 +4444,25 @@ FROM clicks c ASOF LEFT JOIN views v
 SELECT doc_id, lang, source, n_chars
 FROM documents WHERE {sample_rates_sql(_SAMPLE_RATES)}
 """,
+        # priority q = w/u is two IEEE-correctly-rounded divisions of
+        # identical operands -> bit-equal doubles -> identical top-k
+        "priority_sample_docs": f"""
+WITH p AS (
+  SELECT lang, doc_id, n_chars,
+         {priority_sql('duck', 'cast(n_chars AS double)')} AS priority
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY priority DESC, doc_id ASC) AS rk FROM p
+)
+SELECT lang, cast(rk AS int) AS rk, doc_id, n_chars,
+       round(priority, 3) AS priority
+FROM r WHERE rk <= 20
+""",
+        # day-direct sketch build == the engine's 1h->1d SUM-merge
+        # (CM sketches are linear), so this also checks the ladder
+        "cm_heavy_1d": _cm_oracle_sql(),
+        "stl_1h": _STL_1H_ORACLE,
         # DuckDB plans the raw inequality join itself (IEJoin); the
         # engine's bucket-explode equi-join must reproduce it exactly
         "interval_click_attrib": """

@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "interval_click_attrib",
     "stratified_sample",
     "mixture_sample",
+    "priority_sample_docs",
+    "cm_heavy_1d",
+    "stl_1h",
     "counter_rate_1h",
     "moving_avg_24h",
     "m4_1d",

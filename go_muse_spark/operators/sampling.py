@@ -32,6 +32,8 @@ __all__ = [
     "split_assign_sql",
     "pack_sequences",
     "mixture_sample",
+    "priority_sample",
+    "priority_sql",
 ]
 
 
@@ -186,6 +188,70 @@ def pack_sequences(
         (before - before % F.lit(int(budget))) / F.lit(int(budget))
     ).cast("long")
     return df.withColumn("batch_id", batch)
+
+
+def priority_sql(
+    dialect: str, weight_sql: str, key_sql: str | None = None
+) -> str:
+    """The priority expression q = w / u with u = (hash(key)+1)/(P+1),
+    in either dialect. Both divisions are IEEE-754 correctly-rounded
+    operations on identical operands, so Spark and DuckDB produce the
+    SAME double bit pattern — the selection (and the reported priority)
+    is value-verifiable, not merely statistically similar."""
+    if key_sql is None:
+        key_sql = X.char_hash(dialect, "text")
+    u = f"(cast(({key_sql}) + 1 AS double) / {X.P + 1}.0)"
+    return f"(cast({weight_sql} AS double) / {u})"
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_sql: str,
+    k: int,
+    by: tuple[str, ...] = (),
+    key_sql: str | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-aware deterministic sampling via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM 2007): each row gets priority
+    q = w / u where u = (hash(content)+1)/(P+1) stands in for the
+    uniform draw; keep the k largest-priority rows (per ``by`` group
+    if given). High-weight rows are proportionally more likely to be
+    kept, yet the selection is a pure function of row content — same
+    reproducibility contract as stratified_sample (re-runs, cluster
+    moves, and repartitions select the SAME rows; exact duplicates
+    travel together).
+
+    This is the "sample the corpus by quality score" stage of a
+    training-data pipeline, done without RNG: w = a quality/importance
+    weight, and the kept set is auditable because every row's priority
+    is recomputable from the row alone.
+
+    Scale shape: grouped mode is one exchange on the group key + a
+    per-partition rank (row_number over [q desc, order_col]); global
+    mode (by=()) is orderBy().limit(k) — Spark's
+    TakeOrderedAndProject, a per-partition k-heap + driver merge, no
+    full sort. Returns the input plus (priority double, rk int).
+
+    Weights must be strictly positive (q would be 0/inf otherwise).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    q = F.expr(priority_sql("spark", weight_sql, key_sql))
+    tagged = df.withColumn("priority", q)
+    if by:
+        w = Window.partitionBy(*by).orderBy(
+            F.col("priority").desc(), F.col(order_col).asc()
+        )
+        return tagged.withColumn(
+            "rk", F.row_number().over(w).cast("int")
+        ).where(F.col("rk") <= k)
+    top = tagged.orderBy(
+        F.col("priority").desc(), F.col(order_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("priority").desc(), F.col(order_col).asc())
+    # the single-partition window sees only the k surviving rows
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
 def mixture_sample(

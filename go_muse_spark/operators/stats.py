@@ -47,6 +47,7 @@ __all__ = [
     "seasonal_anomaly",
     "linear_fit",
     "change_stats",
+    "classical_decompose",
 ]
 
 
@@ -950,4 +951,136 @@ def change_stats(
         F.count(F.lit(1)).over(w_rng).alias("n_win"),
         F.sum("__chg").over(w_rng).alias("n_changes"),
         F.sum("__rst").over(w_rng).alias("n_resets"),
+    )
+
+
+def classical_decompose(
+    dense: DataFrame,
+    value_col: str,
+    period: int,
+    bucket_secs: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Classical additive seasonal-trend decomposition (the moving-
+    average textbook algorithm STL refines): per series, split an
+    integer-valued DENSE tier into
+
+        y = trend + seasonal + residual
+
+    with trend = centered moving average over ``period + 1`` buckets
+    (NULL at the edges where the window is incomplete), seasonal = the
+    per-phase mean of the detrended values, centered so the seasonal
+    component sums to zero over one period, and residual the exact
+    remainder. "Is Monday 9am traffic high because of growth (trend),
+    because it's Monday 9am (seasonal), or is something actually
+    happening (residual)?" is the question every capacity dashboard
+    answers with this decomposition.
+
+    Numerical contract: the input must be integer-valued (a count
+    tier); everything is computed in integer micro-units. The trick
+    that keeps it engine-exact: the detrended value is carried as
+    d = (period+1)*y - sum_window (a pure int64 — never the double
+    y - avg), so the only doubles anywhere are THREE divisions of
+    identical exact-integer operands (trend, per-phase mean, centering
+    mean), each rounded once to micro-units. A DuckDB oracle replays
+    every output bit.
+
+    Scale shape: ONE linear pass with three exchanges of the tier —
+    series key (trend window), (series, phase) window (per-phase
+    sums), series key again (centering over the period's phase
+    representatives). All window functions, no self-joins: a join
+    formulation would make Spark recompute the whole input subtree
+    once per branch of the diamond (measured: 11 exchanges and a
+    triple scan vs 3 exchanges here). No Python anywhere.
+
+    Requires a gap-filled dense spine (rows-frame == time-frame).
+    Returns (by..., bucket_col, y, trend_mu, seasonal_mu, resid_mu)
+    with *_mu in 1e-6 units, NULL where the trend window is
+    incomplete. Series shorter than one trend window (no complete
+    window anywhere) have no defined seasonal profile and are dropped.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    half = period // 2
+    win = period + 1 if period % 2 == 0 else period
+    y = F.col(value_col).cast("long")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(bucket_col))
+        .rowsBetween(-half, half)
+    )
+    # integer `div`, never float-divide-then-cast: a 1-ulp-low double
+    # quotient truncates an exact bucket boundary into the wrong phase
+    phase = (
+        F.expr(f"unix_timestamp({bucket_col}) div {int(bucket_secs)}")
+        % F.lit(period)
+    ).alias("__ph")
+    base = dense.select(
+        *by,
+        bucket_col,
+        phase,
+        y.alias("__y"),
+        F.sum(y).over(w).alias("__sw"),
+        F.count(F.lit(1)).over(w).alias("__nw"),
+    ).withColumn(
+        "__d",  # (win)*y - window_sum: exact int64 detrended value
+        F.when(
+            F.col("__nw") == win,
+            F.lit(win) * F.col("__y") - F.col("__sw"),
+        ),
+    )
+    # per-phase detrended mean, as a window over (series, phase) —
+    # sum() skips the NULL edge rows, so __nd counts only complete-
+    # window rows exactly like a filtered group-by would
+    w_ph = Window.partitionBy(*by, "__ph")
+    sd = F.sum("__d").over(w_ph)
+    nd = F.sum(F.col("__d").isNotNull().cast("long")).over(w_ph)
+    s_mu = F.when(
+        nd > 0,
+        F.round(sd * F.lit(1_000_000) / (F.lit(win) * nd), 0).cast("long"),
+    )
+    # one representative row per (series, phase) feeds the centering
+    rn = F.row_number().over(
+        Window.partitionBy(*by, "__ph").orderBy(F.col(bucket_col))
+    )
+    staged = base.select(
+        *by,
+        bucket_col,
+        "__y",
+        "__sw",
+        "__nw",
+        s_mu.alias("__s_mu"),
+        (rn == 1).alias("__rep"),
+    )
+    w_key = Window.partitionBy(*by)
+    rep_s = F.when(F.col("__rep") & F.col("__s_mu").isNotNull(), F.col("__s_mu"))
+    c_mu = F.round(
+        F.sum(rep_s).over(w_key)
+        / F.sum(rep_s.isNotNull().cast("long")).over(w_key),
+        0,
+    ).cast("long")
+    trend_mu = F.when(
+        F.col("__nw") == win,
+        F.round(F.col("__sw") * F.lit(1_000_000) / F.lit(win), 0).cast(
+            "long"
+        ),
+    )
+    seasonal_mu = F.when(
+        F.col("__nw") == win, F.col("__s_mu") - c_mu
+    )
+    return (
+        staged.where(F.col("__s_mu").isNotNull())
+        .select(
+            *by,
+            bucket_col,
+            F.col("__y").alias("y"),
+            trend_mu.alias("trend_mu"),
+            seasonal_mu.alias("seasonal_mu"),
+            (
+                F.col("__y") * F.lit(1_000_000)
+                - trend_mu
+                - seasonal_mu
+            ).alias("resid_mu"),
+        )
     )
