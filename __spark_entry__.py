@@ -120,6 +120,7 @@ from go_muse_spark.operators.terms import (
     repetition_ratio,
     tfidf_top_terms,
     unigram_logprob,
+    pmi_pairs,
 )
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.matrix_profile import (
@@ -628,6 +629,27 @@ def q_tfidf_top3(spark, sf_dir):
         "df",
         F.round(F.col("tfidf") * 1e6, 0).cast("long").alias("tfidf_u"),
         "rnk",
+    )
+
+
+def q_pmi_pairs_docs(spark, sf_dir):
+    """Token co-occurrence PMI (operators/terms.py pmi_pairs) — the
+    collocation-mining pass of a corpus pipeline: ln(c_ab*N/(c_a*c_b))
+    over presence counts, candidate pairs bounded to the top-60 vocab
+    BEFORE the doc-keyed self-join (deterministic count-then-token
+    cut), pairs seen < 3 times dropped. All counts exact integers; ln
+    is the only libm call (rounded 1e-6, the unigram_logprob
+    precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    out = pmi_pairs(docs, n_docs, top_vocab=60, min_pair=3)
+    return out.select(
+        "tok_a",
+        "tok_b",
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.round(F.col("pmi") * 1e6, 0).cast("long").alias("pmi_u"),
     )
 
 
@@ -2104,6 +2126,47 @@ def q_histq_1d(spark, sf_dir):
     )
 
 
+def q_histq_ladder_1d(spark, sf_dir):
+    """The stored-HISTOGRAM quantile ladder — the quantile member of
+    the sketch-ladder family (counts = tiers, distinct = HLL blobs,
+    frequency = Count-Min, quantiles = this): build per-HOUR fixed-
+    width histograms, SUM-merge the bin counts to days (histograms are
+    linear — no raw rescan, O(bins) state per bucket), then
+    histogram_quantile p50/p95 per (day, event_type). The oracle
+    builds the day histogram directly from raw events, so equality
+    proves the 1h->1d merge is lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    evh = ev.select(
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("ts") % F.lit(3600)
+        ).alias("h"),
+        "event_type",
+        "value",
+    )
+    h1h = value_histogram(
+        evh, "value", lo=0.0, width=32.0, n_bins=16,
+        dims=("h", "event_type"),
+    )
+    h1d = (
+        h1h.groupBy(
+            (F.col("h") - F.col("h") % F.lit(86400)).alias("bucket_epoch"),
+            "event_type",
+            "bin_idx",
+        )
+        .agg(F.sum("n").alias("n"))
+    )
+    out = histogram_quantile(
+        h1d, (0.5, 0.95), lo=0.0, width=32.0,
+        dims=("bucket_epoch", "event_type"),
+    )
+    return out.select(
+        "bucket_epoch",
+        "event_type",
+        "q",
+        F.round(F.col("qvalue") * 1e6, 0).cast("long").alias("qvalue_u"),
+    )
+
+
 def q_alert_episodes(spark, sf_dir):
     """Alert-manager incident merging: value >= 200 breaches within 2h
     of each other collapse into one episode per user with span, count
@@ -2681,6 +2744,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_traffic_value": q_corr_traffic_value,
         "rollup_dims": q_rollup_dims,
         "tfidf_top3": q_tfidf_top3,
+        "pmi_pairs_docs": q_pmi_pairs_docs,
         "twa_1h": q_twa_1h,
         "state_dur_1d": q_state_dur_1d,
         "funnel_vcp": q_funnel_vcp,
@@ -2692,6 +2756,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_1h": q_acf_1h,
         "instant_snapshot": q_instant_snapshot,
         "histq_1d": q_histq_1d,
+        "histq_ladder_1d": q_histq_ladder_1d,
         "alert_episodes_2h": q_alert_episodes,
         "contaminated_docs": q_contaminated_docs,
         "pack_512": q_pack_512,
@@ -3841,6 +3906,34 @@ WITH w AS (
 )
 SELECT user_id, event_type, t_us, vmu FROM rk WHERE rn = 1
 """,
+        "histq_ladder_1d": """
+WITH b AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400 AS bucket_epoch, event_type,
+         cast(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS int)
+           AS bin_idx
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+), h AS (
+  SELECT bucket_epoch, event_type, bin_idx, cast(count(*) AS bigint) AS n
+  FROM b GROUP BY 1, 2, 3
+), c AS (
+  SELECT bucket_epoch, event_type, bin_idx, n,
+         cast(sum(n) OVER (PARTITION BY bucket_epoch, event_type
+                           ORDER BY bin_idx) AS bigint) AS cum,
+         cast(sum(n) OVER (PARTITION BY bucket_epoch, event_type)
+              AS bigint) AS tot
+  FROM h
+), e AS (
+  SELECT c.*, l.q
+  FROM c CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q) l
+)
+SELECT bucket_epoch, event_type, q,
+       cast(round((0.0 + cast(bin_idx AS double) * 32.0
+                   + 32.0 * (q * tot - (cum - n)) / n) * 1e6)
+            AS bigint) AS qvalue_u
+FROM e
+WHERE cum >= q * tot AND (cum - n) < q * tot
+""",
         "histq_1d": """
 WITH b AS (
   SELECT event_type,
@@ -4154,6 +4247,31 @@ SELECT cast(f.ck * 86400 AS bigint) AS cohort_epoch,
        count(*) AS n_users
 FROM d JOIN f USING (user_id)
 GROUP BY 1, 2
+""",
+        # day-granularity presence PMI; vocab cut replayed with the
+        # same count-then-token deterministic ordering
+        "pmi_pairs_docs": """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), t2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), counts AS (
+  SELECT tok, cast(count(*) AS bigint) AS c FROM t2 GROUP BY 1
+), vocab AS (
+  SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 60
+), kept AS (
+  SELECT t.doc_id, t.tok FROM t2 t JOIN vocab v USING (tok)
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, cast(count(*) AS bigint) AS c_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), nd AS (SELECT cast(count(*) AS bigint) AS n FROM documents)
+SELECT tok_a, tok_b, c_ab, va.c AS c_a, vb.c AS c_b,
+       cast(round(ln(c_ab * n / (va.c * vb.c)) * 1e6) AS bigint) AS pmi_u
+FROM pairs
+JOIN vocab va ON va.tok = pairs.tok_a
+JOIN vocab vb ON vb.tok = pairs.tok_b, nd
 """,
         "tfidf_top3": """
 WITH toks AS (

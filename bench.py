@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "priority_sample_docs",
     "cm_heavy_1d",
     "stl_1h",
+    "pmi_pairs_docs",
+    "histq_ladder_1d",
     "counter_rate_1h",
     "moving_avg_24h",
     "m4_1d",

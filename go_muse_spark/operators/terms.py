@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tfidf_top_terms",
+    "pmi_pairs",
     "ngram_diversity",
     "unigram_logprob",
     "repetition_ratio",
@@ -216,4 +217,83 @@ def repetition_ratio(
             )
             / F.sum("c")
         ).alias("dup_ratio"),
+    )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    n_docs: int,
+    top_vocab: int = 200,
+    min_pair: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information of token co-occurrence at document
+    granularity — the collocation/phrase-mining primitive ("which words
+    appear together far more than chance?") a corpus-analysis pass runs
+    before building phrase vocabularies or detecting templated spam:
+
+        pmi(a,b) = ln( (c_ab * N) / (c_a * c_b) )
+
+    over PRESENCE counts (distinct tokens per doc), pairs emitted once
+    with tok_a < tok_b, pairs below ``min_pair`` dropped.
+
+    Scale shape: the pair space is quadratic in per-doc vocabulary, so
+    the candidate set is bounded BEFORE the self-join — only the
+    ``top_vocab`` most-frequent tokens participate (ties broken by
+    token, so the cut is deterministic), via a broadcast semi-join;
+    per-doc fanout is then <= min(doc_len, top_vocab)^2 regardless of
+    corpus size. The self-join keys on the doc id (even spread), the
+    pair aggregate is one hash agg with map-side partials, and the two
+    unigram-count joins broadcast the vocab. Same candidate-bounding
+    shape as stats.corr_pairs.
+
+    Numeric contract: c_a, c_b, c_ab, N are exact integers; the ratio
+    is one exact-operand double division and ln is the only libm call
+    (contract queries round at 1e-6 — the unigram_logprob precedent).
+
+    Returns (tok_a, tok_b, c_ab, c_a, c_b, pmi).
+    """
+    if top_vocab < 2:
+        raise ValueError("top_vocab must be >= 2")
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # TakeOrderedAndProject (per-partition k-heap + driver merge), not a
+    # global row_number window — the vocab table is corpus-vocabulary-
+    # sized and must never funnel through one task
+    vocab = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(
+        top_vocab
+    )
+    kept = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(b, (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+               & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair)
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.log(
+                F.col("c_ab") * F.lit(int(n_docs))
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("pmi"),
+        )
     )

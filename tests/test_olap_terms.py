@@ -390,3 +390,70 @@ def test_rolling_distinct_wau_semantics(spark):
     assert got == {0: 2, 1: 2, 2: 2, 3: 2}
     with pytest.raises(ValueError):
         rolling_distinct(ev, "user", 0)
+
+
+def test_pmi_pairs_hand_fixture(spark):
+    from go_muse_spark.operators.terms import pmi_pairs
+    import math
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b c"), (4, "c d")],
+        "doc_id long, text string",
+    )
+    out = pmi_pairs(docs, 4, top_vocab=10, min_pair=1).collect()
+    got = {(r["tok_a"], r["tok_b"]): r for r in out}
+    # presence counts: a=3, b=3, c=2, d=1; pair (a,b)=3, (b,c)=1, (a,c)=1,
+    # (c,d)=1
+    r = got[("a", "b")]
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (3, 3, 3)
+    assert abs(r["pmi"] - math.log(3 * 4 / 9)) < 1e-12
+    # duplicated tokens inside one doc count once (presence, not freq)
+    out2 = pmi_pairs(
+        spark.createDataFrame([(1, "x x y")], "doc_id long, text string"),
+        1, top_vocab=10, min_pair=1,
+    ).collect()
+    assert out2[0]["c_ab"] == 1 and out2[0]["c_a"] == 1
+    # vocab bound: with top_vocab=2 only the 2 most frequent tokens
+    # (a, b — ties broken by token) can pair
+    out3 = pmi_pairs(docs, 4, top_vocab=2, min_pair=1).collect()
+    assert {(r["tok_a"], r["tok_b"]) for r in out3} == {("a", "b")}
+    # min_pair drops singletons
+    out4 = pmi_pairs(docs, 4, top_vocab=10, min_pair=2).collect()
+    assert {(r["tok_a"], r["tok_b"]) for r in out4} == {("a", "b")}
+    with pytest.raises(ValueError):
+        pmi_pairs(docs, 4, top_vocab=1)
+
+
+def test_histogram_ladder_merge_is_lossless(spark):
+    """Summing fine-bucket histogram bins to a coarse bucket equals
+    building the coarse histogram from raw rows (histogram linearity —
+    the invariant behind the stored-histogram quantile ladder)."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from go_muse_spark.operators.olap import value_histogram
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(minutes=7 * i), float((i * 37) % 500))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    evh = ev.select(
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 3600).alias("h"),
+        "value",
+    )
+    fine = value_histogram(evh, "value", 0.0, 32.0, 16, dims=("h",))
+    laddered = (
+        fine.groupBy(
+            (F.col("h") - F.col("h") % 86400).alias("d"), "bin_idx"
+        ).agg(F.sum("n").alias("n"))
+    )
+    evd = ev.select(
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 86400).alias("d"),
+        "value",
+    )
+    direct = value_histogram(evd, "value", 0.0, 32.0, 16, dims=("d",))
+    a = {(r["d"], r["bin_idx"]): r["n"] for r in laddered.collect()}
+    b = {(r["d"], r["bin_idx"]): r["n"] for r in direct.collect()}
+    assert a == b
