@@ -61,6 +61,7 @@ from go_muse_spark.operators.downsample import (
     top_series_per_bucket,
 )
 from go_muse_spark.operators.joins import (
+    asof_nearest_join,
     asof_interp_join,
     asof_join,
     interval_join,
@@ -1081,6 +1082,31 @@ def q_asof_interp_click(spark, sf_dir):
         F.round(F.col("value_i") * 1e6, 0).cast("long").alias("v_interp_u"),
         F.unix_micros(F.col("ts_prev").cast("timestamp")).alias("tp_us"),
         F.unix_micros(F.col("ts_next").cast("timestamp")).alias("tn_us"),
+    )
+
+
+def q_asof_nearest_click(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof direction="nearest"
+    semantics incl. ties-resolve-backward): each click picks the
+    user's CLOSEST view in time, before or after. Same one-exchange
+    union+two-frame plan as the interp join, different final pick; the
+    oracle is two of DuckDB's NATIVE ASOF joins (>= backward, <=
+    forward) with the nearest pick replayed on exact epoch-microsecond
+    distances — an independent implementation, not the same algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    out = asof_nearest_join(clicks, views, ["user_id"], "value")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value_n"), 6).alias("v_nearest"),
+        F.unix_micros(F.col("ts_match").cast("timestamp")).alias("tm_us"),
     )
 
 
@@ -2670,6 +2696,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_motifs_1d": q_mp_motifs_1d,
         "mp_discords_1d": q_mp_discords_1d,
         "asof_interp_click": q_asof_interp_click,
+        "asof_nearest_click": q_asof_nearest_click,
         "prom_increase_1h": q_prom_increase_1h,
         "uniques_hll_1d": q_uniques_hll_1d,
         "corr_pairs_1d": q_corr_pairs_1d,
@@ -2948,6 +2975,34 @@ JOIN cent ON cent.user_id = dd.user_id
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     d = _oracle_sql_base(stop_list)
+    # two native DuckDB ASOF joins + the nearest pick on exact integer
+    # distances — an independent implementation of nearest semantics
+    d["asof_nearest_click"] = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, round(value, 6) AS value
+  FROM events WHERE event_type = 'view'
+), bwd AS (
+  SELECT c.user_id, c.event_id, c.ts, v.ts AS tp, v.value AS vp
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+), fwd AS (
+  SELECT c.user_id, c.event_id, c.ts, v.ts AS tn, v.value AS vn
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND c.ts < v.ts
+)
+SELECT b.user_id, b.event_id, epoch_us(b.ts) AS t_us,
+       CASE WHEN f.tn IS NOT NULL AND (b.tp IS NULL OR
+                 epoch_us(f.tn) - epoch_us(b.ts)
+                   < epoch_us(b.ts) - epoch_us(b.tp))
+            THEN round(f.vn, 6) ELSE round(b.vp, 6) END AS v_nearest,
+       CASE WHEN f.tn IS NOT NULL AND (b.tp IS NULL OR
+                 epoch_us(f.tn) - epoch_us(b.ts)
+                   < epoch_us(b.ts) - epoch_us(b.tp))
+            THEN epoch_us(f.tn) ELSE epoch_us(b.tp) END AS tm_us
+FROM bwd b JOIN fwd f USING (user_id, event_id, ts)
+"""
     d["asof_interp_click"] = """
 WITH l AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "corpus_prep_full",
     "asof_click_view",
+    "asof_nearest_click",
     "asof_click_view_bucketed",
     "sessionize_8h",
     "interval_click_attrib",

@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "asof_interp_join", "interval_join"]
+__all__ = [
+    "asof_join",
+    "asof_interp_join",
+    "asof_nearest_join",
+    "interval_join",
+]
 
 
 def interval_join(
@@ -339,12 +344,53 @@ def asof_interp_join(
     range-join blowup; the lerp itself is whole-stage-codegen
     arithmetic on exact epoch-microsecond integers.
     """
+    return _asof_bracket(
+        left, right, on, value_col, ts_col, suffix, "interp"
+    )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    suffix: str = "_n",
+) -> DataFrame:
+    """Nearest as-of join: each left row picks whichever right row is
+    CLOSEST in time — before or after — within the same key (pandas
+    ``merge_asof(direction="nearest")`` semantics, incl. its tie rule:
+    equal distance resolves BACKWARD). The lookup a label-alignment or
+    sensor-fusion step wants when "latest at-or-before" is wrong for
+    rows that sit just before a fresh reading.
+
+    Output = all left columns plus ``{value_col}{suffix}`` (double,
+    NULL when the key has no right rows) and ``{ts_col}_match`` (the
+    chosen right timestamp). Same single-exchange union+two-frame plan
+    as asof_interp_join — nearest is just a different final pick over
+    the same prev/next carry.
+    """
+    return _asof_bracket(
+        left, right, on, value_col, ts_col, suffix, "nearest"
+    )
+
+
+def _asof_bracket(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    value_col: str,
+    ts_col: str,
+    suffix: str,
+    mode: str,
+) -> DataFrame:
     reserved = {"__r", "__is_left", "__prev", "__next"}
-    out_names = {f"{value_col}{suffix}", f"{ts_col}_prev", f"{ts_col}_next"}
+    out_names = {f"{value_col}{suffix}", f"{ts_col}_prev", f"{ts_col}_next",
+                 f"{ts_col}_match"}
     clash = (reserved | out_names) & set(left.columns)
     if clash:
         raise ValueError(
-            f"asof_interp_join: left column(s) {sorted(clash)} collide "
+            f"asof bracket join: left column(s) {sorted(clash)} collide "
             f"with output or reserved internal names — rename them or "
             f"pass a different suffix"
         )
@@ -395,6 +441,18 @@ def asof_interp_join(
     tn = F.unix_micros(F.col("__next.__ts"))
     vp = F.col("__prev.__v")
     vn = F.col("__next.__v")
+    if mode == "nearest":
+        # backward unless the forward row is STRICTLY closer (pandas
+        # tie rule); prev distance is >= 0 since prev is inclusive
+        use_next = F.col("__next").isNotNull() & (
+            F.col("__prev").isNull() | ((tn - t) < (t - tp))
+        )
+        pick = F.when(use_next, F.col("__next")).otherwise(F.col("__prev"))
+        return carried.select(
+            *lcols,
+            pick["__v"].alias(f"{value_col}{suffix}"),
+            pick["__ts"].alias(f"{ts_col}_match"),
+        )
     interp = (
         F.when(F.col("__prev").isNull(), F.lit(None).cast("double"))
         .when(tp == t, vp)

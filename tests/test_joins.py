@@ -382,3 +382,43 @@ def test_asof_interp_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         asof_interp_join(left, right, ["k"], "value")
+
+
+def test_asof_nearest_pandas_parity(spark):
+    """nearest direction incl. the pandas tie rule (equal distance ->
+    backward) and edge cases: no prev, no next, exact hit."""
+    import datetime as dt
+    from go_muse_spark.operators.joins import asof_nearest_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=s))
+         for s in (0, 10, 14, 15, 16, 40)],
+        "k string, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=10), 1.0),
+         ("k", t0 + dt.timedelta(seconds=20), 2.0),
+         ("z", t0, 9.0)],
+        "k string, ts timestamp, value double",
+    )
+    out = {r["ts"].second: (r["value_n"], r["ts_match"].second)
+           for r in asof_nearest_join(L, R, ["k"], "value").collect()}
+    assert out[0] == (1.0, 10)    # no prev -> forward
+    assert out[10] == (1.0, 10)   # exact hit -> distance 0, backward
+    assert out[14] == (1.0, 10)   # 4s back vs 6s fwd
+    assert out[15] == (1.0, 10)   # TIE (5s both) -> backward (pandas)
+    assert out[16] == (2.0, 20)   # 6s back vs 4s fwd
+    assert out[40] == (2.0, 20)   # no next -> backward
+    # key with no right rows at all -> NULLs
+    L2 = spark.createDataFrame([("nope", t0)], "k string, ts timestamp")
+    r2 = asof_nearest_join(L2, R, ["k"], "value").collect()[0]
+    assert r2["value_n"] is None and r2["ts_match"] is None
+    # pandas cross-check on the same data
+    import pandas as pd
+    lp = L.toPandas().sort_values("ts")
+    rp = R.toPandas().sort_values("ts")
+    m = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    want = {t.second: v for t, v in zip(m["ts"], m["value"])}
+    got = {s: v for s, (v, _) in out.items()}
+    assert got == want
