@@ -28,6 +28,7 @@ from go_muse_spark.operators.compress import (
 )
 from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.rollup import (
+    prom_irate,
     moving_quantile,
     counter_rate,
     prom_increase,
@@ -327,6 +328,26 @@ def q_counter_rate_1h(spark, sf_dir):
         F.round(F.col("value") * 1e6, 0).cast("long").alias("value_u"),
         F.round(F.col("delta") * 1e6, 0).cast("long").alias("delta_u"),
         F.round(F.col("rate_per_s") * 1e6, 0).cast("long").alias("rate_u"),
+    )
+
+
+def q_irate_1h(spark, sf_dir):
+    """PromQL-exact irate(): instantaneous per-second rate from each
+    hour bucket's LAST TWO samples, reset-corrected (a drop means the
+    counter reset, so the post-reset value is the increase — the
+    published instantValue rule). One exchange on (user, bucket); the
+    descending row_number and the closing pivot aggregate share keys.
+    The raw event stream is non-monotone, so the reset branch fires."""
+    ev = load_table(spark, sf_dir, "events")
+    out = prom_irate(
+        ev, "value", tier="1h", by=("user_id",), order_cols=("event_id",)
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.round(F.col("delta") * 1e6, 0).cast("long").alias("delta_u"),
+        F.round(F.col("irate_per_s") * 1e6, 0).cast("long").alias("irate_u"),
     )
 
 
@@ -2763,6 +2784,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": q_rollup_1d,
         "rollup_1h_quantiles": q_rollup_1h_quantiles,
         "counter_rate_1h": q_counter_rate_1h,
+        "irate_1h": q_irate_1h,
         "moving_avg_24h": q_moving_avg_24h,
         "m4_1d": q_m4_1d,
         "ewma_1h": q_ewma_1h,
@@ -4365,6 +4387,30 @@ WITH r AS (
 )
 SELECT user_id, bucket_ts, turn_cnt, cast(rnk AS int) AS rnk
 FROM rk WHERE rnk <= 5
+""",
+        "irate_1h": """
+WITH t AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         epoch_us(ts) AS t_us, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), a AS (
+  SELECT user_id, bucket_ts,
+         cast(count(*) AS bigint) AS n_samples,
+         max(CASE WHEN rn = 1 THEN value END) AS lv,
+         max(CASE WHEN rn = 2 THEN value END) AS pv,
+         max(CASE WHEN rn = 1 THEN t_us END) AS l_us,
+         max(CASE WHEN rn = 2 THEN t_us END) AS p_us
+  FROM t WHERE rn <= 2 GROUP BY 1, 2
+)
+SELECT user_id, bucket_ts, n_samples,
+       cast(round((CASE WHEN lv < pv THEN lv ELSE lv - pv END) * 1e6)
+            AS bigint) AS delta_u,
+       cast(round((CASE WHEN lv < pv THEN lv ELSE lv - pv END)
+                  * 1000000.0 / (l_us - p_us) * 1e6)
+            AS bigint) AS irate_u
+FROM a WHERE n_samples = 2 AND l_us > p_us
 """,
         "counter_rate_1h": """
 WITH r AS (

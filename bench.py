@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "pmi_pairs_docs",
     "histq_ladder_1d",
     "counter_rate_1h",
+    "irate_1h",
     "moving_avg_24h",
     "m4_1d",
     "ewma_1h",

@@ -25,6 +25,7 @@ __all__ = [
     "rollup_all_tiers",
     "counter_rate",
     "prom_increase",
+    "prom_irate",
     "moving_aggregate",
     "moving_quantile",
 ]
@@ -330,3 +331,82 @@ def moving_quantile(
             .alias(f"p_{int(round(p * 100))}")
         )
     return rolled.select(*cols)
+
+
+def prom_irate(
+    samples,
+    value_col: str,
+    tier: str = "1h",
+    by: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    counter: bool = True,
+    order_cols: tuple[str, ...] = (),
+):
+    """PromQL-exact irate() per tumbling tier bucket: the INSTANTANEOUS
+    per-second rate from the bucket's last two samples —
+
+        irate = (last < prev ? last : last - prev) / (t_last - t_prev)
+
+    (the published instantValue rule: a drop means the counter reset,
+    so the post-reset value IS the increase). Where rate()/increase()
+    average over the whole window, irate tracks fast-moving counters
+    at scrape granularity; it is the right-edge derivative a latency
+    dashboard's "current QPS" tile shows.
+
+    Buckets need >= 2 samples with distinct timestamps (like
+    Prometheus); others are dropped. ``order_cols`` break same-
+    timestamp ties deterministically.
+
+    Plan: ONE exchange on (by, bucket) — the descending row_number and
+    the closing aggregate share keys, so Catalyst reuses the
+    partitioning; the conditional-max pivot of the top-2 rows and the
+    single delta/span division are whole-stage codegen on exact
+    epoch-microsecond integers (SQL-oracle-replayable).
+
+    Returns (by..., bucket_ts, n_samples, delta, irate_per_s).
+    """
+    from pyspark.sql import Window
+
+    unit, _, _ = TIERS[tier]
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    # order on the projected epoch column — the raw ts_col is pruned
+    # away by the select below (micros preserve the full ordering)
+    order = [
+        F.col("__t_us").desc(),
+        *[F.col(c).desc() for c in order_cols],
+    ]
+    w = Window.partitionBy(*by, "bucket_ts").orderBy(*order)
+    tagged = samples.select(
+        *by,
+        b,
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t_us"),
+        *order_cols,
+        F.col(value_col).cast("double").alias("__v"),
+    ).withColumn("__rn", F.row_number().over(w))
+    top2 = tagged.where(F.col("__rn") <= 2)
+    agg = top2.groupBy(*by, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__v"))).alias("__lv"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__v"))).alias("__pv"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__t_us"))).alias("__l_us"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__t_us"))).alias("__p_us"),
+    )
+    if counter:
+        delta = F.when(
+            F.col("__lv") < F.col("__pv"), F.col("__lv")
+        ).otherwise(F.col("__lv") - F.col("__pv"))
+    else:
+        delta = F.col("__lv") - F.col("__pv")
+    span_us = (F.col("__l_us") - F.col("__p_us")).cast("double")
+    return (
+        agg.where(
+            (F.col("n_samples") == 2) & (F.col("__l_us") > F.col("__p_us"))
+        )
+        .select(
+            *by,
+            "bucket_ts",
+            "n_samples",
+            delta.alias("delta"),
+            (delta * F.lit(1_000_000.0) / span_us).alias("irate_per_s"),
+        )
+    )

@@ -116,3 +116,51 @@ def test_buckets_are_independent(spark):
     assert abs(
         out[H0 + dt.timedelta(hours=1)]["increase"] - _expected(b1)
     ) < 1e-9
+
+
+def test_irate_hand_fixtures(spark):
+    """irate: last-two-samples rate, reset rule, tie-break, and the
+    <2-samples / zero-span drop rules."""
+    import datetime as dt
+    from pyspark.sql import functions as F  # noqa: F401
+    from go_muse_spark.operators.rollup import prom_irate
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # series a, one bucket: samples at :00 v=10, :10 v=16, :40 v=31
+        # -> irate from (:10,16)->(:40,31): 15/30 = 0.5/s
+        ("a", t0, 1, 10.0),
+        ("a", t0 + dt.timedelta(seconds=10), 2, 16.0),
+        ("a", t0 + dt.timedelta(seconds=40), 3, 31.0),
+        # series b: counter RESET (40 -> 5): increase = post-reset value
+        ("b", t0, 4, 40.0),
+        ("b", t0 + dt.timedelta(seconds=20), 5, 5.0),
+        # series c: single sample -> dropped
+        ("c", t0, 6, 7.0),
+        # series d: two samples at the SAME ts -> zero span, dropped
+        ("d", t0, 7, 1.0),
+        ("d", t0, 8, 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "k string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r["k"]: r
+        for r in prom_irate(
+            ev, "value", tier="1h", by=("k",), order_cols=("event_id",)
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert out["a"]["delta"] == 15.0
+    assert abs(out["a"]["irate_per_s"] - 0.5) < 1e-12
+    assert out["b"]["delta"] == 5.0  # reset: post-reset value
+    assert abs(out["b"]["irate_per_s"] - 0.25) < 1e-12
+    # gauge mode: no reset correction, delta goes negative
+    g = {
+        r["k"]: r
+        for r in prom_irate(
+            ev, "value", tier="1h", by=("k",), counter=False,
+            order_cols=("event_id",),
+        ).collect()
+    }
+    assert g["b"]["delta"] == -35.0
