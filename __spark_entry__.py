@@ -6,10 +6,14 @@ DuckDB SQL. Column names and float rounding are aligned on both sides so
 the driver's order-insensitive value-hash comparison is meaningful.
 
 The `events` table is adapted into the engine's transcript contract
-(sources/events.py): user -> conversation, event -> turn. Muse FFT search
-queries are not SQL-expressible; they appear without an oracle entry
-(rows-only check), with their numeric parity covered by the golden tests
-in tests/ (reference muse_test.go / muse_batch_test.go values).
+(sources/events.py): user -> conversation, event -> turn. EVERY entry in
+``queries()`` — including the muse FFT search family — has a matching
+``oracle_sql()`` value oracle: the FFT cross-correlation queries round
+scores to integer micro-units and the DuckDB side replays the same
+pooled-sum Pearson/lag algebra in SQL, so the driver's value-hash check
+covers all of them (since round 2; numeric parity with the reference's
+muse_test.go / muse_batch_test.go golden vectors is ADDITIONALLY covered
+by the pytest suite).
 """
 
 from __future__ import annotations
@@ -2706,11 +2710,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Ordered for evidence rotation: the driver's correctness
-        # gate samples the FIRST 50 entries, so queries it has
-        # never value-checked lead, then round-2-checked, then
-        # round-3 greens; every entry stays full-sweep green
+        # Evidence-rotation order: the driver's correctness gate
+        # samples the FIRST 50 entries, so never-driver-checked
+        # queries lead (irate/pmi/histq per VERDICT r4 item 3),
+        # then queries whose semantics changed this round (stl_1h:
+        # even-period half-weight MA), then the round-2-dated
+        # greens (oldest evidence), then round-3 greens; round-4
+        # greens close the list. Every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "irate_1h": q_irate_1h,
+        "pmi_pairs_docs": q_pmi_pairs_docs,
+        "histq_ladder_1d": q_histq_ladder_1d,
+        "stl_1h": q_stl_1h,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "langid": q_langid,
+        "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
+        "quality_score": q_quality_score,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "muse_topk_1h": q_muse_topk_1h,
+        "muse_signed_1h": q_muse_signed_1h,
+        "muse_incremental_1h": q_muse_incremental_1h,
+        "muse_grouped_1h": q_muse_grouped_1h,
+        "muse_over_chunks_1h": q_muse_over_chunks_1h,
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "rollup_1h_quantiles": q_rollup_1h_quantiles,
+        "counter_rate_1h": q_counter_rate_1h,
+        "moving_avg_24h": q_moving_avg_24h,
+        "m4_1d": q_m4_1d,
+        "ewma_1h": q_ewma_1h,
+        "top_users_1d": q_top_users_1d,
+        "zscore_24h": q_zscore_24h,
+        "corr_traffic_value": q_corr_traffic_value,
+        "rollup_dims": q_rollup_dims,
+        "tfidf_top3": q_tfidf_top3,
+        "twa_1h": q_twa_1h,
+        "state_dur_1d": q_state_dur_1d,
+        "funnel_vcp": q_funnel_vcp,
+        "cohort_1d": q_cohort_1d,
+        "lttb_1d": q_lttb_1d,
+        "uniques_1h": q_uniques_1h,
+        "hist_value_1d": q_hist_value_1d,
+        "cusum_1h": q_cusum_1h,
+        "acf_1h": q_acf_1h,
+        "instant_snapshot": q_instant_snapshot,
+        "histq_1d": q_histq_1d,
+        "alert_episodes_2h": q_alert_episodes,
+        "contaminated_docs": q_contaminated_docs,
+        "pack_512": q_pack_512,
+        "seasonal_profile": q_seasonal_profile,
         "matrix_profile_1d": q_matrix_profile_1d,
         "matrix_profile_1h": q_matrix_profile_1h,
         "matrix_profile_seg_1d": q_matrix_profile_seg_1d,
@@ -2739,7 +2796,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "priority_sample_docs": q_priority_sample_docs,
         "cm_heavy_1d": q_cm_heavy_1d,
-        "stl_1h": q_stl_1h,
         "corpus_prep": q_corpus_prep,
         "muse_grouped_dims_1h": q_muse_grouped_dims_1h,
         "gapfill_zero_1h": _gapfill_zero_1h,
@@ -2761,55 +2817,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_near_dups": q_minhash_near_dups,
         "dedup_clusters": q_dedup_clusters,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "doc_fingerprint": q_doc_fingerprint,
-        "langid": q_langid,
-        "token_stats": q_token_stats,
-        "bpe_token_stats": q_bpe_token_stats,
-        "quality_score": q_quality_score,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_multiprobe_topk": q_ann_multiprobe_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "muse_topk_1h": q_muse_topk_1h,
-        "muse_signed_1h": q_muse_signed_1h,
-        "muse_incremental_1h": q_muse_incremental_1h,
-        "muse_grouped_1h": q_muse_grouped_1h,
-        "muse_over_chunks_1h": q_muse_over_chunks_1h,
-        "rollup_1m": q_rollup_1m,
-        "rollup_1h": q_rollup_1h,
-        "rollup_1d": q_rollup_1d,
-        "rollup_1h_quantiles": q_rollup_1h_quantiles,
-        "counter_rate_1h": q_counter_rate_1h,
-        "irate_1h": q_irate_1h,
-        "moving_avg_24h": q_moving_avg_24h,
-        "m4_1d": q_m4_1d,
-        "ewma_1h": q_ewma_1h,
-        "top_users_1d": q_top_users_1d,
-        "zscore_24h": q_zscore_24h,
-        "corr_traffic_value": q_corr_traffic_value,
-        "rollup_dims": q_rollup_dims,
-        "tfidf_top3": q_tfidf_top3,
-        "pmi_pairs_docs": q_pmi_pairs_docs,
-        "twa_1h": q_twa_1h,
-        "state_dur_1d": q_state_dur_1d,
-        "funnel_vcp": q_funnel_vcp,
-        "cohort_1d": q_cohort_1d,
-        "lttb_1d": q_lttb_1d,
-        "uniques_1h": q_uniques_1h,
-        "hist_value_1d": q_hist_value_1d,
-        "cusum_1h": q_cusum_1h,
-        "acf_1h": q_acf_1h,
-        "instant_snapshot": q_instant_snapshot,
-        "histq_1d": q_histq_1d,
-        "histq_ladder_1d": q_histq_ladder_1d,
-        "alert_episodes_2h": q_alert_episodes,
-        "contaminated_docs": q_contaminated_docs,
-        "pack_512": q_pack_512,
-        "seasonal_profile": q_seasonal_profile,
         "mad_outliers": q_mad_outliers,
         "ngram_diversity": q_ngram_diversity,
         "unigram_logprob": q_unigram_logprob,
