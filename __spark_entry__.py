@@ -33,6 +33,8 @@ from go_muse_spark.operators.compress import (
 from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.rollup import (
     prom_irate,
+    prom_rate,
+    prom_resets,
     moving_quantile,
     counter_rate,
     prom_increase,
@@ -352,6 +354,48 @@ def q_irate_1h(spark, sf_dir):
         "n_samples",
         F.round(F.col("delta") * 1e6, 0).cast("long").alias("delta_u"),
         F.round(F.col("irate_per_s") * 1e6, 0).cast("long").alias("irate_u"),
+    )
+
+
+def q_rate_1h(spark, sf_dir):
+    """PromQL-exact rate(): the extrapolated hourly increase of a
+    per-user monotone counter divided by the range width (3600s) —
+    the published extrapolatedRate rule with isRate=true, the curve
+    real dashboards actually graph. Same single (user, bucket)
+    exchange as prom_increase_1h; the division is a projection."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ctr = ev.select("user_id", "ts", "event_id").withColumn(
+        "ctr", F.row_number().over(w).cast("double")
+    )
+    out = prom_rate(
+        ctr, "ctr", "1h", by=("user_id",), order_cols=("event_id",)
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.col("raw_increase").cast("long").alias("raw_inc"),
+        F.round(F.col("increase") * 1e6, 0).cast("long").alias("inc_u"),
+        F.round(F.col("rate_per_s") * 1e6, 0).cast("long").alias("rate_u"),
+    )
+
+
+def q_resets_1d(spark, sf_dir):
+    """PromQL resets(): per-user daily count of strict decreases in the
+    raw (non-monotone) value stream — each drop below the in-bucket
+    predecessor is one reset, so the "how often did this counter
+    restart today" alert is one lag + one aggregate sharing a single
+    (user, day) exchange. Single-sample buckets report 0."""
+    ev = load_table(spark, sf_dir, "events")
+    out = prom_resets(
+        ev, "value", tier="1d", by=("user_id",), order_cols=("event_id",)
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.col("resets").cast("long").alias("resets"),
     )
 
 
@@ -1260,9 +1304,10 @@ def q_stl_1h(spark, sf_dir):
     """Classical additive seasonal-trend decomposition (operators/
     stats.py classical_decompose): y = trend + seasonal + residual over
     the zero-filled hourly tier, period 24 — "is this hour's traffic
-    growth, time-of-day, or an actual event?". Detrended values are
-    carried as exact int64 (win*y - window_sum), so the only doubles
-    are three identical-operand divisions and the oracle replays every
+    growth, time-of-day, or an actual event?". The even-period trend is
+    the textbook 2xM half-weight MA, carried scaled-by-2 as a pure
+    int64 (48*y - (outer_sum + inner_sum)), so the only doubles are
+    three identical-operand divisions and the oracle replays every
     micro-unit bit-for-bit."""
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
     dense = gap_fill(rolled, "1h", ("turn_cnt",), mode="zero", align="conv")
@@ -2718,6 +2763,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens (oldest evidence), then round-3 greens; round-4
         # greens close the list. Every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "rate_1h": q_rate_1h,
+        "resets_1d": q_resets_1d,
         "irate_1h": q_irate_1h,
         "pmi_pairs_docs": q_pmi_pairs_docs,
         "histq_ladder_1d": q_histq_ladder_1d,
@@ -2948,9 +2995,11 @@ GROUP BY 1, 2, 3
 """
 
 
-# classical decomposition: detrended values carried as exact int64
-# (25*y - window_sum); the three divisions see identical integer
-# operands in both engines -> every _mu output is bit-equal
+# classical decomposition: the 2xM half-weight trend is carried scaled
+# by 2 as the pure int64 S = sum[-12..12] + sum[-11..11] (endpoints
+# once, interior twice); detrended values are 48*y - S, so the three
+# divisions see identical integer operands in both engines -> every
+# _mu output is bit-equal
 _STL_1H_ORACLE = """
 WITH r AS (
   SELECT cast(user_id AS varchar) AS user_id,
@@ -2968,18 +3017,20 @@ WITH r AS (
   FROM spine s LEFT JOIN r USING (user_id, bucket_ts)
 ), tr AS (
   SELECT user_id, bucket_ts, y,
-         cast(sum(y) OVER w AS bigint) AS sw,
+         cast(sum(y) OVER w + sum(y) OVER wi AS bigint) AS sw,
          count(*) OVER w AS nw,
          (epoch_us(bucket_ts) // 3600000000) % 24 AS ph
   FROM dense
   WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
-               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+         wi AS (PARTITION BY user_id ORDER BY bucket_ts
+                ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
 ), dd AS (
-  SELECT *, CASE WHEN nw = 25 THEN 25 * y - sw END AS d FROM tr
+  SELECT *, CASE WHEN nw = 25 THEN 48 * y - sw END AS d FROM tr
 ), seas AS (
   SELECT user_id, ph,
          cast(round(cast(sum(d) AS bigint) * 1000000
-                    / (25 * count(*)), 0) AS bigint) AS s_mu
+                    / (48 * count(*)), 0) AS bigint) AS s_mu
   FROM dd WHERE d IS NOT NULL GROUP BY 1, 2
 ), cent AS (
   SELECT user_id,
@@ -2989,11 +3040,11 @@ WITH r AS (
 )
 SELECT dd.user_id, dd.bucket_ts, dd.y,
        CASE WHEN nw = 25
-            THEN cast(round(sw * 1000000 / 25, 0) AS bigint) END AS trend_mu,
+            THEN cast(round(sw * 1000000 / 48, 0) AS bigint) END AS trend_mu,
        CASE WHEN nw = 25 THEN s_mu - c_mu END AS seasonal_mu,
        CASE WHEN nw = 25
             THEN dd.y * 1000000
-                 - cast(round(sw * 1000000 / 25, 0) AS bigint)
+                 - cast(round(sw * 1000000 / 48, 0) AS bigint)
                  - (s_mu - c_mu) END AS resid_mu
 FROM dd
 JOIN seas ON seas.user_id = dd.user_id AND seas.ph = dd.ph
@@ -3076,6 +3127,64 @@ SELECT cast(epoch(date_trunc('day', ts)) AS bigint) AS bucket_epoch,
        true AS direct_ok
 FROM events
 GROUP BY 1, 2
+"""
+    # rate() = the identical extrapolation, then / 3600 (isRate=true)
+    d["rate_1h"] = """
+WITH s AS (
+  SELECT user_id, ts,
+         cast(row_number() OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS double) AS v,
+         date_trunc('hour', ts) AS bucket_ts
+  FROM events
+), a AS (
+  SELECT user_id, bucket_ts,
+         count(*) AS n_samples,
+         min(epoch_us(ts)) AS f_us, max(epoch_us(ts)) AS l_us,
+         min(v) AS fv, max(v) AS lv
+  FROM s GROUP BY 1, 2
+), e AS (
+  SELECT user_id, bucket_ts, n_samples, f_us, l_us, fv, lv,
+         cast(l_us - f_us AS double) AS sampled,
+         cast(l_us - f_us AS double)
+           / cast(n_samples - 1 AS double) AS avgd,
+         cast(f_us - epoch_us(bucket_ts) AS double) AS dstart0,
+         cast(epoch_us(bucket_ts) + 3600000000 - l_us AS double) AS dend0
+  FROM a WHERE n_samples >= 2 AND l_us > f_us
+), x AS (
+  SELECT *,
+         CASE WHEN dstart0 >= 1.1 * avgd THEN avgd / 2
+              ELSE dstart0 END AS dstart1,
+         CASE WHEN dend0 >= 1.1 * avgd THEN avgd / 2
+              ELSE dend0 END AS dend1,
+         lv - fv AS raw
+  FROM e
+), y AS (
+  SELECT *,
+         CASE WHEN raw > 0 AND fv >= 0
+                   AND sampled * (fv / raw) < dstart1
+              THEN sampled * (fv / raw) ELSE dstart1 END AS dstart2
+  FROM x
+)
+SELECT user_id, bucket_ts, cast(n_samples AS bigint) AS n_samples,
+       cast(raw AS bigint) AS raw_inc,
+       cast(round(raw * ((sampled + dstart2 + dend1) / sampled) * 1e6)
+            AS bigint) AS inc_u,
+       cast(round(raw * ((sampled + dstart2 + dend1) / sampled)
+                  / 3600.0 * 1e6) AS bigint) AS rate_u
+FROM y
+"""
+    d["resets_1d"] = """
+WITH t AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, value,
+         lag(value) OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS pv
+  FROM events
+)
+SELECT user_id, bucket_ts,
+       cast(count(*) AS bigint) AS n_samples,
+       cast(sum(CASE WHEN value < pv THEN 1 ELSE 0 END) AS bigint) AS resets
+FROM t GROUP BY 1, 2
 """
     d["prom_increase_1h"] = """
 WITH s AS (
@@ -4396,12 +4505,17 @@ SELECT user_id, bucket_ts, turn_cnt, cast(rnk AS int) AS rnk
 FROM rk WHERE rnk <= 5
 """,
         "irate_1h": """
-WITH t AS (
-  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+WITH t0 AS (
+  SELECT user_id, event_id, date_trunc('hour', ts) AS bucket_ts,
          epoch_us(ts) AS t_us, value,
-         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rn
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts), ts
+                            ORDER BY event_id DESC) AS dup_rn
   FROM events
+), t AS (
+  SELECT user_id, bucket_ts, t_us, value,
+         row_number() OVER (PARTITION BY user_id, bucket_ts
+                            ORDER BY t_us DESC, event_id DESC) AS rn
+  FROM t0 WHERE dup_rn = 1
 ), a AS (
   SELECT user_id, bucket_ts,
          cast(count(*) AS bigint) AS n_samples,

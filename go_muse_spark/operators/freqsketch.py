@@ -118,17 +118,29 @@ def cm_estimate(
 
     The sketch is the broadcast side — it is O(buckets x d x w) cells
     by construction, so an arbitrarily large item list probes it
-    map-only with no exchange."""
+    map-only with no exchange.
+
+    When ``items`` carries no ``bucket_col``, the estimate is the
+    WHOLE-SPAN count: the sketch's buckets are first sum-merged into a
+    single sketch (CM is linear, same merge as cm_sketch_reagg), then
+    probed. Without that pre-merge a (j, cell)-only join would take
+    the min across per-bucket counters — a silently wrong estimate,
+    neither any bucket's count nor the total."""
     h = F.expr(item_sql).cast("long")
     probes = items.select(
         "*", F.posexplode(_cells(h, d, w)).alias("j", "cell")
     )
     item_cols = [c for c in items.columns]
+    if bucket_col in items.columns:
+        join_keys, probe_sketch = [bucket_col, "j", "cell"], sketch
+    else:
+        join_keys = ["j", "cell"]
+        probe_sketch = sketch.groupBy("j", "cell").agg(
+            F.sum("cnt").alias("cnt")
+        )
     joined = probes.join(
-        F.broadcast(sketch).withColumnRenamed("cnt", "__cnt"),
-        on=[bucket_col, "j", "cell"]
-        if bucket_col in items.columns
-        else ["j", "cell"],
+        F.broadcast(probe_sketch).withColumnRenamed("cnt", "__cnt"),
+        on=join_keys,
         how="left",
     )
     return (

@@ -357,25 +357,43 @@ def matrix_profile_segments(
     # Pack each segment's points ONCE (a point row joins by segment id,
     # never by point position), then join the packed segments onto the
     # pair grid — pair rows are O(segments^2), not row-quadratic.
-    a_side = segpts.groupBy(*keys, "seg").agg(
-        F.sort_array(
-            F.collect_list(F.struct("pos", value_col, ts_col))
-        ).alias("pts")
+    # Packing is position-aligned ARRAY columns (offset + values + ts),
+    # ordered JVM-side: sort_array on struct(pos, ...) sorts by the
+    # unique pos, and the transform()s peel aligned columns off it —
+    # the kernel then receives ready float64/timestamp vectors over
+    # Arrow instead of a list of per-point structs to unpack in Python.
+    packed = (
+        segpts.groupBy(*keys, "seg")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", value_col, ts_col))
+            ).alias("__p")
+        )
+        .select(
+            *keys,
+            "seg",
+            F.element_at("__p", 1)["pos"].alias("off"),
+            F.transform("__p", lambda x: x[value_col]).alias("vals"),
+            F.transform("__p", lambda x: x[ts_col]).alias("tss"),
+        )
     )
     paired = (
         grid.join(
-            a_side.select(
+            packed.select(
                 *keys,
                 F.col("seg").alias("seg_a"),
-                F.col("pts").alias("pts_a"),
+                F.col("off").alias("off_a"),
+                F.col("vals").alias("vals_a"),
+                F.col("tss").alias("tss_a"),
             ),
             [*keys, "seg_a"],
         )
         .join(
-            a_side.select(
+            packed.select(
                 *keys,
                 F.col("seg").alias("seg_b"),
-                F.col("pts").alias("pts_b"),
+                F.col("off").alias("off_b"),
+                F.col("vals").alias("vals_b"),
             ),
             [*keys, "seg_b"],
         )
@@ -393,13 +411,13 @@ def matrix_profile_segments(
 
     def score_pair(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, row in pdf.iterrows():
-            pa = sorted(row["pts_a"], key=lambda r: r["pos"])
-            pb = sorted(row["pts_b"], key=lambda r: r["pos"])
-            xa = np.array([r[value_col] for r in pa], dtype=np.float64)
-            xb = np.array([r[value_col] for r in pb], dtype=np.float64)
-            off_a = pa[0]["pos"]
-            off_b = pb[0]["pos"]
+        for i in range(len(pdf)):
+            # Arrow hands list<double> cells as ready numpy vectors;
+            # asarray is a view, not a per-point Python unpack
+            xa = np.asarray(pdf["vals_a"].iat[i], dtype=np.float64)
+            xb = np.asarray(pdf["vals_b"].iat[i], dtype=np.float64)
+            off_a = int(pdf["off_a"].iat[i])
+            off_b = int(pdf["off_b"].iat[i])
             corr, gidx = profile_ab(
                 xa,
                 xb,
@@ -409,35 +427,30 @@ def matrix_profile_segments(
                 exclusion=excl,
                 block=block,
             )
-            wa = corr.size
-            starts = off_a + np.arange(wa)
-            own_mask = (starts // seg_len) == row["seg_a"]
+            starts = off_a + np.arange(corr.size)
+            own_mask = (starts // seg_len) == pdf["seg_a"].iat[i]
             keep = own_mask & np.isfinite(corr)
             if not keep.any():
                 continue
+            tsa = np.asarray(pdf["tss_a"].iat[i])
             outs.append(
                 pd.DataFrame(
                     {
-                        **{k: row[k] for k in keys},
+                        **{k: pdf[k].iat[i] for k in keys},
                         "pos": starts[keep].astype(np.int32),
-                        ts_col: [
-                            pa[int(p) - off_a][ts_col]
-                            for p in starts[keep]
-                        ],
+                        ts_col: tsa[starts[keep] - off_a],
                         "mp_corr": corr[keep],
                         "mp_idx": gidx[keep].astype(np.int32),
                     }
                 )
             )
         if not outs:
+            # dtypes come from the declared pair_schema at the Arrow
+            # boundary — empty object columns coerce to ANY declared
+            # type (a hardcoded datetime64 here broke non-timestamp
+            # ts_col inputs, e.g. an epoch long bucket column)
             return pd.DataFrame(
-                {
-                    **{k: pd.Series([], dtype=object) for k in keys},
-                    "pos": pd.Series([], dtype="int32"),
-                    ts_col: pd.Series([], dtype="datetime64[ns]"),
-                    "mp_corr": pd.Series([], dtype="float64"),
-                    "mp_idx": pd.Series([], dtype="int32"),
-                }
+                columns=[f.name for f in pair_schema.fields]
             )
         return pd.concat(outs, ignore_index=True)
 

@@ -25,6 +25,8 @@ __all__ = [
     "rollup_all_tiers",
     "counter_rate",
     "prom_increase",
+    "prom_rate",
+    "prom_resets",
     "prom_irate",
     "moving_aggregate",
     "moving_quantile",
@@ -245,6 +247,78 @@ def prom_increase(
     )
 
 
+def prom_rate(
+    samples,
+    value_col: str,
+    tier: str = "1h",
+    by: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    counter: bool = True,
+    order_cols: tuple[str, ...] = (),
+):
+    """PromQL-exact rate() per tumbling tier bucket: the extrapolated
+    increase() divided by the range width in seconds (the published
+    extrapolatedRate rule with isRate=true — identical extrapolation,
+    one extra division). This is the primitive real dashboards graph;
+    increase() is rate() * range under the hood in Prometheus.
+
+    Plan: same single (by, bucket) exchange as prom_increase — the
+    division is a projection, no new shuffle.
+
+    Returns (by..., bucket_ts, n_samples, raw_increase, increase,
+    rate_per_s).
+    """
+    _, secs, _ = TIERS[tier]
+    inc = prom_increase(
+        samples, value_col, tier, by, ts_col, counter, order_cols
+    )
+    return inc.select(
+        "*", (F.col("increase") / F.lit(float(secs))).alias("rate_per_s")
+    )
+
+
+def prom_resets(
+    samples,
+    value_col: str,
+    tier: str = "1d",
+    by: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+):
+    """PromQL resets() per tumbling tier bucket: how many times the
+    counter dropped below its predecessor inside the bucket (each
+    strict decrease = one reset, the published resets() rule). The
+    alert "did this service restart today, and how often" in one
+    aggregate.
+
+    Plan: ONE exchange on (by, bucket) — the in-bucket lag and the
+    closing count share keys; the comparison is whole-stage codegen.
+    Buckets with a single sample report 0 resets (lag is null, the
+    when() falls through), matching Prometheus on a 1-point range.
+
+    Returns (by..., bucket_ts, n_samples, resets).
+    """
+    from pyspark.sql import Window
+
+    unit, _, _ = TIERS[tier]
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(*by, "bucket_ts").orderBy(*order)
+    tagged = samples.select(
+        *by, b, F.col(ts_col), *order_cols,
+        F.col(value_col).cast("double").alias("__v"),
+    ).select(
+        "*",
+        F.when(F.col("__v") < F.lag("__v").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__r"),
+    )
+    return tagged.groupBy(*by, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("__r").alias("resets"),
+    )
+
+
 def moving_aggregate(
     rolled,
     value_col: str,
@@ -353,13 +427,18 @@ def prom_irate(
     at scrape granularity; it is the right-edge derivative a latency
     dashboard's "current QPS" tile shows.
 
-    Buckets need >= 2 samples with distinct timestamps (like
-    Prometheus); others are dropped. ``order_cols`` break same-
-    timestamp ties deterministically.
+    Same-timestamp samples are deduped FIRST — one winner per
+    (series, bucket, timestamp), the highest ``order_cols`` (highest
+    value when none given) — so a duplicate scrape at the bucket's
+    latest instant falls back to the most recent DISTINCT timestamp
+    instead of dropping the bucket. Buckets then need >= 2 distinct
+    timestamps (like Prometheus, whose series cannot carry duplicate
+    timestamps at all); others are dropped.
 
-    Plan: ONE exchange on (by, bucket) — the descending row_number and
-    the closing aggregate share keys, so Catalyst reuses the
-    partitioning; the conditional-max pivot of the top-2 rows and the
+    Plan: ONE exchange on (by, bucket) — the dedup window's key is a
+    superset of the bucket key, so both row_numbers and the closing
+    aggregate reuse the same partitioning (one extra sort, no second
+    shuffle); the conditional-max pivot of the top-2 rows and the
     single delta/span division are whole-stage codegen on exact
     epoch-microsecond integers (SQL-oracle-replayable).
 
@@ -371,18 +450,27 @@ def prom_irate(
     b = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
     # order on the projected epoch column — the raw ts_col is pruned
     # away by the select below (micros preserve the full ordering)
-    order = [
-        F.col("__t_us").desc(),
-        *[F.col(c).desc() for c in order_cols],
-    ]
-    w = Window.partitionBy(*by, "bucket_ts").orderBy(*order)
-    tagged = samples.select(
-        *by,
-        b,
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t_us"),
-        *order_cols,
-        F.col(value_col).cast("double").alias("__v"),
-    ).withColumn("__rn", F.row_number().over(w))
+    tie = (
+        [F.col(c).desc() for c in order_cols]
+        if order_cols
+        else [F.col("__v").desc()]
+    )
+    w_dup = Window.partitionBy(*by, "bucket_ts", "__t_us").orderBy(*tie)
+    w = Window.partitionBy(*by, "bucket_ts").orderBy(
+        F.col("__t_us").desc(), *tie
+    )
+    tagged = (
+        samples.select(
+            *by,
+            b,
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t_us"),
+            *order_cols,
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .withColumn("__dup_rn", F.row_number().over(w_dup))
+        .where(F.col("__dup_rn") == 1)
+        .withColumn("__rn", F.row_number().over(w))
+    )
     top2 = tagged.where(F.col("__rn") <= 2)
     agg = top2.groupBy(*by, "bucket_ts").agg(
         F.count(F.lit(1)).alias("n_samples"),

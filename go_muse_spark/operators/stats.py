@@ -968,22 +968,29 @@ def classical_decompose(
 
         y = trend + seasonal + residual
 
-    with trend = centered moving average over ``period + 1`` buckets
-    (NULL at the edges where the window is incomplete), seasonal = the
-    per-phase mean of the detrended values, centered so the seasonal
-    component sums to zero over one period, and residual the exact
-    remainder. "Is Monday 9am traffic high because of growth (trend),
-    because it's Monday 9am (seasonal), or is something actually
-    happening (residual)?" is the question every capacity dashboard
-    answers with this decomposition.
+    with trend = the textbook centered moving average — a plain
+    ``period``-point MA for odd periods, the 2xM double MA for even
+    periods (a ``period + 1``-point window with HALF weight on the two
+    endpoints, so each phase contributes exactly equal total weight;
+    statsmodels' ``seasonal_decompose`` trend) — NULL at the edges
+    where the window is incomplete; seasonal = the per-phase mean of
+    the detrended values, centered so the seasonal component sums to
+    zero over one period; residual the exact remainder. "Is Monday 9am
+    traffic high because of growth (trend), because it's Monday 9am
+    (seasonal), or is something actually happening (residual)?" is the
+    question every capacity dashboard answers with this decomposition.
 
     Numerical contract: the input must be integer-valued (a count
     tier); everything is computed in integer micro-units. The trick
-    that keeps it engine-exact: the detrended value is carried as
-    d = (period+1)*y - sum_window (a pure int64 — never the double
-    y - avg), so the only doubles anywhere are THREE divisions of
-    identical exact-integer operands (trend, per-phase mean, centering
-    mean), each rounded once to micro-units. A DuckDB oracle replays
+    that keeps it engine-exact: half weights never materialize as
+    doubles — for even periods the weighted window sum is carried
+    scaled by 2 as S = sum[-h..h] + sum[-h+1..h-1] (endpoints counted
+    once, interior twice — a pure int64), the detrended value as
+    d = scale*y - S with scale = 2*period (period, and S the plain
+    window sum, for odd periods), so the only doubles anywhere are
+    THREE divisions of identical exact-integer operands (trend,
+    per-phase mean, centering mean), each rounded once to micro-units.
+    A DuckDB oracle replays
     every output bit.
 
     Scale shape: ONE linear pass with three exchanges of the tier —
@@ -1002,13 +1009,22 @@ def classical_decompose(
     """
     if period < 2:
         raise ValueError("period must be >= 2")
+    even = period % 2 == 0
     half = period // 2
-    win = period + 1 if period % 2 == 0 else period
+    # weighted-window denominator: the 2xM half-weight sum is carried
+    # scaled by 2 for even periods so S stays a pure int64
+    scale = 2 * period if even else period
+    win = period + 1 if even else period
     y = F.col(value_col).cast("long")
     w = (
         Window.partitionBy(*by)
         .orderBy(F.col(bucket_col))
         .rowsBetween(-half, half)
+    )
+    w_inner = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(bucket_col))
+        .rowsBetween(-(half - 1), half - 1)
     )
     # integer `div`, never float-divide-then-cast: a 1-ulp-low double
     # quotient truncates an exact bucket boundary into the wrong phase
@@ -1016,18 +1032,23 @@ def classical_decompose(
         F.expr(f"unix_timestamp({bucket_col}) div {int(bucket_secs)}")
         % F.lit(period)
     ).alias("__ph")
+    # S = weighted window sum, scaled by 2 for even periods (endpoints
+    # once + interior twice == the 2xM half-weight MA numerator)
+    s_expr = (
+        F.sum(y).over(w) + F.sum(y).over(w_inner) if even else F.sum(y).over(w)
+    )
     base = dense.select(
         *by,
         bucket_col,
         phase,
         y.alias("__y"),
-        F.sum(y).over(w).alias("__sw"),
+        s_expr.alias("__sw"),
         F.count(F.lit(1)).over(w).alias("__nw"),
     ).withColumn(
-        "__d",  # (win)*y - window_sum: exact int64 detrended value
+        "__d",  # scale*y - weighted window sum: exact int64 detrend
         F.when(
             F.col("__nw") == win,
-            F.lit(win) * F.col("__y") - F.col("__sw"),
+            F.lit(scale) * F.col("__y") - F.col("__sw"),
         ),
     )
     # per-phase detrended mean, as a window over (series, phase) —
@@ -1038,7 +1059,7 @@ def classical_decompose(
     nd = F.sum(F.col("__d").isNotNull().cast("long")).over(w_ph)
     s_mu = F.when(
         nd > 0,
-        F.round(sd * F.lit(1_000_000) / (F.lit(win) * nd), 0).cast("long"),
+        F.round(sd * F.lit(1_000_000) / (F.lit(scale) * nd), 0).cast("long"),
     )
     # one representative row per (series, phase) feeds the centering
     rn = F.row_number().over(
@@ -1062,7 +1083,7 @@ def classical_decompose(
     ).cast("long")
     trend_mu = F.when(
         F.col("__nw") == win,
-        F.round(F.col("__sw") * F.lit(1_000_000) / F.lit(win), 0).cast(
+        F.round(F.col("__sw") * F.lit(1_000_000) / F.lit(scale), 0).cast(
             "long"
         ),
     )

@@ -63,6 +63,21 @@ def test_cm_exact_when_no_collisions(spark):
     assert all(r["cm_est"] == r["n_exact"] for r in est)
 
 
+def test_cm_estimate_whole_span_premerges_buckets(spark):
+    # items WITHOUT bucket_epoch + a multi-bucket sketch: the estimate
+    # must be the whole-span count (buckets sum-merged before probing),
+    # never min-over-buckets. w >> items -> collision-free -> exact.
+    ev = _events(spark, n_users=10)
+    sk = cm_sketch_rollup(ev, "user_id % 1000000007", 86400, d=4, w=4096)
+    assert sk.select("bucket_epoch").distinct().count() > 1
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cm_estimate(
+        sk, exact, "user_id % 1000000007", d=4, w=4096
+    ).collect()
+    assert len(est) == 10
+    assert all(r["cm_est"] == r["n_exact"] for r in est)
+
+
 def test_cm_ladder_merge_equals_direct_build(spark):
     # linearity: sum-merging hourly sketches to a day == building the
     # day sketch from raw events

@@ -118,6 +118,48 @@ def test_buckets_are_independent(spark):
     ) < 1e-9
 
 
+def test_rate_is_increase_over_range_seconds(spark):
+    """rate(): identical extrapolation, divided by the range width."""
+    from go_muse_spark.operators.rollup import prom_rate
+
+    rows = [(600 + 60 * i, 1000 + 10 * i) for i in range(30)]
+    df = _mk(spark, rows)
+    got = {
+        r["bucket_ts"]: r
+        for r in prom_rate(
+            df, "v", "1h", by=("conv_id",), order_cols=("seq",)
+        ).collect()
+    }[H0]
+    exp = _expected(rows)
+    assert abs(got["increase"] - exp) < 1e-9
+    assert abs(got["rate_per_s"] - exp / 3600.0) < 1e-12
+
+
+def test_resets_counts_strict_decreases(spark):
+    """resets(): one per strict in-bucket decrease; single-sample
+    buckets report 0; equal consecutive values are not resets."""
+    from go_muse_spark.operators.rollup import prom_resets
+
+    rows = [
+        (0, 10), (600, 20), (1200, 3),    # reset 1
+        (1800, 8), (2400, 8),             # equal: no reset
+        (3000, 2),                        # reset 2
+        (3600, 5),                        # next bucket, 1 sample
+    ]
+    df = _mk(spark, rows)
+    out = {
+        r["bucket_ts"]: r
+        for r in prom_resets(
+            df, "v", tier="1h", by=("conv_id",), order_cols=("seq",)
+        ).collect()
+    }
+    assert out[H0]["resets"] == 2
+    assert out[H0]["n_samples"] == 6
+    b1 = H0 + dt.timedelta(hours=1)
+    assert out[b1]["resets"] == 0
+    assert out[b1]["n_samples"] == 1
+
+
 def test_irate_hand_fixtures(spark):
     """irate: last-two-samples rate, reset rule, tie-break, and the
     <2-samples / zero-span drop rules."""
@@ -137,9 +179,17 @@ def test_irate_hand_fixtures(spark):
         ("b", t0 + dt.timedelta(seconds=20), 5, 5.0),
         # series c: single sample -> dropped
         ("c", t0, 6, 7.0),
-        # series d: two samples at the SAME ts -> zero span, dropped
+        # series d: two samples at the SAME ts -> one distinct
+        # timestamp after dedup, dropped
         ("d", t0, 7, 1.0),
         ("d", t0, 8, 2.0),
+        # series e: duplicate scrape at the LATEST instant — dedup
+        # keeps the event_id-8 winner (v=7) and falls back to the
+        # previous DISTINCT timestamp: (7-1)/10 = 0.6/s (the pre-fix
+        # engine dropped this bucket outright)
+        ("e", t0, 6, 1.0),
+        ("e", t0 + dt.timedelta(seconds=10), 7, 5.0),
+        ("e", t0 + dt.timedelta(seconds=10), 8, 7.0),
     ]
     ev = spark.createDataFrame(
         rows, "k string, ts timestamp, event_id long, value double"
@@ -150,11 +200,13 @@ def test_irate_hand_fixtures(spark):
             ev, "value", tier="1h", by=("k",), order_cols=("event_id",)
         ).collect()
     }
-    assert set(out) == {"a", "b"}
+    assert set(out) == {"a", "b", "e"}
     assert out["a"]["delta"] == 15.0
     assert abs(out["a"]["irate_per_s"] - 0.5) < 1e-12
     assert out["b"]["delta"] == 5.0  # reset: post-reset value
     assert abs(out["b"]["irate_per_s"] - 0.25) < 1e-12
+    assert out["e"]["delta"] == 6.0  # dup-ts winner 7.0 minus 1.0
+    assert abs(out["e"]["irate_per_s"] - 0.6) < 1e-12
     # gauge mode: no reset correction, delta goes negative
     g = {
         r["k"]: r
