@@ -116,6 +116,7 @@ from go_muse_spark.operators.stats import (
     corr_pairs,
     corr_pairs_lsh,
     classical_decompose,
+    seasonal_forecast,
 )
 from go_muse_spark.operators.freqsketch import (
     cm_estimate,
@@ -133,6 +134,7 @@ from go_muse_spark.operators.terms import (
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.matrix_profile import (
     matrix_profile,
+    matrix_profile_ab,
     matrix_profile_segments,
 )
 from go_muse_spark.operators.timeweight import (
@@ -636,6 +638,44 @@ def q_matrix_profile_seg_1d(spark, sf_dir):
     rolled = rollup_transcripts(_tx(spark, sf_dir), "1d")
     dense = gap_fill(rolled, "1d", mode="zero", value_cols=("turn_cnt",))
     mp = matrix_profile_segments(dense, "turn_cnt", 7, seg_len=12)
+    return mp.select(
+        F.col("conv_id").alias("user_id"),
+        "pos",
+        "bucket_ts",
+        F.round(F.col("mp_corr") * 1e6, 0).cast("long").alias("mp_corr_u"),
+    )
+
+
+def q_mp_ab_global_1d(spark, sf_dir):
+    """AB-join matrix profile (operators/matrix_profile.py
+    matrix_profile_ab): where does the FLEET-WIDE daily activity shape
+    appear inside each user's own daily series? The query pattern is
+    the global zero-filled daily turn-count series (bounded driver-side
+    read, like the muse ref); for every week-long window of every
+    user's zero-filled daily series, the max z-normalized Pearson
+    correlation against ANY week of the global pattern — "which users'
+    weeks mirror a week the whole fleet had". No exclusion band (two
+    different series). Same exact integer expression tree as
+    matrix_profile_1d, so the brute-force SQL oracle replays every
+    rounded value; mp_idx stays operator-level (float ties make a
+    cross-engine index oracle unstable, same convention as mp_1d)."""
+    import numpy as np
+
+    tx = _tx(spark, sf_dir)
+    rolled = rollup_transcripts(tx, "1d")
+    dense = gap_fill(rolled, "1d", mode="zero", value_cols=("turn_cnt",))
+    g = (
+        tx.groupBy(F.date_trunc("day", "ts").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .orderBy("b")
+        .collect()
+    )
+    lo = g[0]["b"]
+    n = int((g[-1]["b"] - lo).total_seconds() // 86400) + 1
+    q = np.zeros(n)
+    for r in g:
+        q[int((r["b"] - lo).total_seconds() // 86400)] = float(r["v"])
+    mp = matrix_profile_ab(dense, q, "turn_cnt", 7)
     return mp.select(
         F.col("conv_id").alias("user_id"),
         "pos",
@@ -1319,6 +1359,28 @@ def q_stl_1h(spark, sf_dir):
         "trend_mu",
         "seasonal_mu",
         "resid_mu",
+    )
+
+
+def q_seasonal_forecast_1h(spark, sf_dir):
+    """Seasonal forecast (operators/stats.py seasonal_forecast): the
+    classical-decomposition forecast — ONE exact-integer least-squares
+    line over the deseasonalized hourly series plus the per-phase
+    seasonal component for each of the next 24 hours. Upgrades
+    predict_1h's flat trend line with the daily shape: "what does
+    tomorrow 9am look like" instead of "what does the trend say".
+    Pooled sums are exact int64 over per-series-centered indices; the
+    line value is the same double expression tree in both engines,
+    rounded once, with the integer seasonal added after — bit-
+    replayable like stl_1h it builds on."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    dense = gap_fill(rolled, "1h", ("turn_cnt",), mode="zero", align="conv")
+    out = seasonal_forecast(dense, "turn_cnt", 24, 3600, horizons=24)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+        "h",
+        "forecast_mu",
     )
 
 
@@ -2765,6 +2827,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally (tools/check_oracle.py).
         "rate_1h": q_rate_1h,
         "resets_1d": q_resets_1d,
+        "mp_ab_global_1d": q_mp_ab_global_1d,
+        "seasonal_forecast_1h": q_seasonal_forecast_1h,
         "irate_1h": q_irate_1h,
         "pmi_pairs_docs": q_pmi_pairs_docs,
         "histq_ladder_1d": q_histq_ladder_1d,
@@ -3246,6 +3310,83 @@ FROM y
         "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
         "ORDER BY mp_corr_u ASC, pos ASC) AS rk FROM mp) WHERE rk <= 3"
     )
+    # AB-join profile: user windows vs the GLOBAL daily pattern's
+    # windows — same exact expression tree (m*sxy - sx*gx over the
+    # product of the two sqrts on integer counts) as _mp_oracle, with
+    # the partner side swapped to the global series and no exclusion
+    d["mp_ab_global_1d"] = """
+WITH tx AS (
+  SELECT cast(user_id AS varchar) AS user_id, ts FROM events
+), r AS (
+  SELECT user_id, date_trunc('day', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM tx GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM r GROUP BY 1
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b
+  FROM bounds
+), s AS (
+  SELECT sp.user_id, sp.b,
+         cast(coalesce(r.v, 0) AS bigint) AS v,
+         cast(row_number() OVER (
+              PARTITION BY sp.user_id ORDER BY sp.b) AS bigint) - 1 AS p
+  FROM spine sp LEFT JOIN r ON r.user_id = sp.user_id AND r.b = sp.b
+), g0 AS (
+  SELECT date_trunc('day', ts) AS b, cast(count(*) AS bigint) AS v
+  FROM tx GROUP BY 1
+), gb AS (SELECT min(b) AS lo, max(b) AS hi FROM g0
+), gsp AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b FROM gb
+), gs AS (
+  SELECT gsp.b, cast(coalesce(g0.v, 0) AS bigint) AS v,
+         cast(row_number() OVER (ORDER BY gsp.b) AS bigint) - 1 AS p
+  FROM gsp LEFT JOIN g0 ON g0.b = gsp.b
+), wsum AS (
+  SELECT user_id, p, b,
+         sum(v) OVER w AS sx, sum(v * v) OVER w AS sxx,
+         count(*) OVER w AS cnt
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+), win AS (
+  SELECT user_id, p, b, sx, sxx FROM wsum WHERE cnt = 7
+), gwsum AS (
+  SELECT p, sum(v) OVER w AS gx, sum(v * v) OVER w AS gxx,
+         count(*) OVER w AS cnt
+  FROM gs
+  WINDOW w AS (ORDER BY p ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+), gwin AS (
+  SELECT p, gx, gxx FROM gwsum WHERE cnt = 7
+), prod AS (
+  SELECT a.user_id, g.p - a.p AS d, a.p AS p, a.v * g.v AS xy
+  FROM s a JOIN gs g ON true
+), xs AS (
+  SELECT user_id, d, p,
+         sum(xy) OVER wd AS sxy, count(*) OVER wd AS cnt
+  FROM prod
+  WINDOW wd AS (PARTITION BY user_id, d ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+), c AS (
+  SELECT x.user_id, x.p AS i,
+         CASE WHEN (7 * wi.sxx - wi.sx * wi.sx) > 0
+                   AND (7 * wj.gxx - wj.gx * wj.gx) > 0
+              THEN cast(7 * x.sxy - wi.sx * wj.gx AS double)
+                   / (sqrt(cast(7 * wi.sxx - wi.sx * wi.sx AS double))
+                      * sqrt(cast(7 * wj.gxx - wj.gx * wj.gx AS double)))
+         END AS c
+  FROM xs x
+  JOIN win wi ON wi.user_id = x.user_id AND wi.p = x.p
+  JOIN gwin wj ON wj.p = x.p + x.d
+  WHERE x.cnt = 7
+)
+SELECT c.user_id, cast(c.i AS int) AS pos, w.b AS bucket_ts,
+       cast(round(max(c.c) * 1e6) AS bigint) AS mp_corr_u
+FROM c JOIN win w ON w.user_id = c.user_id AND w.p = c.i
+WHERE c.c IS NOT NULL
+GROUP BY 1, 2, 3
+"""
     d["matrix_profile_1h"] = _mp_oracle(
         "hour",
         "HOUR",
@@ -4803,6 +4944,57 @@ FROM r WHERE rk <= 20
         # (CM sketches are linear), so this also checks the ladder
         "cm_heavy_1d": _cm_oracle_sql(),
         "stl_1h": _STL_1H_ORACLE,
+        # seasonal forecast: replay the stl decomposition, fit one
+        # exact-int64 least-squares line to the deseasonalized values
+        # over centered bucket indices, then line + per-phase seasonal
+        # for h=1..24 — the identical double expression tree
+        # (mdz + slope*(pf - mp)) rounded once, integer seasonal after
+        "seasonal_forecast_1h": (
+            "WITH stl AS (" + _STL_1H_ORACLE + """),
+sel AS (
+  SELECT user_id, epoch_us(bucket_ts) // 3600000000 AS ai,
+         y * 1000000 - seasonal_mu AS dz, seasonal_mu AS s
+  FROM stl
+), cen AS (
+  SELECT user_id, ai,
+         ai - min(CASE WHEN dz IS NOT NULL THEN ai END)
+              OVER (PARTITION BY user_id) AS p,
+         min(CASE WHEN dz IS NOT NULL THEN ai END)
+           OVER (PARTITION BY user_id) AS minai, dz, s
+  FROM sel
+), fit AS (
+  SELECT user_id, count(dz) AS n, min(minai) AS minai, max(ai) AS maxai,
+         sum(CASE WHEN dz IS NOT NULL THEN p END) AS sp,
+         sum(CASE WHEN dz IS NOT NULL THEN p * p END) AS spp,
+         sum(dz) AS sdz, sum(p * dz) AS spdz
+  FROM cen GROUP BY 1
+), f2 AS (
+  SELECT user_id, minai, maxai,
+         cast(n * spdz - sp * sdz AS double)
+           / cast(n * spp - sp * sp AS double) AS slope,
+         cast(sdz AS double) / cast(n AS double) AS mdz,
+         cast(sp AS double) / cast(n AS double) AS mp
+  FROM fit WHERE n * spp - sp * sp > 0
+), hz AS (
+  SELECT f2.*, unnest(generate_series(1, 24)) AS h FROM f2
+), ph AS (
+  SELECT user_id, h,
+         (maxai + h) * 3600 AS bucket_epoch,
+         (maxai + h) % 24 AS phx,
+         cast(round(mdz + slope
+                    * (cast(maxai - minai + h AS double) - mp), 0)
+              AS bigint) AS line_mu
+  FROM hz
+), sv AS (
+  SELECT user_id, ai % 24 AS phx, min(s) AS s
+  FROM cen WHERE s IS NOT NULL GROUP BY 1, 2
+)
+SELECT ph.user_id, cast(ph.bucket_epoch AS bigint) AS bucket_epoch,
+       cast(ph.h AS int) AS h,
+       cast(ph.line_mu + sv.s AS bigint) AS forecast_mu
+FROM ph JOIN sv ON sv.user_id = ph.user_id AND sv.phx = ph.phx
+"""
+        ),
         # DuckDB plans the raw inequality join itself (IEJoin); the
         # engine's bucket-explode equi-join must reproduce it exactly
         "interval_click_attrib": """

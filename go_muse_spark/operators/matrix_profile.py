@@ -54,6 +54,7 @@ __all__ = [
     "profile_self",
     "profile_ab",
     "matrix_profile",
+    "matrix_profile_ab",
     "matrix_profile_segments",
 ]
 
@@ -289,6 +290,70 @@ def matrix_profile(
             }
         )
         return out
+
+    return (
+        df.select(*keys, ts_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(one, schema)
+    )
+
+
+def matrix_profile_ab(
+    df: DataFrame,
+    query: np.ndarray,
+    value_col: str,
+    m: int,
+    *,
+    keys: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "bucket_ts",
+    block: int = 128,
+) -> DataFrame:
+    """AB-join matrix profile: "where does the QUERY series' shape
+    appear in each corpus series?" For every length-m window of every
+    corpus series (one dense gap-filled series per key group), the max
+    z-normalized Pearson correlation against ANY length-m window of
+    the driver-side ``query`` array, with the matching query window
+    start in mp_idx. No exclusion band — the two series are different
+    objects, so the self-join's trivial-match problem doesn't exist
+    (reference parity: go-muse scores a query against candidate groups
+    the same one-vs-many way; this is its windowed generalization,
+    muse with EVERY query alignment instead of one).
+
+    ``query`` is a bounded driver-side pattern (like the muse ref in
+    operators/search.py) — the corpus side stays fully distributed:
+    one applyInPandas per series over the same conv_id exchange as
+    matrix_profile, kernel = the tiled AB GEMM (profile_ab), work
+    O(n_windows x q_windows) per series with cache-resident tiles.
+
+    Returns one row per corpus window with a finite profile:
+    (keys..., pos, ts, mp_corr, mp_idx, mp_dist).
+    """
+    q = np.asarray(query, dtype=np.float64)
+    if q.size < m:
+        raise ValueError("query shorter than window length m")
+    keys = tuple(keys)
+    schema = _out_schema(df, keys, ts_col)
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        corr, gidx = profile_ab(x, q, m, exclusion=0, block=block)
+        w = corr.size
+        keep = np.isfinite(corr)
+        return pd.DataFrame(
+            {
+                **{k: pdf[k].iloc[0] for k in keys},
+                "pos": np.arange(w, dtype=np.int32)[keep],
+                ts_col: pdf[ts_col].iloc[:w][keep].to_numpy(),
+                "mp_corr": corr[keep],
+                "mp_idx": gidx[keep].astype(np.int32),
+                "mp_dist": np.sqrt(
+                    np.maximum(2.0 * m * (1.0 - corr[keep]), 0.0)
+                ),
+            }
+        )
 
     return (
         df.select(*keys, ts_col, value_col)

@@ -48,6 +48,7 @@ __all__ = [
     "linear_fit",
     "change_stats",
     "classical_decompose",
+    "seasonal_forecast",
 ]
 
 
@@ -1104,4 +1105,145 @@ def classical_decompose(
                 - seasonal_mu
             ).alias("resid_mu"),
         )
+    )
+
+
+def seasonal_forecast(
+    dense: DataFrame,
+    value_col: str,
+    period: int,
+    bucket_secs: int,
+    horizons: int = 24,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Seasonal forecast on top of classical_decompose — the
+    decomposition forecast Holt-Winters refines with smoothing: per
+    series, deseasonalize (y - seasonal), fit ONE least-squares line
+    to the deseasonalized values over bucket index, and forecast each
+    future bucket as line(t) + seasonal(phase(t)). Upgrades the linear
+    predict (linear_fit / PromQL predict_linear) with the seasonal
+    shape: a daily-periodic series forecasts tomorrow's 9am spike
+    instead of a flat trend line.
+
+    Numerical contract (SQL-oracle-replayable): the fit's pooled sums
+    n, Σp, Σp², Σdz, Σp·dz are exact int64 over per-series-centered
+    indices p (abs bucket index minus the series min — centering keeps
+    n·Σp·dz far from int64 range); slope and the line value are then
+    the SAME double expression tree in both engines
+    (mean_dz + slope*(p_f - mean_p)), rounded ONCE to micro-units,
+    and the integer seasonal term is added after rounding.
+
+    Horizons anchor at the series' LAST OBSERVED bucket (h=1 is the
+    first bucket after the data ends), even though the fit domain
+    stops period//2 buckets earlier where the centered trend window
+    runs out — the line extrapolates across that tail like any
+    forecast extrapolates past its fit domain.
+
+    Plan: classical_decompose's three window exchanges, then one
+    series-key aggregate, a horizons explode (tiny), and a broadcast-
+    size join back to the per-(series, phase) seasonal values on the
+    same series key. Series with a degenerate fit (Ds = 0, fewer than
+    two distinct indices) or a future phase never observed are
+    dropped, identically in both engines.
+
+    Returns (by..., bucket_ts [future], h, forecast_mu).
+    """
+    if horizons < 1:
+        raise ValueError("horizons must be >= 1")
+    dec = classical_decompose(
+        dense, value_col, period, bucket_secs, by=by, bucket_col=bucket_col
+    )
+    idx = F.expr(
+        f"unix_timestamp({bucket_col}) div {int(bucket_secs)}"
+    ).alias("__ai")
+    # keep ALL rows: edge rows (NULL seasonal) anchor the horizon at
+    # the true series end; fit sums skip them via null-skipping SUMs
+    rows = dec.select(
+        *by,
+        idx,
+        (F.col("y") * F.lit(1_000_000) - F.col("seasonal_mu")).alias(
+            "__dz"
+        ),
+        F.col("seasonal_mu"),
+    )
+    w_key = Window.partitionBy(*by)
+    fit_ai = F.when(F.col("__dz").isNotNull(), F.col("__ai"))
+    centered = rows.select(
+        *by,
+        "__ai",
+        (F.col("__ai") - F.min(fit_ai).over(w_key)).alias("__p"),
+        F.min(fit_ai).over(w_key).alias("__minai"),
+        "__dz",
+        "seasonal_mu",
+    )
+    in_fit = F.col("__dz").isNotNull()
+    fit = centered.groupBy(*by).agg(
+        F.count("__dz").alias("__n"),
+        F.min("__minai").alias("__minai"),
+        F.max("__ai").alias("__maxai"),
+        F.sum(F.when(in_fit, F.col("__p"))).alias("__sp"),
+        F.sum(F.when(in_fit, F.col("__p") * F.col("__p"))).alias("__spp"),
+        F.sum("__dz").alias("__sdz"),
+        F.sum(F.col("__p") * F.col("__dz")).alias("__spdz"),
+    )
+    ns = F.col("__n") * F.col("__spdz") - F.col("__sp") * F.col("__sdz")
+    ds = F.col("__n") * F.col("__spp") - F.col("__sp") * F.col("__sp")
+    fitted = fit.where(ds > 0).select(
+        *by,
+        "__minai",
+        "__maxai",
+        (ns.cast("double") / ds.cast("double")).alias("__slope"),
+        (F.col("__sdz").cast("double") / F.col("__n").cast("double")).alias(
+            "__mdz"
+        ),
+        (F.col("__sp").cast("double") / F.col("__n").cast("double")).alias(
+            "__mp"
+        ),
+    )
+    horizon = fitted.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(horizons)))
+        ).alias("h"),
+    ).select(
+        *by,
+        "h",
+        (F.col("__maxai") + F.col("h")).alias("__af"),
+        (F.col("__maxai") - F.col("__minai") + F.col("h")).alias("__pf"),
+        "__slope",
+        "__mdz",
+        "__mp",
+    )
+    line_mu = F.round(
+        F.col("__mdz")
+        + F.col("__slope") * (F.col("__pf").cast("double") - F.col("__mp")),
+        0,
+    ).cast("long")
+    phased = horizon.select(
+        *by,
+        "h",
+        F.timestamp_seconds(
+            F.col("__af") * F.lit(int(bucket_secs))
+        ).alias(bucket_col),
+        (F.col("__af") % F.lit(int(period))).alias("__ph"),
+        line_mu.alias("__line_mu"),
+    )
+    seas = (
+        centered.where(F.col("seasonal_mu").isNotNull())
+        .select(
+            *by,
+            (F.col("__ai") % F.lit(int(period))).alias("__ph"),
+            "seasonal_mu",
+        )
+        .groupBy(*by, "__ph")
+        # seasonal_mu is CONSTANT per (series, phase) by construction
+        # (s_mu - c_mu); min() is just the order-independent pick
+        .agg(F.min("seasonal_mu").alias("__s"))
+    )
+    return phased.join(seas, [*by, "__ph"]).select(
+        *by,
+        bucket_col,
+        "h",
+        (F.col("__line_mu") + F.col("__s")).alias("forecast_mu"),
     )

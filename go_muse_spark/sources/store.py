@@ -345,6 +345,19 @@ class IcebergTableStore:
     their own unit tests (tests/test_continuous.py) — what ships to the
     cluster is exactly the asserted text. ParquetTableStore mirrors the
     behavioral semantics and carries the behavioral test coverage.
+
+    Live-execution attempt log (2026-08-19): vendoring the runtime jar
+    was probed and is impossible in this sandbox — no DNS/network
+    (urlopen to repo1.maven.org: "Name or service not known"), no
+    iceberg jar anywhere on the filesystem (`find / -iname '*iceberg*'`
+    empty), pyspark 4.1.2's bundled jars/ carries no table-format
+    runtimes, and pip installs are disallowed. Executing merge_sql()
+    text against DuckDB as a second-best ANSI check also fails: the
+    installed duckdb 1.0.0 predates MERGE INTO support (parser error).
+    The generated statements remain shape-asserted in
+    tests/test_continuous.py and semantically mirrored (same keys, same
+    matched/not-matched branches, same on_dup behavior) by the fully
+    live-tested ParquetTableStore.upsert path.
     """
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str) -> None:

@@ -220,3 +220,56 @@ def test_classical_decompose_validates_period(spark):
     dense = _dense_hourly(spark, n_hours=30)
     with pytest.raises(ValueError):
         classical_decompose(dense, "turn_cnt", 1, 3600)
+
+
+def test_seasonal_forecast_recovers_planted_pattern(spark):
+    """A pure trend+seasonal integer series forecasts its exact future:
+    slope recovered, per-phase shape repeated, h=period wraps to the
+    same phase as h=0."""
+    import datetime as dt
+    from go_muse_spark.operators.stats import seasonal_forecast
+
+    t0 = dt.datetime(2024, 1, 1)
+    period, days = 24, 6
+    season = [(ph % 12) * 3 for ph in range(period)]  # integer shape
+    rows = [
+        (
+            "c1",
+            t0 + dt.timedelta(hours=i),
+            float(100 + 2 * i + season[i % period]),
+        )
+        for i in range(days * period)
+    ]
+    dense = spark.createDataFrame(
+        rows, "conv_id string, bucket_ts timestamp, turn_cnt double"
+    )
+    out = (
+        seasonal_forecast(dense, "turn_cnt", period, 3600, horizons=48)
+        .orderBy("h")
+        .collect()
+    )
+    assert len(out) == 48
+    n = days * period
+    for r in out:
+        h = r["h"]
+        i_future = n - 1 + h
+        expected = 100 + 2 * i_future + season[i_future % period]
+        got = r["forecast_mu"] / 1e6
+        # classical decomposition on a pure trend+seasonal series is
+        # exact up to the micro-unit roundings it carries
+        assert abs(got - expected) < 1e-3, (h, got, expected)
+        assert r["bucket_ts"] == t0 + dt.timedelta(hours=i_future)
+
+
+def test_seasonal_forecast_validates_horizons(spark):
+    import datetime as dt
+    from go_muse_spark.operators.stats import seasonal_forecast
+
+    dense = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "conv_id string, bucket_ts timestamp, turn_cnt double",
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        seasonal_forecast(dense, "turn_cnt", 24, 3600, horizons=0)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.matrix_profile import (
     matrix_profile,
+    matrix_profile_ab,
     matrix_profile_segments,
     profile_ab,
     profile_self,
@@ -175,3 +176,73 @@ def test_matrix_profile_requires_dense_grid_positions(spark):
         keep = np.isfinite(mp)
         got = out[out.conv_id == conv].sort_values("pos")
         assert np.allclose(got.mp_corr.to_numpy(), mp[keep])
+
+
+def test_matrix_profile_ab_finds_planted_pattern(spark):
+    """A query shape planted (affine-transformed) inside one series
+    scores corr 1.0 at the planted position with the right query
+    window index (z-normalization erases the affine transform); the
+    profile is a MAX over query windows, so an anti-correlated plant
+    reports its best POSITIVE partner, not -1; and the Spark path
+    equals the kernel for every series."""
+    import datetime as dt
+
+    q = np.array([0.0, 1.0, 4.0, 9.0, 4.0, 1.0, 0.0, 2.0])  # 2 windows m=7
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # series A: background 5s, plant 3*q[:7]+10 at pos 4
+    a = [5.0] * 16
+    for k in range(7):
+        a[4 + k] = 3.0 * q[k] + 10.0
+    # series B: anti-correlated plant at pos 2
+    b = [7.0] * 16
+    for k in range(7):
+        b[2 + k] = -2.0 * q[k] + 1.0
+    for name, vals in (("a", a), ("b", b)):
+        for i, v in enumerate(vals):
+            rows.append((name, t0 + dt.timedelta(days=i), float(v)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, bucket_ts timestamp, turn_cnt double"
+    )
+    out = (
+        matrix_profile_ab(df, q, "turn_cnt", 7)
+        .toPandas()
+        .sort_values(["conv_id", "pos"])
+    )
+    ga = out[out.conv_id == "a"].set_index("pos")
+    gb = out[out.conv_id == "b"].set_index("pos")
+    assert abs(ga.loc[4, "mp_corr"] - 1.0) < 1e-12
+    assert ga.loc[4, "mp_idx"] == 0  # matched query window 0 = q[:7]
+    # planted pos dominates every other window of its series
+    assert ga.loc[4, "mp_corr"] == ga["mp_corr"].max()
+    # the anti-plant's exact -1 vs query window 0 is NOT reported:
+    # the profile maxes over query windows and window 1 beats it
+    q0 = q[:7] - q[:7].mean()
+    b_win = np.asarray(b[2:9]) - np.mean(b[2:9])
+    assert abs(
+        float(b_win @ q0)
+        / (np.linalg.norm(b_win) * np.linalg.norm(q0))
+        + 1.0
+    ) < 1e-12  # sanity: the plant IS exactly anti-correlated with q0
+    assert gb.loc[2, "mp_corr"] > -1.0 and gb.loc[2, "mp_idx"] == 1
+    # Spark path == kernel on every series (incl. flat nan windows)
+    pdf = df.toPandas().sort_values(["conv_id", "bucket_ts"])
+    for conv, grp in pdf.groupby("conv_id"):
+        x = grp["turn_cnt"].to_numpy(dtype=float)
+        corr, gidx = profile_ab(x, q, 7, exclusion=0)
+        keep = np.isfinite(corr)
+        got = out[out.conv_id == conv]
+        assert got.pos.tolist() == list(np.arange(corr.size)[keep])
+        assert np.allclose(got.mp_corr.to_numpy(), corr[keep])
+        assert got.mp_idx.tolist() == list(gidx[keep])
+
+
+def test_matrix_profile_ab_validates_short_query(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "conv_id string, bucket_ts timestamp, turn_cnt double",
+    )
+    with pytest.raises(ValueError):
+        matrix_profile_ab(df, np.ones(3), "turn_cnt", 7)
