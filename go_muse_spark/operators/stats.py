@@ -1140,12 +1140,17 @@ def seasonal_forecast(
     runs out — the line extrapolates across that tail like any
     forecast extrapolates past its fit domain.
 
-    Plan: classical_decompose's three window exchanges, then one
-    series-key aggregate, a horizons explode (tiny), and a broadcast-
-    size join back to the per-(series, phase) seasonal values on the
-    same series key. Series with a degenerate fit (Ds = 0, fewer than
-    two distinct indices) or a future phase never observed are
-    dropped, identically in both engines.
+    Plan: classical_decompose's three window exchanges, then ONE
+    series-key aggregate that carries BOTH the fit sums and the
+    per-phase seasonal values (a ≤period-entry map via
+    map_from_entries(collect_set(...)) — seasonal_mu is constant per
+    phase, so the set collapses to one entry per phase), and a tiny
+    horizons explode with a map lookup. Single pass: a join-back
+    formulation re-executed the whole decompose subtree per diamond
+    branch (measured: 4 exchanges + 9 window sorts vs 3 + 5 here).
+    Series with a degenerate fit (Ds = 0, fewer than two distinct
+    indices) or a future phase never observed are dropped, identically
+    in both engines.
 
     Returns (by..., bucket_ts [future], h, forecast_mu).
     """
@@ -1186,6 +1191,20 @@ def seasonal_forecast(
         F.sum(F.when(in_fit, F.col("__p") * F.col("__p"))).alias("__spp"),
         F.sum("__dz").alias("__sdz"),
         F.sum(F.col("__p") * F.col("__dz")).alias("__spdz"),
+        # per-phase seasonal map in the SAME pass: seasonal_mu is
+        # constant per (series, phase), so collect_set collapses to
+        # exactly one (phase, value) entry per observed phase
+        F.map_from_entries(
+            F.collect_set(
+                F.when(
+                    in_fit,
+                    F.struct(
+                        (F.col("__ai") % F.lit(int(period))).alias("k"),
+                        F.col("seasonal_mu").alias("v"),
+                    ),
+                )
+            )
+        ).alias("__smap"),
     )
     ns = F.col("__n") * F.col("__spdz") - F.col("__sp") * F.col("__sdz")
     ds = F.col("__n") * F.col("__spp") - F.col("__sp") * F.col("__sp")
@@ -1193,6 +1212,7 @@ def seasonal_forecast(
         *by,
         "__minai",
         "__maxai",
+        "__smap",
         (ns.cast("double") / ds.cast("double")).alias("__slope"),
         (F.col("__sdz").cast("double") / F.col("__n").cast("double")).alias(
             "__mdz"
@@ -1211,6 +1231,7 @@ def seasonal_forecast(
         "h",
         (F.col("__maxai") + F.col("h")).alias("__af"),
         (F.col("__maxai") - F.col("__minai") + F.col("h")).alias("__pf"),
+        "__smap",
         "__slope",
         "__mdz",
         "__mp",
@@ -1220,30 +1241,19 @@ def seasonal_forecast(
         + F.col("__slope") * (F.col("__pf").cast("double") - F.col("__mp")),
         0,
     ).cast("long")
-    phased = horizon.select(
-        *by,
-        "h",
-        F.timestamp_seconds(
-            F.col("__af") * F.lit(int(bucket_secs))
-        ).alias(bucket_col),
-        (F.col("__af") % F.lit(int(period))).alias("__ph"),
-        line_mu.alias("__line_mu"),
+    seasonal = F.element_at(
+        F.col("__smap"), (F.col("__af") % F.lit(int(period))).cast("long")
     )
-    seas = (
-        centered.where(F.col("seasonal_mu").isNotNull())
-        .select(
+    return (
+        horizon.select(
             *by,
-            (F.col("__ai") % F.lit(int(period))).alias("__ph"),
-            "seasonal_mu",
+            F.timestamp_seconds(
+                F.col("__af") * F.lit(int(bucket_secs))
+            ).alias(bucket_col),
+            "h",
+            (line_mu + seasonal).alias("forecast_mu"),
         )
-        .groupBy(*by, "__ph")
-        # seasonal_mu is CONSTANT per (series, phase) by construction
-        # (s_mu - c_mu); min() is just the order-independent pick
-        .agg(F.min("seasonal_mu").alias("__s"))
-    )
-    return phased.join(seas, [*by, "__ph"]).select(
-        *by,
-        bucket_col,
-        "h",
-        (F.col("__line_mu") + F.col("__s")).alias("forecast_mu"),
+        # a future phase never observed has no seasonal value: drop,
+        # same as the SQL oracle's inner join on phase
+        .where(F.col("forecast_mu").isNotNull())
     )
