@@ -401,6 +401,27 @@ def q_resets_1d(spark, sf_dir):
     )
 
 
+def q_delta_1d(spark, sf_dir):
+    """PromQL delta(): the extrapolated first-to-last difference of a
+    GAUGE over each daily bucket (identical extrapolation machinery to
+    increase() with the reset correction and the counter zero-clamp
+    switched off — prom_increase(counter=False)). Same single
+    (user, day) exchange; doubles follow the same IEEE expression tree
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    out = prom_increase(
+        ev, "value", "1d", by=("user_id",), counter=False,
+        order_cols=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.round(F.col("raw_increase") * 1e6, 0).cast("long").alias("raw_u"),
+        F.round(F.col("increase") * 1e6, 0).cast("long").alias("delta_u"),
+    )
+
+
 def q_moving_avg_24h(spark, sf_dir):
     """Sliding complement of the tumbling tiers: trailing-24h moving
     sum/avg/count per user over the 1h rollup (RANGE frame over event
@@ -2829,6 +2850,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resets_1d": q_resets_1d,
         "mp_ab_global_1d": q_mp_ab_global_1d,
         "seasonal_forecast_1h": q_seasonal_forecast_1h,
+        "delta_1d": q_delta_1d,
         "irate_1h": q_irate_1h,
         "pmi_pairs_docs": q_pmi_pairs_docs,
         "histq_ladder_1d": q_histq_ladder_1d,
@@ -3236,6 +3258,45 @@ SELECT user_id, bucket_ts, cast(n_samples AS bigint) AS n_samples,
        cast(round(raw * ((sampled + dstart2 + dend1) / sampled)
                   / 3600.0 * 1e6) AS bigint) AS rate_u
 FROM y
+"""
+    # delta() = the same extrapolation with no reset correction and no
+    # counter zero-clamp (isCounter=false skips both branches)
+    d["delta_1d"] = """
+WITH t AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+         epoch_us(ts) AS t_us, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rna,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM events
+), a AS (
+  SELECT user_id, bucket_ts, count(*) AS n_samples,
+         min(t_us) AS f_us, max(t_us) AS l_us,
+         max(CASE WHEN rna = 1 THEN value END) AS fv,
+         max(CASE WHEN rnd = 1 THEN value END) AS lv
+  FROM t GROUP BY 1, 2
+), e AS (
+  SELECT *, cast(l_us - f_us AS double) AS sampled,
+         cast(l_us - f_us AS double)
+           / cast(n_samples - 1 AS double) AS avgd,
+         cast(f_us - epoch_us(bucket_ts) AS double) AS dstart0,
+         cast(epoch_us(bucket_ts) + 86400000000 - l_us AS double) AS dend0
+  FROM a WHERE n_samples >= 2 AND l_us > f_us
+), x AS (
+  SELECT *,
+         CASE WHEN dstart0 >= 1.1 * avgd THEN avgd / 2
+              ELSE dstart0 END AS dstart1,
+         CASE WHEN dend0 >= 1.1 * avgd THEN avgd / 2
+              ELSE dend0 END AS dend1,
+         lv - fv AS raw
+  FROM e
+)
+SELECT user_id, bucket_ts, cast(n_samples AS bigint) AS n_samples,
+       cast(round(raw * 1e6) AS bigint) AS raw_u,
+       cast(round(raw * ((sampled + dstart1 + dend1) / sampled) * 1e6)
+            AS bigint) AS delta_u
+FROM x
 """
     d["resets_1d"] = """
 WITH t AS (

@@ -216,3 +216,23 @@ def test_irate_hand_fixtures(spark):
         ).collect()
     }
     assert g["b"]["delta"] == -35.0
+
+
+def test_delta_gauge_no_reset_correction(spark):
+    """counter=False: a mid-bucket drop is NOT treated as a reset —
+    delta is the extrapolated last-minus-first, sign and all."""
+    from go_muse_spark.operators.rollup import prom_increase
+
+    rows = [(600 + 600 * i, v) for i, v in enumerate([50, 80, 20, 35])]
+    df = _mk(spark, rows)
+    got = prom_increase(
+        df, "v", "1h", by=("conv_id",), counter=False,
+        order_cols=("seq",),
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # raw = 35 - 50 (no +80 reset term the counter path would add)
+    assert r["raw_increase"] == -15.0
+    assert abs(
+        r["increase"] - _expected(rows, counter=False)
+    ) < 1e-9
