@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "stl_1h",
     "pmi_pairs_docs",
     "histq_ladder_1d",
+    "rate_1h",
+    "resets_1d",
+    "delta_1d",
+    "mp_ab_global_1d",
+    "seasonal_forecast_1h",
     "counter_rate_1h",
     "irate_1h",
     "moving_avg_24h",
