@@ -41,11 +41,14 @@ CACHE = os.path.join(REPO, ".cache")
 BUSY_FLAG = os.path.join(CACHE, "FOREGROUND_BUSY")
 LOG = os.path.join(CACHE, "path_hunt.jsonl")
 
-N_LO, N_HI = 8, 32
-FIRE_EFF = 0.60      # pre-probe gate: fire a leg pair above this
+N_LO = int(os.environ.get("HUNT_N_LO", "8"))
+N_HI = 4 * N_LO
+FIRE_EFF = float(os.environ.get("HUNT_FIRE_EFF", "0.60"))
 ACCEPT_EFF = 0.80    # north-rule bar for the path efficiency
-PROBE_FLOOR = 0.50   # both probes of an accepted pair must be sane
-SANE_AGG_LO = 15000  # MB/s: reject degenerate probes (suppressed lo leg)
+ACCEPT_CAP = 1.05    # super-linear readings mean a suppressed lo leg
+PROBE_FLOOR = 0.45   # both probes of an accepted pair must be sane
+# MB/s: reject degenerate probes (suppressed lo leg); scale with N
+SANE_AGG_LO = int(os.environ.get("HUNT_SANE_LO", "15000"))
 SANE_AGG_CAP = 60000
 IDLE_SLEEP = 210
 
@@ -132,7 +135,7 @@ def main() -> None:
             "pre": pre, "post": post,
         }
         accepted = (
-            eff >= ACCEPT_EFF
+            ACCEPT_EFF <= eff <= ACCEPT_CAP
             and min(pre["eff"], post["eff"]) >= PROBE_FLOOR
             and sane(post)
         )
