@@ -32,6 +32,7 @@ from go_muse_spark.operators.compress import (
 )
 from go_muse_spark.operators.gapfill import gap_fill
 from go_muse_spark.operators.rollup import (
+    prom_deriv,
     prom_irate,
     prom_rate,
     prom_resets,
@@ -419,6 +420,40 @@ def q_delta_1d(spark, sf_dir):
         "n_samples",
         F.round(F.col("raw_increase") * 1e6, 0).cast("long").alias("raw_u"),
         F.round(F.col("increase") * 1e6, 0).cast("long").alias("delta_u"),
+    )
+
+
+def q_deriv_1h(spark, sf_dir):
+    """PromQL deriv(): per-user hourly least-squares slope of the gauge
+    `value` over the bucket's samples (the published linearRegression
+    rule). The five regression sums accumulate as EXACT decimal(38,0)
+    integers (x = micros from bucket start, y = micro-units), so the
+    slope quotient is order-independent and DuckDB reproduces it
+    bit-for-bit. One (user, hour) exchange, no window function."""
+    ev = load_table(spark, sf_dir, "events")
+    out = prom_deriv(ev, "value", "1h", by=("user_id",))
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.round(F.col("slope") * 1e6, 0).cast("long").alias("slope_u"),
+    )
+
+
+def q_predict_linear_1h(spark, sf_dir):
+    """PromQL predict_linear(): the same per-bucket regression as
+    deriv_1h evaluated 600s past the bucket end — the "when does this
+    gauge hit the ceiling" primitive behind capacity alerts. Same
+    single exchange; the prediction is one projection on the exact
+    integer sums."""
+    ev = load_table(spark, sf_dir, "events")
+    out = prom_deriv(ev, "value", "1h", by=("user_id",), t_ahead_secs=600)
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.round(F.col("slope") * 1e6, 0).cast("long").alias("slope_u"),
+        F.round(F.col("predicted") * 1e6, 0).cast("long").alias("pred_u"),
     )
 
 
@@ -2846,6 +2881,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens (oldest evidence), then round-3 greens; round-4
         # greens close the list. Every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "deriv_1h": q_deriv_1h,
+        "predict_linear_1h": q_predict_linear_1h,
         "rate_1h": q_rate_1h,
         "resets_1d": q_resets_1d,
         "mp_ab_global_1d": q_mp_ab_global_1d,
@@ -3215,6 +3252,60 @@ FROM events
 GROUP BY 1, 2
 """
     # rate() = the identical extrapolation, then / 3600 (isRate=true)
+    # deriv()/predict_linear(): the regression sums are EXACT int128
+    # (HUGEINT here, decimal(38,0) in Spark), so both engines divide
+    # the same two integers and every downstream double op follows the
+    # identical IEEE expression tree — bit-replayable without epsilon.
+    d["deriv_1h"] = """
+WITH s AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         CAST(epoch_us(ts) - epoch_us(date_trunc('hour', ts))
+              AS HUGEINT) AS x,
+         CAST(round(value * 1e6) AS HUGEINT) AS y
+  FROM events
+), a AS (
+  SELECT user_id, bucket_ts, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM s GROUP BY 1, 2
+), q AS (
+  SELECT *, CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+         CAST(n AS HUGEINT) * sxx - sx * sx AS den
+  FROM a
+)
+SELECT user_id, bucket_ts, CAST(n AS BIGINT) AS n_samples,
+       CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6)
+            AS BIGINT) AS slope_u
+FROM q WHERE n >= 2 AND CAST(den AS DOUBLE) > 0
+"""
+    d["predict_linear_1h"] = """
+WITH s AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         CAST(epoch_us(ts) - epoch_us(date_trunc('hour', ts))
+              AS HUGEINT) AS x,
+         CAST(round(value * 1e6) AS HUGEINT) AS y
+  FROM events
+), a AS (
+  SELECT user_id, bucket_ts, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM s GROUP BY 1, 2
+), q AS (
+  SELECT *, CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+         CAST(n AS HUGEINT) * sxx - sx * sx AS den
+  FROM a
+)
+SELECT user_id, bucket_ts, CAST(n AS BIGINT) AS n_samples,
+       CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6)
+            AS BIGINT) AS slope_u,
+       CAST(round(((CAST(sy AS DOUBLE)
+                    - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                   + (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                     * 4200000000.0) / 1e6 * 1e6)
+            AS BIGINT) AS pred_u
+FROM q WHERE n >= 2 AND CAST(den AS DOUBLE) > 0
+"""
     d["rate_1h"] = """
 WITH s AS (
   SELECT user_id, ts,

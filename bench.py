@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "rate_1h",
     "resets_1d",
     "delta_1d",
+    "deriv_1h",
+    "predict_linear_1h",
     "mp_ab_global_1d",
     "seasonal_forecast_1h",
     "counter_rate_1h",

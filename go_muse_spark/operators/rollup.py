@@ -28,6 +28,7 @@ __all__ = [
     "prom_rate",
     "prom_resets",
     "prom_irate",
+    "prom_deriv",
     "moving_aggregate",
     "moving_quantile",
 ]
@@ -498,3 +499,80 @@ def prom_irate(
             (delta * F.lit(1_000_000.0) / span_us).alias("irate_per_s"),
         )
     )
+
+
+def prom_deriv(
+    samples,
+    value_col: str,
+    tier: str = "1h",
+    by: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    t_ahead_secs: float | None = None,
+):
+    """PromQL deriv() / predict_linear() per tumbling tier bucket: the
+    least-squares slope of the gauge over each bucket's samples (the
+    published linearRegression rule — simple linear regression of value
+    on time), and, when `t_ahead_secs` is given, the regression line's
+    value `t_ahead_secs` past the bucket end (predict_linear).
+
+    Numerics: the slope is computed from EXACT integer sums — x = the
+    sample's offset from the bucket start in microseconds, y = the
+    value in integer micro-units — accumulated as decimal(38,0), so the
+    quotient's operands are order-independent and any engine computing
+    the same published formula reproduces the result bit-for-bit (the
+    covariance/variance quotient is algebraically identical to
+    Prometheus's float form; only the accumulation is exact). Buckets
+    need >= 2 samples with distinct timestamps (variance > 0), like
+    Prometheus.
+
+    Plan: ONE exchange on (by, bucket) — tag, aggregate the five sums,
+    project the quotient; everything whole-stage codegen, no window.
+
+    Returns (by..., bucket_ts, n_samples, slope [value-units/sec],
+    predicted [value units, only when t_ahead_secs is not None]).
+    """
+    unit, secs, _ = TIERS[tier]
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    dec = "decimal(20,0)"
+    tagged = samples.select(
+        *by,
+        b,
+        (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.date_trunc(unit, F.col(ts_col)).cast("timestamp"))
+        ).cast(dec).alias("__x"),
+        F.round(F.col(value_col).cast("double") * 1e6, 0)
+        .cast(dec)
+        .alias("__y"),
+    )
+    agg = tagged.groupBy(*by, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    n = F.col("n_samples").cast(dec)
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    # y_u/us == value/sec exactly (the 1e6s cancel)
+    slope = num / den
+    cols = [
+        *by,
+        "bucket_ts",
+        "n_samples",
+        slope.alias("slope"),
+    ]
+    if t_ahead_secs is not None:
+        # regression intercept at the bucket start (x = 0), micro-units
+        icept_u = (
+            F.col("__sy").cast("double")
+            - (num / den) * F.col("__sx").cast("double")
+        ) / F.col("n_samples").cast("double")
+        x_pred = float((secs + t_ahead_secs) * 1_000_000)
+        cols.append(
+            ((icept_u + (num / den) * F.lit(x_pred)) / F.lit(1e6)).alias(
+                "predicted"
+            )
+        )
+    return agg.where((F.col("n_samples") >= 2) & (den > 0)).select(*cols)

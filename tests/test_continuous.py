@@ -335,6 +335,56 @@ def test_iceberg_sql_builders():
     )
 
 
+def test_iceberg_merge_live_smoke(spark, tmp_path):
+    """Live create -> MERGE -> read roundtrip through IcebergTableStore.
+
+    Runs for real the moment an iceberg-spark runtime jar lands on the
+    classpath (Iceberg reads `spark.sql.catalog.*` lazily at first use,
+    so a runtime `conf.set` on the shared session is enough — no session
+    rebuild). In this sandbox it skips: vendoring was attempted and is
+    impossible (2026-08-19 — no DNS to repo1.maven.org, no jar on the
+    filesystem, pyspark 4.1.2 bundles no table-format runtimes, pip
+    disallowed; full log in sources/store.py IcebergTableStore
+    docstring). The skip reason below is the audit trail; the MERGE
+    semantics themselves are live-tested via ParquetTableStore.
+    """
+    from go_muse_spark.sources.store import IcebergTableStore, iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip(
+            "iceberg-spark runtime jar absent (attempted 2026-08-19: no "
+            "network to Maven Central, no jar on filesystem, pip install "
+            "disallowed — see IcebergTableStore docstring); SQL builders "
+            "remain shape-asserted above and MERGE semantics live-tested "
+            "through ParquetTableStore"
+        )
+    spark.conf.set(
+        "spark.sql.catalog.smoke", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.smoke.type", "hadoop")
+    spark.conf.set(
+        "spark.sql.catalog.smoke.warehouse", str(tmp_path / "wh")
+    )
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS smoke.ns")
+    spark.sql(
+        "CREATE TABLE smoke.ns.agg (conv_id STRING, bucket_ts BIGINT, "
+        "n BIGINT) USING iceberg"
+    )
+    base = spark.createDataFrame(
+        [("c1", 0, 1), ("c2", 0, 1)], "conv_id string, bucket_ts long, n long"
+    )
+    base.writeTo("smoke.ns.agg").append()
+    store = IcebergTableStore(spark, "smoke", "ns")
+    delta = spark.createDataFrame(
+        [("c2", 0, 9), ("c3", 0, 1)], "conv_id string, bucket_ts long, n long"
+    )
+    store.upsert(delta, "agg", ["conv_id", "bucket_ts"])
+    got = {
+        (r["conv_id"], r["n"]) for r in store.read("agg").collect()
+    }
+    assert got == {("c1", 1), ("c2", 9), ("c3", 1)}
+
+
 def test_layout_sort_prunes_partitions_and_tightens_rowgroups(
     spark, tmp_path
 ):

@@ -236,3 +236,46 @@ def test_delta_gauge_no_reset_correction(spark):
     assert abs(
         r["increase"] - _expected(rows, counter=False)
     ) < 1e-9
+
+
+def test_deriv_matches_polyfit(spark):
+    """deriv(): the exact-integer-sum slope equals numpy's least-squares
+    fit on the same (seconds, value) points; buckets with <2 distinct
+    timestamps are dropped."""
+    import numpy as np
+
+    from go_muse_spark.operators.rollup import prom_deriv
+
+    rows = [(60 * i + 7, 3.25 + 0.5 * i + (i % 3) * 0.125)
+            for i in range(12)]
+    df = _mk(spark, rows)
+    got = prom_deriv(df, "v", "1h", by=("conv_id",)).collect()
+    assert len(got) == 1
+    r = got[0]
+    xs = np.array([s for s, _ in rows], dtype=float)
+    ys = np.array([v for _, v in rows], dtype=float)
+    slope = np.polyfit(xs, ys, 1)[0]
+    assert r["n_samples"] == 12
+    assert abs(r["slope"] - slope) < 1e-9
+
+    # single-sample and zero-variance buckets vanish
+    deg = _mk(spark, [(0, 1.0)])
+    assert prom_deriv(deg, "v", "1h", by=("conv_id",)).count() == 0
+
+
+def test_predict_linear_extends_the_fit(spark):
+    """predict_linear(): the regression line evaluated t_ahead past the
+    bucket end — for a perfectly linear gauge the prediction is exact."""
+    from go_muse_spark.operators.rollup import prom_deriv
+
+    # v = 10 + 0.01 * t_seconds, sampled every 5 min
+    rows = [(300 * i, 10.0 + 0.01 * 300 * i) for i in range(12)]
+    df = _mk(spark, rows)
+    got = prom_deriv(
+        df, "v", "1h", by=("conv_id",), t_ahead_secs=600
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert abs(r["slope"] - 0.01) < 1e-9
+    # at bucket_end + 600s = t=4200s: 10 + 0.01*4200 = 52.0
+    assert abs(r["predicted"] - 52.0) < 1e-6
