@@ -262,8 +262,13 @@ def child(path: str, cpus: int) -> None:
     spark.stop()
 
 
-def run_child(path: str, cpus: int) -> dict:
-    pin = ["taskset", "-c", f"0-{cpus - 1}"]
+def run_child(path: str, cpus: int, core_base: int = 0) -> dict:
+    # core_base shifts the pinned range off core 0 (IRQ/softirq target on
+    # this VM — the 4-core lo legs pinned 0-3 measured bimodal walls while
+    # 16-core legs amortized the noise, yielding super-linear artifacts);
+    # WHICH homogeneous cores a leg uses is irrelevant to the N-vs-4N
+    # software-scaling claim, only HOW MANY.
+    pin = ["taskset", "-c", f"{core_base}-{core_base + cpus - 1}"]
     out = subprocess.run(
         pin + [sys.executable, os.path.abspath(__file__), "--child", path,
                str(cpus)],
