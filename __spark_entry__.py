@@ -360,6 +360,53 @@ def q_irate_1h(spark, sf_dir):
     )
 
 
+def q_idelta_1h(spark, sf_dir):
+    """PromQL idelta(): the difference of each hour bucket's LAST TWO
+    samples of a gauge — irate's sibling for non-counters (published
+    instantValue rule with isRate=false, no reset correction, no time
+    division). Reuses the prom_irate machinery with counter=False:
+    same single (user, bucket) exchange, same same-timestamp dedup by
+    highest event_id, same >= 2 distinct-timestamps rule."""
+    ev = load_table(spark, sf_dir, "events")
+    out = prom_irate(
+        ev,
+        "value",
+        tier="1h",
+        by=("user_id",),
+        counter=False,
+        order_cols=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.round(F.col("delta") * 1e6, 0).cast("long").alias("idelta_u"),
+    )
+
+
+def q_holt_winters_1h(spark, sf_dir):
+    """PromQL holt_winters() / double_exponential_smoothing(): the
+    level+trend recurrence folded over each hour bucket's time-ordered
+    samples, returning the final smoothed level. Pure JVM plan — one
+    (user, bucket) exchange collecting (t_us, value) structs, then an
+    array_sort + F.aggregate fold in whole-stage codegen (no Python,
+    no window). Dyadic factors (sf=0.5, tf=0.25) make the complement
+    weights exact, so DuckDB replaying the same recurrence with a
+    recursive CTE matches bit-for-bit at micro-unit rounding."""
+    from go_muse_spark.operators.stats import holt_winters
+
+    ev = load_table(spark, sf_dir, "events")
+    out = holt_winters(
+        ev, "value", tier="1h", by=("user_id",), sf=0.5, tf=0.25
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.round(F.col("smoothed") * 1e6, 0).cast("long").alias("smooth_u"),
+    )
+
+
 def q_rate_1h(spark, sf_dir):
     """PromQL-exact rate(): the extrapolated hourly increase of a
     per-user monotone counter divided by the range width (3600s) —
@@ -2889,6 +2936,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_forecast_1h": q_seasonal_forecast_1h,
         "delta_1d": q_delta_1d,
         "irate_1h": q_irate_1h,
+        "idelta_1h": q_idelta_1h,
+        "holt_winters_1h": q_holt_winters_1h,
         "pmi_pairs_docs": q_pmi_pairs_docs,
         "histq_ladder_1d": q_histq_ladder_1d,
         "stl_1h": q_stl_1h,
@@ -4824,6 +4873,65 @@ SELECT user_id, bucket_ts, n_samples,
        cast(round((CASE WHEN lv < pv THEN lv ELSE lv - pv END)
                   * 1000000.0 / (l_us - p_us) * 1e6)
             AS bigint) AS irate_u
+FROM a WHERE n_samples = 2 AND l_us > p_us
+""",
+        # holt_winters: the level/trend recurrence is replayed sample-
+        # by-sample with a recursive CTE (state at sample rn joins
+        # sample rn+1). Dyadic sf=0.5 / tf=0.25 make both complement
+        # weights exact, so each step is the identical IEEE expression
+        # tree in both engines — bit-replayable at micro rounding.
+        "holt_winters_1h": """
+WITH RECURSIVE s AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY epoch_us(ts), value) AS rn,
+         count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS n
+  FROM events
+), r AS (
+  SELECT a.user_id, a.bucket_ts, a.n, a.rn,
+         0.0::DOUBLE AS s0, a.v AS s1, (b.v - a.v) AS b
+  FROM s a JOIN s b ON b.user_id = a.user_id
+       AND b.bucket_ts = a.bucket_ts AND b.rn = 2
+  WHERE a.rn = 1
+  UNION ALL
+  SELECT r.user_id, r.bucket_ts, r.n, x.rn,
+         r.s1 AS s0,
+         0.5 * x.v + (1.0 - 0.5) * (r.s1 +
+           CASE WHEN r.rn = 1 THEN r.b
+                ELSE 0.25 * (r.s1 - r.s0) + (1.0 - 0.25) * r.b END) AS s1,
+         CASE WHEN r.rn = 1 THEN r.b
+              ELSE 0.25 * (r.s1 - r.s0) + (1.0 - 0.25) * r.b END AS b
+  FROM r JOIN s x ON x.user_id = r.user_id
+       AND x.bucket_ts = r.bucket_ts AND x.rn = r.rn + 1
+)
+SELECT user_id, bucket_ts, CAST(n AS BIGINT) AS n_samples,
+       CAST(round(s1 * 1e6) AS BIGINT) AS smooth_u
+FROM r WHERE rn = n AND n >= 2
+""",
+        "idelta_1h": """
+WITH t0 AS (
+  SELECT user_id, event_id, date_trunc('hour', ts) AS bucket_ts,
+         epoch_us(ts) AS t_us, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts), ts
+                            ORDER BY event_id DESC) AS dup_rn
+  FROM events
+), t AS (
+  SELECT user_id, bucket_ts, t_us, value,
+         row_number() OVER (PARTITION BY user_id, bucket_ts
+                            ORDER BY t_us DESC, event_id DESC) AS rn
+  FROM t0 WHERE dup_rn = 1
+), a AS (
+  SELECT user_id, bucket_ts,
+         cast(count(*) AS bigint) AS n_samples,
+         max(CASE WHEN rn = 1 THEN value END) AS lv,
+         max(CASE WHEN rn = 2 THEN value END) AS pv,
+         max(CASE WHEN rn = 1 THEN t_us END) AS l_us,
+         max(CASE WHEN rn = 2 THEN t_us END) AS p_us
+  FROM t WHERE rn <= 2 GROUP BY 1, 2
+)
+SELECT user_id, bucket_ts, n_samples,
+       cast(round((lv - pv) * 1e6) AS bigint) AS idelta_u
 FROM a WHERE n_samples = 2 AND l_us > p_us
 """,
         "counter_rate_1h": """

@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "delta_1d",
     "deriv_1h",
     "predict_linear_1h",
+    "idelta_1h",
+    "holt_winters_1h",
     "mp_ab_global_1d",
     "seasonal_forecast_1h",
     "counter_rate_1h",

@@ -49,6 +49,7 @@ __all__ = [
     "change_stats",
     "classical_decompose",
     "seasonal_forecast",
+    "holt_winters",
 ]
 
 
@@ -1256,4 +1257,101 @@ def seasonal_forecast(
         # a future phase never observed has no seasonal value: drop,
         # same as the SQL oracle's inner join on phase
         .where(F.col("forecast_mu").isNotNull())
+    )
+
+
+def holt_winters(
+    samples: DataFrame,
+    value_col: str,
+    tier: str = "1h",
+    by: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    sf: float = 0.5,
+    tf: float = 0.25,
+) -> DataFrame:
+    """PromQL holt_winters() / double_exponential_smoothing() per
+    tumbling tier bucket: the level/trend recurrence of the published
+    funcDoubleExponentialSmoothing rule folded over the bucket's
+    time-ordered samples, returning the final smoothed level —
+
+        s1 := y[0];  b := y[1] - y[0]
+        for i in 1..l-1:
+            b  := (i == 1) ? b : tf*(s1 - s0) + (1 - tf)*b
+            s0, s1 := s1, sf*y[i] + (1 - sf)*(s1 + b)
+
+    Buckets need >= 2 samples, like Prometheus.
+
+    Execution: the recurrence is inherently sequential PER BUCKET but
+    embarrassingly parallel ACROSS buckets, so it runs as ONE hash
+    aggregate (collect_list of (t_us, value) structs, map-side partial)
+    followed by a whole-stage-codegen projection: array_sort + an
+    ``F.aggregate`` fold over the array with a (s0, s1, b, j) struct
+    accumulator — zero Python in the plan, zero window functions, one
+    exchange on (by, bucket). At 100x the array length is bounded by
+    samples-per-bucket (a scrape-rate constant), not by data volume.
+
+    Numerics: defaults sf/tf are DYADIC (0.5, 0.25) so the complement
+    weights (1-sf), (1-tf) are exact; every fold step then evaluates
+    the identical IEEE-754 expression tree in any engine replaying the
+    recurrence in doubles (the DuckDB oracle walks the same recurrence
+    with a recursive CTE and matches bit-for-bit at micro-unit
+    rounding). Non-dyadic factors still agree to an ulp per step.
+
+    Returns (by..., bucket_ts, n_samples, smoothed).
+    """
+    if not 0.0 < sf < 1.0 or not 0.0 < tf < 1.0:
+        raise ValueError("smoothing/trend factors must be in (0, 1)")
+    from go_muse_spark.operators.rollup import TIERS
+
+    unit, _, _ = TIERS[tier]
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    tagged = samples.select(
+        *by,
+        b,
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t_us"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("__pt"),
+    )
+    agg = tagged.groupBy(*by, "bucket_ts").agg(
+        F.array_sort(F.collect_list("__pt")).alias("__pts")
+    )
+    arr = F.col("__pts")
+    y1 = F.element_at(arr, 1)["v"]
+    y2 = F.element_at(arr, 2)["v"]
+    sf_c, tf_c = F.lit(float(sf)), F.lit(float(tf))
+    one = F.lit(1.0)
+
+    def step(acc, x):
+        # b update lags one sample: first fold step keeps the seed b
+        b_new = F.when(acc["j"] == 0, acc["b"]).otherwise(
+            tf_c * (acc["s1"] - acc["s0"]) + (one - tf_c) * acc["b"]
+        )
+        return F.struct(
+            acc["s1"].alias("s0"),
+            (sf_c * x["v"] + (one - sf_c) * (acc["s1"] + b_new)).alias(
+                "s1"
+            ),
+            b_new.alias("b"),
+            (acc["j"] + F.lit(1)).alias("j"),
+        )
+
+    folded = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.struct(
+            F.lit(0.0).alias("s0"),
+            y1.alias("s1"),
+            (y2 - y1).alias("b"),
+            F.lit(0).alias("j"),
+        ),
+        step,
+    )
+    return (
+        agg.where(F.size(arr) >= 2)
+        .select(
+            *by,
+            "bucket_ts",
+            F.size(arr).alias("n_samples"),
+            folded["s1"].alias("smoothed"),
+        )
     )

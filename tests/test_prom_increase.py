@@ -279,3 +279,81 @@ def test_predict_linear_extends_the_fit(spark):
     assert abs(r["slope"] - 0.01) < 1e-9
     # at bucket_end + 600s = t=4200s: 10 + 0.01*4200 = 52.0
     assert abs(r["predicted"] - 52.0) < 1e-6
+
+
+def test_idelta_gauge_signed_no_reset_correction(spark):
+    """idelta(): last-two-samples difference of a gauge — a drop yields
+    a NEGATIVE delta (isRate=false, no reset branch), duplicate
+    timestamps at the bucket tail fall back to the latest distinct
+    one, and single-distinct-timestamp buckets vanish."""
+    from go_muse_spark.operators.rollup import prom_irate
+
+    # last two distinct-ts samples: 7.0 @120s then 4.5 @180s -> -2.5
+    rows = [(0, 1.0), (60, 3.0), (120, 7.0), (180, 4.5)]
+    out = prom_irate(
+        _mk(spark, rows), "v", "1h", by=("conv_id",), counter=False,
+        order_cols=("seq",),
+    ).collect()
+    assert len(out) == 1
+    assert abs(out[0]["delta"] - (-2.5)) < 1e-12
+
+    # duplicate scrape at the latest instant: seq-max wins the dedup,
+    # prev falls back to the latest DISTINCT earlier timestamp
+    dup = [(0, 1.0), (60, 3.0), (180, 9.0), (180, 8.0)]
+    out = prom_irate(
+        _mk(spark, dup), "v", "1h", by=("conv_id",), counter=False,
+        order_cols=("seq",),
+    ).collect()
+    assert len(out) == 1
+    assert abs(out[0]["delta"] - (8.0 - 3.0)) < 1e-12
+
+    # all samples at one timestamp -> no distinct pair -> dropped
+    deg = [(60, 1.0), (60, 2.0)]
+    assert prom_irate(
+        _mk(spark, deg), "v", "1h", by=("conv_id",), counter=False,
+        order_cols=("seq",),
+    ).count() == 0
+
+
+def _hw_reference(ys, sf=0.5, tf=0.25):
+    """Prometheus funcDoubleExponentialSmoothing, transcribed: seed
+    s1=y[0], b=y[1]-y[0]; the trend update lags one sample."""
+    s0, s1, b = 0.0, ys[0], ys[1] - ys[0]
+    for i in range(1, len(ys)):
+        if i - 1 != 0:
+            b = tf * (s1 - s0) + (1.0 - tf) * b
+        s0, s1 = s1, sf * ys[i] + (1.0 - sf) * (s1 + b)
+    return s1
+
+
+def test_holt_winters_matches_prometheus_recurrence(spark):
+    """holt_winters(): the JVM aggregate-fold equals the published
+    recurrence bit-for-bit; out-of-order input is sorted by timestamp
+    first; <2-sample buckets vanish."""
+    from go_muse_spark.operators.stats import holt_winters
+
+    ys = [3.0, 7.0, 5.5, 9.25, 2.0, 6.125, 8.0]
+    rows = [(60 * i, v) for i, v in enumerate(ys)]
+    import random
+    rng = random.Random(7)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    out = holt_winters(
+        _mk(spark, shuffled), "v", "1h", by=("conv_id",)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_samples"] == len(ys)
+    assert out[0]["smoothed"] == _hw_reference(ys)
+
+    # exactly two samples: one fold step, s1 = y1 analytically
+    two = holt_winters(
+        _mk(spark, [(0, 4.0), (60, 10.0)]), "v", "1h", by=("conv_id",)
+    ).collect()
+    assert len(two) == 1
+    assert two[0]["smoothed"] == _hw_reference([4.0, 10.0])
+    assert abs(two[0]["smoothed"] - 10.0) < 1e-12
+
+    # single-sample bucket dropped
+    assert holt_winters(
+        _mk(spark, [(0, 1.0)]), "v", "1h", by=("conv_id",)
+    ).count() == 0
