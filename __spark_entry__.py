@@ -94,12 +94,23 @@ from go_muse_spark.operators.cardinality import (
     distinct_rollup,
     hll_sketch_reagg,
     hll_sketch_rollup,
+    kmv_estimate,
+    kmv_hash_sql,
+    kmv_jaccard,
+    kmv_reagg,
+    kmv_sketch_rollup,
     rolling_distinct,
+)
+from go_muse_spark.operators.quantsketch import (
+    log_hist_quantile,
+    log_hist_reagg,
+    log_hist_rollup,
 )
 from go_muse_spark.operators.textdedup import remove_boilerplate
 from go_muse_spark.operators.olap import (
     dimensional_rollup,
     histogram_quantile,
+    ohlc_bars,
     value_histogram,
 )
 from go_muse_spark.operators.stats import (
@@ -988,6 +999,91 @@ def q_uniques_hll_1d(spark, sf_dir):
             ),
         )
     )
+
+
+def q_kmv_ladder_1d(spark, sf_dir):
+    """KMV distinct ladder (Bar-Yossef/Beyer k-minimum-values): hourly
+    64-min sketches of user_id per event_type, merged to daily with
+    kmv_reagg and read out with the (k-1)/h_(k) estimator. The oracle
+    builds the DAILY sketch directly from raw with the same integer
+    hash — equality proves the 1h->1d merge is LOSSLESS (k-min of
+    unions == k-min of the union), the property that lets the 100 TB
+    ladder re-aggregate on O(groups x k) bytes with zero raw rescan.
+    Unlike the HLL ladder (uniques_hll_1d, engine-native blobs checked
+    within error bounds) every bit here is deterministic cross-engine,
+    so the contract is exact value equality."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = kmv_sketch_rollup(ev, "user_id", 3600, k=64, dims=("event_type",))
+    daily = kmv_reagg(hourly, 86400, k=64, dims=("event_type",))
+    return kmv_estimate(daily, k=64).select(
+        "bucket_epoch",
+        "event_type",
+        F.round(F.col("n_est") * 1e6, 0).cast("long").alias("n_est_u"),
+    )
+
+
+def q_kmv_jaccard_1d(spark, sf_dir):
+    """Set-overlap accounting between corpus slices — the estimate HLL
+    cannot give: per day, the Jaccard similarity of the click-user set
+    vs the view-user set from their stored KMV sketches (k smallest of
+    the union; count how many sit in both). Deterministic integer hash
+    -> exact cross-engine equality; tests pin the estimator against a
+    known 1/3-overlap ground truth."""
+    ev = load_table(spark, sf_dir, "events")
+    mk = lambda t: kmv_sketch_rollup(
+        ev.filter(F.col("event_type") == t), "user_id", 86400, k=64
+    ).select("bucket_epoch", "kmv")
+    out = kmv_jaccard(mk("click"), mk("view"), on=["bucket_epoch"], k=64)
+    return out.select(
+        "bucket_epoch",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("denom").cast("long").alias("denom"),
+        F.round(F.col("jaccard") * 1e6, 0).cast("long").alias("jaccard_u"),
+    )
+
+
+def q_ohlc_1h(spark, sf_dir):
+    """OHLC candlestick bars per (hour, event_type): first/last by
+    (epoch_us, event_id) plus extremes, ONE algebraic aggregate —
+    min_by/max_by partial-merge keeps the arg-min pair, so the plan is
+    scan -> partial agg -> one exchange -> final agg, no window sort.
+    Values pre-scaled to integer micro-units so o/h/l/c AND the bucket
+    sum are order-independent exact (every addend < 2^53)."""
+    ev = load_table(spark, sf_dir, "events")
+    evm = ev.filter(F.col("value").isNotNull()).select(
+        "ts",
+        "event_type",
+        "event_id",
+        F.expr("cast(round(value * 1e6) as bigint)").alias("v_u"),
+    )
+    bars = ohlc_bars(
+        evm, "v_u", 3600, dims=("event_type",), order_cols=("event_id",)
+    )
+    return bars.select(
+        "bucket_epoch",
+        "event_type",
+        F.col("o").cast("long").alias("o_u"),
+        F.col("h").cast("long").alias("h_u"),
+        F.col("l").cast("long").alias("l_u"),
+        F.col("c").cast("long").alias("c_u"),
+        "n",
+        F.col("vsum").cast("long").alias("vsum_u"),
+    )
+
+
+def q_loghist_ladder_1d(spark, sf_dir):
+    """DDSketch-style log-bucketed quantile ladder: hourly histograms
+    whose bucket key is derived from the value's BIT PATTERN (exact
+    floor-log2 on <2^32 operands — no transcendental drift), SUM-merged
+    to daily, quantiles read as bucket midpoints. Relative error
+    bounded by 2^-(mb+1)=6.25% over an UNBOUNDED value range — the
+    heavy-tail answer the fixed-width ladder (histq_ladder_1d) can't
+    give. Oracle builds the daily histogram from raw: equality proves
+    the merge lossless AND the bucket function engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    h1h = log_hist_rollup(ev, "value", 3600, dims=("event_type",))
+    h1d = log_hist_reagg(h1h, 86400, dims=("event_type",))
+    return log_hist_quantile(h1d, (0.5, 0.95, 0.99), dims=("event_type",))
 
 
 def q_hist_value_1d(spark, sf_dir):
@@ -2928,6 +3024,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens (oldest evidence), then round-3 greens; round-4
         # greens close the list. Every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "kmv_ladder_1d": q_kmv_ladder_1d,
+        "kmv_jaccard_1d": q_kmv_jaccard_1d,
+        "ohlc_1h": q_ohlc_1h,
+        "loghist_ladder_1d": q_loghist_ladder_1d,
         "deriv_1h": q_deriv_1h,
         "predict_linear_1h": q_predict_linear_1h,
         "rate_1h": q_rate_1h,
@@ -3227,6 +3327,107 @@ JOIN cent ON cent.user_id = dd.user_id
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     d = _oracle_sql_base(stop_list)
+    # ---- round-5 sketch ladders / OHLC. The KMV oracles build the
+    # DAILY sketch directly from raw with the same pure-integer hash
+    # (cardinality.kmv_hash_sql): equality vs the Spark 1h->1d laddered
+    # path proves the merge lossless, bit-for-bit.
+    kmv_h = kmv_hash_sql("user_id")
+    d["kmv_ladder_1d"] = f"""
+WITH h AS (
+  SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400 AS bucket_epoch,
+         event_type, {kmv_h} AS hh
+  FROM events
+), s AS (
+  SELECT bucket_epoch, event_type,
+         list_slice(list_sort(list(hh)), 1, 64) AS kmv
+  FROM h GROUP BY 1, 2
+)
+SELECT bucket_epoch, event_type,
+       cast(round(CASE WHEN len(kmv) < 64 THEN cast(len(kmv) AS double)
+                  ELSE 63000000441.0 / kmv[64] END * 1e6) AS bigint)
+         AS n_est_u
+FROM s
+"""
+    d["kmv_jaccard_1d"] = f"""
+WITH h AS (
+  SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400 AS bucket_epoch,
+         event_type, {kmv_h} AS hh
+  FROM events WHERE event_type IN ('click', 'view')
+), s AS (
+  SELECT bucket_epoch, event_type,
+         list_slice(list_sort(list(hh)), 1, 64) AS kmv
+  FROM h GROUP BY 1, 2
+), p AS (
+  SELECT a.bucket_epoch, a.kmv AS ka, b.kmv AS kb,
+         list_slice(list_sort(list_distinct(list_concat(a.kmv, b.kmv))),
+                    1, 64) AS m
+  FROM s a JOIN s b USING (bucket_epoch)
+  WHERE a.event_type = 'click' AND b.event_type = 'view'
+)
+SELECT bucket_epoch,
+       cast(len(list_intersect(m, list_intersect(ka, kb))) AS bigint)
+         AS inter,
+       cast(len(m) AS bigint) AS denom,
+       cast(round(len(list_intersect(m, list_intersect(ka, kb)))::double
+                  / len(m)::double * 1e6) AS bigint) AS jaccard_u
+FROM p
+"""
+    # first/last via two row_number passes (DuckDB arg_min doesn't take
+    # composite keys) — an INDEPENDENT spelling of the same tie rule
+    d["ohlc_1h"] = """
+WITH b AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_epoch, event_type,
+         epoch_us(ts) AS t_us, event_id,
+         cast(round(value * 1e6) AS bigint) AS v_u
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_epoch, event_type
+                               ORDER BY t_us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY bucket_epoch, event_type
+                            ORDER BY t_us DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT bucket_epoch, event_type,
+       max(CASE WHEN rn_a = 1 THEN v_u END) AS o_u,
+       max(v_u) AS h_u, min(v_u) AS l_u,
+       max(CASE WHEN rn_d = 1 THEN v_u END) AS c_u,
+       cast(count(*) AS bigint) AS n, cast(sum(v_u) AS bigint) AS vsum_u
+FROM r GROUP BY 1, 2
+"""
+    d["loghist_ladder_1d"] = """
+WITH u0 AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400 AS bucket_epoch, event_type,
+         cast(round(value * 1e6) AS bigint) AS u
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), b AS (
+  SELECT bucket_epoch, event_type, u,
+         cast(CASE WHEN u >= 4294967296
+              THEN 32 + floor(log2((u >> 32)::double))
+              ELSE floor(log2(u::double)) END AS int) AS e
+  FROM u0 WHERE u >= 1
+), g AS (
+  SELECT bucket_epoch, event_type,
+         (u >> greatest(e - 3, 0)) << greatest(e - 3, 0) AS bin_lo,
+         greatest(e - 3, 0) AS shift
+  FROM b
+), h AS (
+  SELECT bucket_epoch, event_type, bin_lo, shift,
+         cast(count(*) AS bigint) AS n
+  FROM g GROUP BY 1, 2, 3, 4
+), c AS (
+  SELECT *, cast(sum(n) OVER (PARTITION BY bucket_epoch, event_type
+                              ORDER BY bin_lo) AS bigint) AS cum,
+         cast(sum(n) OVER (PARTITION BY bucket_epoch, event_type)
+              AS bigint) AS tot
+  FROM h
+), e AS (
+  SELECT c.*, l.q
+  FROM c CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q) l
+)
+SELECT bucket_epoch, event_type, q,
+       bin_lo + ((1::bigint << shift) >> 1) AS qvalue_u
+FROM e WHERE cum >= ceil(q * tot) AND (cum - n) < ceil(q * tot)
+"""
     # two native DuckDB ASOF joins + the nearest pick on exact integer
     # distances — an independent implementation of nearest semantics
     d["asof_nearest_click"] = """

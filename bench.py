@@ -145,6 +145,10 @@ BENCH_QUERIES = [
     "markov_transitions",
     "compact_roundtrip_1h",
     "muse_grouped_dims_1h",
+    "kmv_ladder_1d",
+    "kmv_jaccard_1d",
+    "ohlc_1h",
+    "loghist_ladder_1d",
     # retention_1m is correctness-oracled but excluded here: it measures
     # parquet writes to a temp store, not engine compute.
     # ann_ivf_topk / dedup_clusters are correctness-oracled but excluded

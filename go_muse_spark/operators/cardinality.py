@@ -35,6 +35,12 @@ __all__ = [
     "approx_quantile_rollup",
     "approx_top_items",
     "rolling_distinct",
+    "kmv_hash",
+    "kmv_hash_sql",
+    "kmv_sketch_rollup",
+    "kmv_reagg",
+    "kmv_estimate",
+    "kmv_jaccard",
 ]
 
 
@@ -328,4 +334,147 @@ def hll_sketch_reagg(
         "n_events",
         F.hll_sketch_estimate("sketch").alias("n_approx"),
         "sketch",
+    )
+
+
+# ---------------------------------------------------------------- KMV
+# k-minimum-values sketch (Bar-Yossef et al. 2002 / Beyer et al.
+# SIGMOD'07): keep the k smallest values of a uniform hash of the key;
+# the k-th smallest normalized hash estimates distinct count as
+# (k-1)/h_(k), and — unlike HLL — two sketches support SET OVERLAP
+# estimates (Jaccard via the k-min of the union), which is what dedup
+# accounting between corpus slices actually needs. The hash is the
+# repo's dual-dialect integer idiom (functions/text.py): pure BIGINT
+# arithmetic mod P, identical in Spark and DuckDB, so the stored
+# sketch — and therefore every estimate — is oracle-checkable
+# bit-for-bit, no engine hash involved.
+
+KMV_P = 1_000_000_007
+KMV_A, KMV_B = 722_472_041, 568_995_167  # fixed odd mixers < P
+
+
+def kmv_hash(key: Column) -> Column:
+    """Uniform-ish hash of an integer key into [0, P): ((key mod P) * A
+    + B) mod P — products stay < 2^60, exact in int64 in any engine."""
+    return (
+        (key.cast("long") % KMV_P + KMV_P) % KMV_P * KMV_A + KMV_B
+    ) % KMV_P
+
+
+def kmv_hash_sql(key_sql: str) -> str:
+    """The DuckDB spelling of kmv_hash (same integer expression)."""
+    return (
+        f"((({key_sql} % {KMV_P} + {KMV_P}) % {KMV_P})"
+        f" * {KMV_A} + {KMV_B}) % {KMV_P}"
+    )
+
+
+def kmv_sketch_rollup(
+    events: DataFrame,
+    key_col: str,
+    bucket_secs: int,
+    k: int = 64,
+    dims: tuple[str, ...] = (),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Build the KMV sketch per (bucket, dims...): the k smallest
+    distinct key hashes as a sorted array column.
+
+    Plan: map-side partial dedup of (bucket, dims, h) -> one exchange
+    of DISTINCT triples (same shuffle volume as exact count-distinct's
+    Expand plan — KMV from raw cannot beat that; its win is the STORED
+    table, see kmv_reagg) -> per-group sort+slice. Returns
+    (bucket_epoch, dims..., n_events?, kmv array<long>, n_distinct).
+
+    n_distinct rides along so tests can pin the estimator's error
+    against truth; production ladders drop it.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    trips = events.select(
+        _bucket(bucket_secs, ts_col),
+        *dims,
+        kmv_hash(F.col(key_col)).alias("__h"),
+    ).distinct()
+    return trips.groupBy("bucket_epoch", *dims).agg(
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("kmv"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+
+def kmv_reagg(
+    sketch: DataFrame,
+    coarse_secs: int,
+    k: int = 64,
+    dims: tuple[str, ...] = (),
+    bucket_col: str = "bucket_epoch",
+) -> DataFrame:
+    """Merge stored fine sketches to coarser buckets WITHOUT raw
+    rescan: the k smallest of the union of k-min sets is exactly the
+    k-min set of the union of the underlying key sets (min is
+    associative), so the merged sketch is IDENTICAL to one built from
+    raw — the lossless continuous-aggregate property, on O(groups x k)
+    shuffle bytes. The oracle equality in the contract query proves
+    exactly this."""
+    coarse = (
+        F.col(bucket_col) - F.col(bucket_col) % F.lit(int(coarse_secs))
+    ).alias(bucket_col)
+    return sketch.groupBy(coarse, *dims).agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("kmv")))
+            ),
+            1,
+            k,
+        ).alias("kmv")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate column from the sketch: exact size when
+    the sketch holds fewer than k values (it then IS the distinct hash
+    set), else the KMV estimator (k-1) * P / h_(k) — one double divide
+    on identical operands, so cross-engine identical."""
+    h_k = F.element_at("kmv", k).cast("double")
+    est = F.when(
+        F.size("kmv") < k, F.size("kmv").cast("double")
+    ).otherwise(F.lit(float((k - 1) * KMV_P)) / h_k)
+    return sketch.withColumn("n_est", est)
+
+
+def kmv_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    k: int = 64,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Jaccard similarity estimate between two keyed sketch tables:
+    join on `on`, take the k smallest of the union of both sketches,
+    and count how many of those union-minima sit in BOTH sketches —
+    |M ∩ A ∩ B| / |M| is the standard unbiased KMV Jaccard estimator.
+    Pure array expressions, broadcastable when one side is small.
+
+    Returns on..., kmv_a, kmv_b, inter, denom, jaccard."""
+    a, b = f"kmv{suffixes[0]}", f"kmv{suffixes[1]}"
+    j = left.select(*on, F.col("kmv").alias(a)).join(
+        right.select(*on, F.col("kmv").alias(b)), on=on
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col(a), F.col(b)))),
+        1,
+        k,
+    )
+    inter = F.size(
+        F.array_intersect(merged, F.array_intersect(F.col(a), F.col(b)))
+    )
+    return j.select(
+        *on,
+        F.col(a),
+        F.col(b),
+        inter.alias("inter"),
+        F.size(merged).alias("denom"),
+        (
+            inter.cast("double") / F.size(merged).cast("double")
+        ).alias("jaccard"),
     )

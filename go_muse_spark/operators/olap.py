@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dimensional_rollup", "value_histogram", "histogram_quantile"]
+__all__ = [
+    "dimensional_rollup",
+    "value_histogram",
+    "histogram_quantile",
+    "ohlc_bars",
+]
 
 
 def dimensional_rollup(
@@ -145,4 +150,51 @@ def histogram_quantile(
     )
     return e.filter((F.col("__cum") >= target) & (prev < target)).select(
         *dims, "q", qvalue.alias("qvalue")
+    )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    value_col: str,
+    bucket_secs: int,
+    dims: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Open/High/Low/Close candlestick bars per (bucket, dims...) —
+    the downsample a monitoring or market dashboard draws when the
+    1m tier is still too dense: first/last value by time plus the
+    bucket extremes, in ONE aggregate.
+
+    The reference keeps only raw series (muse.go works on full
+    vectors); bars are the classic OLAP downsample the rollup tiers
+    enable. first/last are expressed as min_by/max_by over the
+    (epoch_us, order_cols...) struct — an ALGEBRAIC aggregate (partial
+    merge keeps the arg-min pair), so the plan is scan -> partial agg
+    -> ONE exchange on (bucket, dims) -> final agg: no window sort, no
+    second shuffle, same shape as every other tier rollup here. Ties
+    at the same timestamp are broken by order_cols (deterministic
+    cross-engine; DuckDB oracle uses arg_min/arg_max over the same
+    key list).
+
+    Returns (bucket_epoch, dims..., o, h, l, c, n, vsum) with values
+    as-is (callers round to micro-units for oracle hashing).
+    """
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    key = F.struct(
+        t_us.alias("t_us"), *[F.col(c) for c in order_cols]
+    )
+    v = F.col(value_col).cast("double")
+    bucket = (
+        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        - F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        % F.lit(int(bucket_secs))
+    ).alias("bucket_epoch")
+    return events.groupBy(bucket, *dims).agg(
+        F.min_by(v, key).alias("o"),
+        F.max(v).alias("h"),
+        F.min(v).alias("l"),
+        F.max_by(v, key).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("vsum"),
     )

@@ -43,6 +43,10 @@ CACHE = os.path.join(REPO, ".cache")
 MUSE_CONVS = int(os.environ.get("SPARK_GRAFT_PS_MUSE_CONVS", "100000"))
 MINHASH_DOCS = int(os.environ.get("SPARK_GRAFT_PS_DOCS", "200000"))
 EMB_ROWS = int(os.environ.get("SPARK_GRAFT_PS_VECS", "400000"))
+# 64-d vectors make the verify stage ~1 MAC per shuffled byte (bandwidth
+# -bound on this host); 256-d — the realistic model width — carries 4x
+# the compute per shuffled candidate pair.
+EMB_DIM = int(os.environ.get("SPARK_GRAFT_PS_EMB_DIM", "64"))
 
 
 def _noop(df) -> None:
@@ -54,7 +58,14 @@ def _noop(df) -> None:
 # across runs and parallelism levels, no RNG, no external data.
 
 
-MUSE_WINDOW_BUCKETS = 43200  # 30 days of 1m buckets -> 65536-pt FFTs
+# 30 days of 1m buckets -> 65536-pt FFTs (512 KB arrays — past the
+# 2 MiB/core L2, so the kernel streams L3/DRAM and the leg inherits the
+# host's ~flat 4->16 bandwidth ceiling). Override to a shorter window
+# (e.g. 14400 = 10 days -> 16384-pt, L2-resident) for the compute-bound
+# reading — both are real query shapes; see BENCH.md.
+MUSE_WINDOW_BUCKETS = int(
+    os.environ.get("SPARK_GRAFT_PS_MUSE_BUCKETS", "43200")
+)
 
 
 def muse_input(spark):
@@ -132,17 +143,18 @@ def docs_path(spark) -> str:
 
 
 def emb_path(spark) -> str:
-    """Synthetic embedding table: 64 hash-derived floats per vector."""
-    path = os.path.join(CACHE, f"ps_emb_{EMB_ROWS}.parquet")
+    """Synthetic embedding table: EMB_DIM hash-derived floats/vector."""
+    suffix = "" if EMB_DIM == 64 else f"_d{EMB_DIM}"
+    path = os.path.join(CACHE, f"ps_emb_{EMB_ROWS}{suffix}.parquet")
     if not os.path.exists(path):
         from pyspark.sql import functions as F
 
         df = spark.range(EMB_ROWS).select(
             F.col("id").alias("vec_id"),
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
                 lambda d: (
-                    F.pmod(F.hash(F.col("id") * 64 + d), F.lit(2001))
+                    F.pmod(F.hash(F.col("id") * EMB_DIM + d), F.lit(2001))
                     .cast("double")
                     / 1000.0
                     - 1.0
