@@ -35,6 +35,7 @@ from go_muse_spark.operators.rollup import (
     prom_deriv,
     prom_irate,
     prom_rate,
+    prom_changes,
     prom_resets,
     moving_quantile,
     counter_rate,
@@ -457,6 +458,23 @@ def q_resets_1d(spark, sf_dir):
         "bucket_ts",
         "n_samples",
         F.col("resets").cast("long").alias("resets"),
+    )
+
+
+def q_changes_1d(spark, sf_dir):
+    """PromQL changes(): per-user daily count of consecutive-sample
+    value changes (any difference, up or down — resets() is the
+    strictly-decreasing subset). Same one-exchange lag+aggregate plan
+    as resets_1d; single-sample buckets report 0."""
+    ev = load_table(spark, sf_dir, "events")
+    out = prom_changes(
+        ev, "value", tier="1d", by=("user_id",), order_cols=("event_id",)
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_samples",
+        F.col("changes").cast("long").alias("changes"),
     )
 
 
@@ -3032,6 +3050,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_linear_1h": q_predict_linear_1h,
         "rate_1h": q_rate_1h,
         "resets_1d": q_resets_1d,
+        "changes_1d": q_changes_1d,
         "mp_ab_global_1d": q_mp_ab_global_1d,
         "seasonal_forecast_1h": q_seasonal_forecast_1h,
         "delta_1d": q_delta_1d,
@@ -3650,6 +3669,19 @@ WITH t AS (
 SELECT user_id, bucket_ts,
        cast(count(*) AS bigint) AS n_samples,
        cast(sum(CASE WHEN value < pv THEN 1 ELSE 0 END) AS bigint) AS resets
+FROM t GROUP BY 1, 2
+"""
+    d["changes_1d"] = """
+WITH t AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts, value,
+         lag(value) OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS pv
+  FROM events
+)
+SELECT user_id, bucket_ts,
+       cast(count(*) AS bigint) AS n_samples,
+       cast(sum(CASE WHEN value <> pv THEN 1 ELSE 0 END) AS bigint) AS changes
 FROM t GROUP BY 1, 2
 """
     d["prom_increase_1h"] = """

@@ -320,6 +320,48 @@ def prom_resets(
     )
 
 
+def prom_changes(
+    samples,
+    value_col: str,
+    tier: str = "1d",
+    by: tuple[str, ...] = ("conv_id",),
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+):
+    """PromQL changes() per tumbling tier bucket: how many times the
+    value changed between consecutive samples inside the bucket (any
+    difference counts, up or down — resets() is the strictly-decreasing
+    subset). The gauge twin of resets(): "how many times did this flag
+    flip today".
+
+    Same single-exchange plan as prom_resets: (by, bucket) partitioning
+    serves both the in-bucket lag and the closing count, comparison in
+    whole-stage codegen. One-sample buckets report 0 changes (lag null,
+    when() falls through), matching Prometheus on a 1-point range.
+
+    Returns (by..., bucket_ts, n_samples, changes).
+    """
+    from pyspark.sql import Window
+
+    unit, _, _ = TIERS[tier]
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(*by, "bucket_ts").orderBy(*order)
+    tagged = samples.select(
+        *by, b, F.col(ts_col), *order_cols,
+        F.col(value_col).cast("double").alias("__v"),
+    ).select(
+        "*",
+        F.when(F.col("__v") != F.lag("__v").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__c"),
+    )
+    return tagged.groupBy(*by, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("__c").alias("changes"),
+    )
+
+
 def moving_aggregate(
     rolled,
     value_col: str,

@@ -160,6 +160,32 @@ def test_resets_counts_strict_decreases(spark):
     assert out[b1]["n_samples"] == 1
 
 
+def test_changes_counts_any_difference(spark):
+    """changes(): one per consecutive-sample difference in either
+    direction; equal neighbors don't count; single-sample buckets 0;
+    resets() is always <= changes() on the same stream."""
+    from go_muse_spark.operators.rollup import prom_changes
+
+    rows = [
+        (0, 10), (600, 20), (1200, 3),    # up + down = 2 changes
+        (1800, 8), (2400, 8),             # equal: no change
+        (3000, 2),                        # down = 1 change
+        (3600, 5),                        # next bucket, 1 sample
+    ]
+    df = _mk(spark, rows)
+    out = {
+        r["bucket_ts"]: r
+        for r in prom_changes(
+            df, "v", tier="1h", by=("conv_id",), order_cols=("seq",)
+        ).collect()
+    }
+    assert out[H0]["changes"] == 4  # 10->20, 20->3, 3->8, 8->2
+    assert out[H0]["n_samples"] == 6
+    b1 = H0 + dt.timedelta(hours=1)
+    assert out[b1]["changes"] == 0
+    assert out[b1]["n_samples"] == 1
+
+
 def test_irate_hand_fixtures(spark):
     """irate: last-two-samples rate, reset rule, tie-break, and the
     <2-samples / zero-span drop rules."""

@@ -267,7 +267,29 @@ PATHS = {
 def child(path: str, cpus: int) -> None:
     from go_muse_spark.session import get_bench_spark
 
-    spark = get_bench_spark(cpus=cpus, app=f"path-scaling-{path}")
+    # SPARK_GRAFT_PS_SHUFFLE pins one fixed task grid on BOTH legs. The
+    # N-vs-4N claim compares slot counts, so the task decomposition must
+    # not itself depend on N — but by default it does, twice over: the
+    # session sizes shuffle.partitions to the slot count, and AQE's
+    # parallelismFirst coalescing floors the post-shuffle partition count
+    # at the slot count. Net effect: the 4-core leg runs ~4 coarse
+    # hash-imbalanced tasks while the 16-core leg runs >=16 finer ones,
+    # and the lo leg's straggler tail reads as super-linear "scaling"
+    # (BENCH.md: six mp attempts in 1.19-1.53). With a fixed grid
+    # (e.g. 64 tasks) both legs schedule the *same* tasks — lo in 16
+    # waves, hi in 4 — which is exactly how a real cluster comparison
+    # would hold the job constant while varying executors.
+    grid = os.environ.get("SPARK_GRAFT_PS_SHUFFLE")
+    extra = (
+        {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+        if grid else None
+    )
+    spark = get_bench_spark(
+        cpus=cpus,
+        app=f"path-scaling-{path}",
+        shuffle_partitions=int(grid) if grid else None,
+        extra=extra,
+    )
     wall, rows = PATHS[path](spark)
     print(json.dumps({"path": path, "cpus": cpus, "wall": round(wall, 3),
                       "rows": rows}))
