@@ -178,18 +178,40 @@ def run_muse(spark) -> tuple[float, int]:
 
     rolled, (lo, hi, n) = muse_input(spark)
     rows = rolled.select("conv_id").distinct().count()
-    ref = np.zeros(n)
-    ref[n // 4 : n // 4 + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+    params = SearchParams(top_n=10, max_lag=n, mode="abs")
+    # SPARK_GRAFT_PS_MUSE_REFS > 1 scores a k-pattern batch
+    # (muse_search_multi): one corpus scan, k ref spectra per series.
+    # The compute-bound short-window shape (SPARK_GRAFT_PS_MUSE_BUCKETS=
+    # 14400 -> L2-resident 16384-pt FFTs) otherwise finishes so fast at
+    # 16 cores (~6s) that fixed stage latency dominates the N-vs-4N
+    # ratio; k refs scale the parallel compute back up without leaving
+    # L2 (each inverse FFT still works on 128 KB arrays).
+    n_refs = int(os.environ.get("SPARK_GRAFT_PS_MUSE_REFS", "1"))
+    refs = {}
+    for k in range(n_refs):
+        r = np.zeros(n)
+        pos = (n // 4 + 97 * k) % (n - 5)
+        r[pos : pos + 5] = [1.0, 3.0, 5.0, 3.0, 1.0]
+        refs[f"r{k}"] = r
     wall = float("inf")
     for _ in range(2):
         t0 = time.time()
-        _noop(
-            muse_search_rollup(
-                rolled, ref, 60, group_by=None,
-                params=SearchParams(top_n=10, max_lag=n, mode="abs"),
-                bounds=(lo, hi, n),
+        if n_refs > 1:
+            from go_muse_spark.operators.search import muse_search_multi
+
+            _noop(
+                muse_search_multi(
+                    rolled, refs, 60, group_by=None, params=params,
+                    bounds=(lo, hi, n),
+                )
             )
-        )
+        else:
+            _noop(
+                muse_search_rollup(
+                    rolled, refs["r0"], 60, group_by=None, params=params,
+                    bounds=(lo, hi, n),
+                )
+            )
         wall = min(wall, time.time() - t0)
     return wall, rows
 
