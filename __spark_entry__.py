@@ -478,6 +478,112 @@ def q_changes_1d(spark, sf_dir):
     )
 
 
+def q_count_values_1h(spark, sf_dir):
+    """PromQL count_values("turns", metric): per hourly bucket, how many
+    users report each distinct turn count — the by-value cardinality
+    histogram (version/shard-convergence dashboards). One map-side-
+    combined hash aggregate on (bucket, value): at 100 TB the shuffle
+    carries only distinct pairs."""
+    from go_muse_spark.operators.rollup import count_values
+
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    return count_values(rolled, "turn_cnt").select(
+        "bucket_ts",
+        F.col("turn_cnt").cast("long").alias("turns"),
+        F.col("n_series").cast("long").alias("n_series"),
+    )
+
+
+def q_stddev_over_time_24h(spark, sf_dir):
+    """PromQL stdvar_over_time / stddev_over_time: trailing-24h
+    POPULATION variance and stddev of the 1h turn-count tier per user
+    (÷n, PromQL's convention). The variance comes from the integer-
+    exact (n·Σx² − (Σx)²)/n² form so the oracle's identical expression
+    agrees bit-for-bit; stddev is one IEEE sqrt on that shared double.
+    Same single (user) exchange + RANGE frame as moving_avg_24h."""
+    rolled = rollup_transcripts(_tx(spark, sf_dir), "1h")
+    mov = moving_aggregate(rolled, "turn_cnt", 24 * 3600, with_spread=True)
+    return mov.select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.col("value").cast("long").alias("turn_cnt"),
+        F.col("win_n").alias("n_24h"),
+        F.col("win_sumsq").cast("long").alias("sumsq_24h"),
+        F.round(F.col("win_var") * 1e6, 0).cast("long").alias("var_u"),
+        F.round(F.col("win_std") * 1e6, 0).cast("long").alias("std_u"),
+    )
+
+
+def q_subquery_maxrate_24h(spark, sf_dir):
+    """PromQL subquery: max_over_time(rate(ctr[1h])[24h:1h]) — the
+    worst hourly request rate seen in the trailing day, the curve SLO
+    burn alerts fire on. Layering: the inner rate() is the exact
+    extrapolatedRate of rate_1h; the outer max_over_time is a RANGE
+    window over the inner's micro-unit-rounded longs (max of rounded ==
+    rounded max — monotone — so both engines agree exactly). Two
+    exchanges total: (user, bucket) for the inner agg, user for the
+    outer window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ctr = ev.select("user_id", "ts", "event_id").withColumn(
+        "ctr", F.row_number().over(w).cast("double")
+    )
+    inner = prom_rate(
+        ctr, "ctr", "1h", by=("user_id",), order_cols=("event_id",)
+    ).select(
+        "user_id",
+        "bucket_ts",
+        F.round(F.col("rate_per_s") * 1e6, 0).cast("long").alias("rate_u"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("bucket_ts"))
+        .rangeBetween(-(24 * 3600 - 1), 0)
+    )
+    return inner.select(
+        "user_id",
+        "bucket_ts",
+        "rate_u",
+        F.max("rate_u").over(wr).alias("max_rate_24h_u"),
+        F.count(F.lit(1)).over(wr).alias("n_inner"),
+    )
+
+
+def q_label_replace_groups(spark, sf_dir):
+    """PromQL label_replace()/label_join() relabeling pipeline over
+    map-typed dims: derive service="svc_$1" for event types matching
+    (c.*k|e.*r) (click, error — fully-anchored match, capture
+    expansion), DROP the region label where it matches (?:3|5) (empty
+    replacement removes dst), then label_join a route=event_type-region
+    key; group by the canonical sorted-k:v identity (labels.go:54-73).
+    All three rewrites are scan-speed map expressions — no shuffle
+    until the final aggregate."""
+    from go_muse_spark.labels import label_join, label_replace
+
+    ev = load_table(spark, sf_dir, "events")
+    dims = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("region"), (F.col("user_id") % 7).cast("string"),
+    )
+    keyed = ev.withColumn("dims", dims)
+    keyed = label_replace(
+        keyed, "dims", "service", "svc_$1", "event_type", "(c.*k|e.*r)"
+    )
+    keyed = label_replace(keyed, "dims", "region", "", "region", "(?:3|5)")
+    keyed = label_join(
+        keyed, "dims", "route", "-", ["event_type", "region"]
+    )
+    return (
+        keyed.withColumn("group_id", label_id_map("dims"))
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 3).alias("value_sum"),
+        )
+    )
+
+
 def q_delta_1d(spark, sf_dir):
     """PromQL delta(): the extrapolated first-to-last difference of a
     GAUGE over each daily bucket (identical extrapolation machinery to
@@ -3051,6 +3157,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_1h": q_rate_1h,
         "resets_1d": q_resets_1d,
         "changes_1d": q_changes_1d,
+        "count_values_1h": q_count_values_1h,
+        "stddev_over_time_24h": q_stddev_over_time_24h,
+        "subquery_maxrate_24h": q_subquery_maxrate_24h,
+        "label_replace_groups": q_label_replace_groups,
         "mp_ab_global_1d": q_mp_ab_global_1d,
         "seasonal_forecast_1h": q_seasonal_forecast_1h,
         "delta_1d": q_delta_1d,
@@ -3618,6 +3728,121 @@ SELECT user_id, bucket_ts, cast(n_samples AS bigint) AS n_samples,
        cast(round(raw * ((sampled + dstart2 + dend1) / sampled)
                   / 3600.0 * 1e6) AS bigint) AS rate_u
 FROM y
+"""
+    d["count_values_1h"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_ts, cast(turn_cnt AS bigint) AS turns,
+       cast(count(*) AS bigint) AS n_series
+FROM r GROUP BY 1, 2
+"""
+    # PromQL stdvar/stddev_over_time: population variance from the
+    # integer-exact (n*sumsq - sum^2)/n^2 form — the identical IEEE
+    # expression tree the Spark side evaluates
+    d["stddev_over_time_24h"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS turn_cnt
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT user_id, bucket_ts, turn_cnt,
+         count(*) OVER win AS n_24h,
+         sum(turn_cnt) OVER win AS s_24h,
+         sum(turn_cnt * turn_cnt) OVER win AS sq_24h
+  FROM r
+  WINDOW win AS (PARTITION BY user_id ORDER BY epoch(bucket_ts)
+                 RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, bucket_ts, cast(turn_cnt AS bigint) AS turn_cnt,
+       n_24h, cast(sq_24h AS bigint) AS sumsq_24h,
+       cast(round(cast(n_24h * sq_24h - s_24h * s_24h AS double)
+            / cast(n_24h * n_24h AS double) * 1e6) AS bigint) AS var_u,
+       cast(round(sqrt(cast(n_24h * sq_24h - s_24h * s_24h AS double)
+            / cast(n_24h * n_24h AS double)) * 1e6) AS bigint) AS std_u
+FROM w
+"""
+    # subquery max_over_time(rate(ctr[1h])[24h:1h]): the rate_1h CTE
+    # chain verbatim, then a trailing-24h RANGE max over the rounded
+    # micro-unit longs (max of rounded == rounded max — monotone)
+    d["subquery_maxrate_24h"] = """
+WITH s AS (
+  SELECT user_id, ts,
+         cast(row_number() OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS double) AS v,
+         date_trunc('hour', ts) AS bucket_ts
+  FROM events
+), a AS (
+  SELECT user_id, bucket_ts,
+         count(*) AS n_samples,
+         min(epoch_us(ts)) AS f_us, max(epoch_us(ts)) AS l_us,
+         min(v) AS fv, max(v) AS lv
+  FROM s GROUP BY 1, 2
+), e AS (
+  SELECT user_id, bucket_ts, n_samples, f_us, l_us, fv, lv,
+         cast(l_us - f_us AS double) AS sampled,
+         cast(l_us - f_us AS double)
+           / cast(n_samples - 1 AS double) AS avgd,
+         cast(f_us - epoch_us(bucket_ts) AS double) AS dstart0,
+         cast(epoch_us(bucket_ts) + 3600000000 - l_us AS double) AS dend0
+  FROM a WHERE n_samples >= 2 AND l_us > f_us
+), x AS (
+  SELECT *,
+         CASE WHEN dstart0 >= 1.1 * avgd THEN avgd / 2
+              ELSE dstart0 END AS dstart1,
+         CASE WHEN dend0 >= 1.1 * avgd THEN avgd / 2
+              ELSE dend0 END AS dend1,
+         lv - fv AS raw
+  FROM e
+), y AS (
+  SELECT *,
+         CASE WHEN raw > 0 AND fv >= 0
+                   AND sampled * (fv / raw) < dstart1
+              THEN sampled * (fv / raw) ELSE dstart1 END AS dstart2
+  FROM x
+), r AS (
+  SELECT user_id, bucket_ts,
+         cast(round(raw * ((sampled + dstart2 + dend1) / sampled)
+                    / 3600.0 * 1e6) AS bigint) AS rate_u
+  FROM y
+)
+SELECT user_id, bucket_ts, rate_u,
+       max(rate_u) OVER win AS max_rate_24h_u,
+       count(*) OVER win AS n_inner
+FROM r
+WINDOW win AS (PARTITION BY user_id ORDER BY epoch(bucket_ts)
+               RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+"""
+    # label_replace/label_join pipeline: svc_match reproduces the
+    # fully-anchored (c.*k|e.*r) capture (the capture is the whole src
+    # value, so the expansion is just 'svc_'||event_type); region_del
+    # reproduces the empty-expansion label removal; route joins the
+    # POST-deletion region (empty slot keeps the separator, PromQL-style)
+    d["label_replace_groups"] = """
+WITH b AS (
+  SELECT user_id, event_type, value,
+         cast(user_id % 7 AS varchar) AS region0,
+         regexp_full_match(event_type, '(c.*k|e.*r)') AS svc_match,
+         (user_id % 7) IN (3, 5) AS region_del
+  FROM events
+), g AS (
+  SELECT value,
+         'event_type:' || event_type
+         || CASE WHEN NOT region_del
+                 THEN ',region:' || region0 ELSE '' END
+         || ',route:' || event_type || '-'
+            || CASE WHEN region_del THEN '' ELSE region0 END
+         || CASE WHEN svc_match
+                 THEN ',service:svc_' || event_type ELSE '' END
+         || ',user_id:' || cast(user_id AS varchar) AS group_id
+  FROM b
+)
+SELECT group_id, count(*) AS n_rows, round(sum(value), 3) AS value_sum
+FROM g GROUP BY 1
 """
     # delta() = the same extrapolation with no reset correction and no
     # counter zero-clamp (isCounter=false skips both branches)

@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "histq_ladder_1d",
     "rate_1h",
     "resets_1d",
+    "count_values_1h",
+    "stddev_over_time_24h",
+    "subquery_maxrate_24h",
+    "label_replace_groups",
     "delta_1d",
     "deriv_1h",
     "predict_linear_1h",

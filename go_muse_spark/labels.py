@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["label_id", "label_id_cols", "label_id_map", "distinct_groups"]
+__all__ = [
+    "label_id",
+    "label_id_cols",
+    "label_id_map",
+    "label_join",
+    "label_replace",
+    "distinct_groups",
+]
 
 
 def label_id(labels: dict[str, str], keys: list[str] | None = None) -> str:
@@ -65,6 +72,74 @@ def label_id_map(dims_col: str | Column, keys: list[str] | None = None) -> Colum
         for k in use
     ]
     return F.concat_ws(",", *parts)
+
+
+def label_replace(
+    df,
+    dims_col: str,
+    dst: str,
+    replacement: str,
+    src: str,
+    regex: str,
+):
+    """PromQL ``label_replace(v, dst, replacement, src, regex)`` over a
+    map<string,string> dims column.
+
+    Exact PromQL semantics: the regex is matched FULLY anchored
+    (``^(?:re)$``) against the value of ``src`` (a missing label reads
+    as the empty string). On a match, ``dst`` is set to ``replacement``
+    with ``$1``-style capture expansion; if the expansion is empty the
+    ``dst`` label is REMOVED from the label set. On no match the row's
+    labels are unchanged. ``src`` itself is never modified unless it is
+    also ``dst``.
+
+    Pure map expressions (map_filter / map_concat / regexp_replace) —
+    JVM-side, codegen'd, no shuffle: a label rewrite over 100 TB is a
+    scan-speed projection.
+    """
+    import re as _re
+
+    _re.compile(regex)  # fail fast on a bad pattern, like PromQL does
+    anchored = f"^(?:{regex})$"
+    m = F.col(dims_col)
+    src_val = F.coalesce(F.element_at(m, F.lit(src)), F.lit(""))
+    matched = src_val.rlike(anchored)
+    new_val = F.regexp_replace(src_val, anchored, replacement)
+    without_dst = F.map_filter(m, lambda k, _v: k != F.lit(dst))
+    replaced = F.when(
+        new_val != "",
+        F.map_concat(without_dst, F.create_map(F.lit(dst), new_val)),
+    ).otherwise(without_dst)
+    return df.withColumn(dims_col, F.when(matched, replaced).otherwise(m))
+
+
+def label_join(
+    df,
+    dims_col: str,
+    dst: str,
+    sep: str,
+    src_labels: list[str],
+):
+    """PromQL ``label_join(v, dst, sep, src1, src2, ...)``: set ``dst``
+    to the values of the source labels joined by ``sep`` (missing
+    sources read as empty strings — PromQL keeps their slot, so the
+    separator count is fixed). An all-empty join result removes ``dst``.
+
+    Same scan-speed map-expression profile as label_replace.
+    """
+    m = F.col(dims_col)
+    parts = [
+        F.coalesce(F.element_at(m, F.lit(s)), F.lit("")) for s in src_labels
+    ]
+    joined = F.concat_ws(sep, *parts) if parts else F.lit("")
+    without_dst = F.map_filter(m, lambda k, _v: k != F.lit(dst))
+    return df.withColumn(
+        dims_col,
+        F.when(
+            joined != "",
+            F.map_concat(without_dst, F.create_map(F.lit(dst), joined)),
+        ).otherwise(without_dst),
+    )
 
 
 def distinct_groups(df, keys: list[str]):

@@ -31,6 +31,7 @@ __all__ = [
     "prom_deriv",
     "moving_aggregate",
     "moving_quantile",
+    "count_values",
 ]
 
 # tier -> (date_trunc unit, bucket seconds, finer tier for re-agg)
@@ -368,6 +369,7 @@ def moving_aggregate(
     window_secs: int,
     by: tuple[str, ...] = ("conv_id",),
     bucket_col: str = "bucket_ts",
+    with_spread: bool = False,
 ):
     """Trailing sliding-window aggregates over a tier: for every bucket,
     the sum/avg/count of `value_col` across the buckets in the preceding
@@ -381,7 +383,15 @@ def moving_aggregate(
     series key, O(n log n) sort, built-in window aggregation — no
     Python.
 
-    Returns (by..., bucket_col, value, win_sum, win_avg, win_n).
+    with_spread=True appends win_sumsq (exact when value is integral)
+    plus POPULATION variance/stddev — PromQL's stdvar_over_time /
+    stddev_over_time convention (÷n, not n−1). The variance is derived
+    from the integer-exact (n·Σx² − (Σx)²)/n² form so an oracle
+    computing the same expression agrees bit-for-bit, rather than from
+    a streaming moment accumulator whose rounding is engine-specific.
+
+    Returns (by..., bucket_col, value, win_sum, win_avg, win_n
+             [, win_sumsq, win_var, win_std]).
     """
     from pyspark.sql import Window
 
@@ -390,13 +400,50 @@ def moving_aggregate(
         .orderBy(F.unix_timestamp(bucket_col))
         .rangeBetween(-(window_secs - 1), 0)
     )
-    return rolled.select(
+    cols = [
         *by,
         bucket_col,
         F.col(value_col).alias("value"),
         F.sum(value_col).over(w).alias("win_sum"),
         F.avg(value_col).over(w).alias("win_avg"),
         F.count(F.lit(1)).over(w).alias("win_n"),
+    ]
+    if with_spread:
+        cols.append(
+            F.sum(F.col(value_col) * F.col(value_col))
+            .over(w)
+            .alias("win_sumsq")
+        )
+    out = rolled.select(*cols)
+    if with_spread:
+        out = out.withColumn(
+            "win_var",
+            (
+                F.col("win_n") * F.col("win_sumsq")
+                - F.col("win_sum") * F.col("win_sum")
+            ).cast("double")
+            / (F.col("win_n") * F.col("win_n")).cast("double"),
+        ).withColumn("win_std", F.sqrt(F.col("win_var")))
+    return out
+
+
+def count_values(
+    rolled,
+    value_col: str,
+    bucket_col: str = "bucket_ts",
+    out_col: str = "n_series",
+):
+    """PromQL ``count_values("label", metric)``: for every bucket, the
+    number of series reporting each distinct value — the cardinality-
+    by-value histogram used to spot version/shard convergence ("how
+    many targets report build 1.2.3 right now").
+
+    One hash-aggregate exchange on (bucket, value); partial aggregation
+    is map-side, so at 100 TB the shuffle carries only the distinct
+    (bucket, value) pairs, not the rows.
+    """
+    return rolled.groupBy(bucket_col, value_col).agg(
+        F.count(F.lit(1)).alias(out_col)
     )
 
 
