@@ -72,6 +72,7 @@ from go_muse_spark.operators.downsample import (
 from go_muse_spark.operators.joins import (
     asof_nearest_join,
     asof_interp_join,
+    asof_forward_join,
     asof_join,
     interval_join,
 )
@@ -1538,6 +1539,29 @@ def q_asof_nearest_click(spark, sf_dir):
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
         F.round(F.col("value_n"), 6).alias("v_nearest"),
+        F.unix_micros(F.col("ts_match").cast("timestamp")).alias("tm_us"),
+    )
+
+
+def q_asof_forward_click(spark, sf_dir):
+    """Forward as-of join (pandas merge_asof direction="forward",
+    exact-timestamp matches included): each click picks the user's NEXT
+    view at-or-after it — the response-to-stimulus lookup. Same
+    one-exchange union+two-frame plan; the oracle is DuckDB's NATIVE
+    ASOF JOIN with the <= inequality (an independent implementation)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    out = asof_forward_join(clicks, views, ["user_id"], "value")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round(F.col("value_f"), 6).alias("v_next"),
         F.unix_micros(F.col("ts_match").cast("timestamp")).alias("tm_us"),
     )
 
@@ -3223,6 +3247,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp_discords_1d": q_mp_discords_1d,
         "asof_interp_click": q_asof_interp_click,
         "asof_nearest_click": q_asof_nearest_click,
+        "asof_forward_click": q_asof_forward_click,
         "prom_increase_1h": q_prom_increase_1h,
         "uniques_hll_1d": q_uniques_hll_1d,
         "corr_pairs_1d": q_corr_pairs_1d,
@@ -3584,6 +3609,18 @@ SELECT b.user_id, b.event_id, epoch_us(b.ts) AS t_us,
                    < epoch_us(b.ts) - epoch_us(b.tp))
             THEN epoch_us(f.tn) ELSE epoch_us(b.tp) END AS tm_us
 FROM bwd b JOIN fwd f USING (user_id, event_id, ts)
+"""
+    d["asof_forward_click"] = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, round(value, 6) AS value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.user_id, c.event_id, epoch_us(c.ts) AS t_us,
+       round(v.value, 6) AS v_next, epoch_us(v.ts) AS tm_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts <= v.ts
 """
     d["asof_interp_click"] = """
 WITH l AS (

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "corpus_prep_full",
     "asof_click_view",
     "asof_nearest_click",
+    "asof_forward_click",
     "asof_click_view_bucketed",
     "sessionize_8h",
     "interval_click_attrib",

@@ -36,6 +36,7 @@ __all__ = [
     "asof_join",
     "asof_interp_join",
     "asof_nearest_join",
+    "asof_forward_join",
     "interval_join",
 ]
 
@@ -375,6 +376,32 @@ def asof_nearest_join(
     )
 
 
+def asof_forward_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    suffix: str = "_f",
+) -> DataFrame:
+    """Forward as-of join: each left row gets the EARLIEST right row
+    at-or-after its timestamp within the same key (pandas
+    ``merge_asof(direction="forward")`` semantics, exact-timestamp
+    matches included) — "what happened next", the response-to-stimulus
+    lookup backward as-of cannot express.
+
+    Output = all left columns plus ``{value_col}{suffix}`` (double,
+    NULL when no right row follows) and ``{ts_col}_match`` (the chosen
+    right timestamp). Same single-exchange union+two-frame plan as the
+    interp/nearest joins: a same-ts right sorts BEFORE the left row so
+    the inclusive exact hit comes from the backward carry, everything
+    later from the strict forward frame.
+    """
+    return _asof_bracket(
+        left, right, on, value_col, ts_col, suffix, "forward"
+    )
+
+
 def _asof_bracket(
     left: DataFrame,
     right: DataFrame,
@@ -441,6 +468,17 @@ def _asof_bracket(
     tn = F.unix_micros(F.col("__next.__ts"))
     vp = F.col("__prev.__v")
     vn = F.col("__next.__v")
+    if mode == "forward":
+        # inclusive at equal ts: the same-ts right row sorted before the
+        # left row, so it lives in __prev with tp == t; otherwise the
+        # strict successor in __next is the match
+        exact = F.col("__prev").isNotNull() & (tp == t)
+        pick = F.when(exact, F.col("__prev")).otherwise(F.col("__next"))
+        return carried.select(
+            *lcols,
+            pick["__v"].alias(f"{value_col}{suffix}"),
+            pick["__ts"].alias(f"{ts_col}_match"),
+        )
     if mode == "nearest":
         # backward unless the forward row is STRICTLY closer (pandas
         # tie rule); prev distance is >= 0 since prev is inclusive

@@ -422,3 +422,46 @@ def test_asof_nearest_pandas_parity(spark):
     want = {t.second: v for t, v in zip(m["ts"], m["value"])}
     got = {s: v for s, (v, _) in out.items()}
     assert got == want
+
+
+def test_asof_forward_pandas_parity(spark):
+    """forward direction (earliest at-or-after, exact hit inclusive) vs
+    pandas merge_asof(direction='forward'), plus the no-next NULL."""
+    import datetime as dt
+    from go_muse_spark.operators.joins import asof_forward_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=s))
+         for s in (0, 10, 14, 20, 21, 40)],
+        "k string, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=10), 1.0),
+         ("k", t0 + dt.timedelta(seconds=20), 2.0),
+         ("z", t0, 9.0)],
+        "k string, ts timestamp, value double",
+    )
+    rows = asof_forward_join(L, R, ["k"], "value").collect()
+    out = {r["ts"].second: (r["value_f"],
+                            r["ts_match"].second if r["ts_match"] else None)
+           for r in rows}
+    assert out[0] == (1.0, 10)    # strictly before both -> first
+    assert out[10] == (1.0, 10)   # exact hit INCLUSIVE
+    assert out[14] == (2.0, 20)   # next is 20
+    assert out[20] == (2.0, 20)   # exact hit on the later row
+    assert out[21] == (None, None)  # nothing after
+    assert out[40] == (None, None)
+    # key with no right rows -> NULLs
+    L2 = spark.createDataFrame([("nope", t0)], "k string, ts timestamp")
+    r2 = asof_forward_join(L2, R, ["k"], "value").collect()[0]
+    assert r2["value_f"] is None and r2["ts_match"] is None
+    # pandas cross-check
+    import pandas as pd
+    lp = L.toPandas().sort_values("ts")
+    rp = R.toPandas().sort_values("ts")
+    m = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    want = {t.second: (None if pd.isna(v) else v)
+            for t, v in zip(m["ts"], m["value"])}
+    got = {s: v for s, (v, _) in out.items()}
+    assert got == want
