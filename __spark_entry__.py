@@ -113,6 +113,7 @@ from go_muse_spark.operators.olap import (
     dimensional_rollup,
     histogram_quantile,
     ohlc_bars,
+    trimmed_mean,
     value_histogram,
 )
 from go_muse_spark.operators.stats import (
@@ -131,6 +132,8 @@ from go_muse_spark.operators.stats import (
     corr_pairs_lsh,
     classical_decompose,
     seasonal_forecast,
+    rolling_corr,
+    rank_corr_bucket,
 )
 from go_muse_spark.operators.freqsketch import (
     cm_estimate,
@@ -145,6 +148,7 @@ from go_muse_spark.operators.terms import (
     unigram_logprob,
     pmi_pairs,
 )
+from go_muse_spark.operators.dtw import dtw_pairs
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.matrix_profile import (
     matrix_profile,
@@ -3152,6 +3156,163 @@ def q_state_transitions(spark, sf_dir):
     return state_transitions(ev, "event_type", by=("user_id",))
 
 
+
+def q_dtw_pairs_1d(spark, sf_dir):
+    """All-pairs dynamic-time-warping similarity over the daily tier:
+    the 12 most active users' dense 30-day turn-count series (global
+    daily grid, gaps = 0), every pair's EXACT integer DTW distance —
+    "which users trace the same daily shape, allowing local time
+    stretch?". The elastic complement of the muse xcorr search (rigid
+    global lag) and corr_pairs (zero lag). Plan: one gather exchange,
+    TakeOrdered top-N + broadcast pair join, anti-diagonal-vectorized
+    int64 DP in Arrow batches (operators/dtw.py); the oracle replays
+    the identical recurrence as a DuckDB recursive CTE over list
+    state, so the distances match bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    daily = (
+        ev.select(
+            F.col("user_id").cast("string").alias("u"), day.alias("d")
+        )
+        .groupBy("u", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = ev.select(
+        (F.floor(F.min(F.unix_timestamp("ts")) / 86400) * 86400)
+        .cast("long")
+        .alias("dmin"),
+        (F.floor(F.max(F.unix_timestamp("ts")) / 86400) * 86400)
+        .cast("long")
+        .alias("dmax"),
+    )
+    top = (
+        daily.groupBy("u")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.desc("tot"), "u")
+        .limit(12)
+        .select("u")
+    )
+    grid = top.crossJoin(F.broadcast(bounds)).select(
+        "u",
+        F.explode(
+            F.sequence(F.col("dmin"), F.col("dmax"), F.lit(86400))
+        ).alias("d"),
+    )
+    dense = grid.join(daily, ["u", "d"], "left").select(
+        "u", "d", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    out = dtw_pairs(
+        dense, key_col="u", idx_col="d", value_col="cnt", top_series=None
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "dtw",
+        F.round(F.col("dtw_norm") * 1e6, 0).cast("long").alias("dtw_norm_u"),
+    )
+
+
+def q_rolling_corr_24h(spark, sf_dir):
+    """Trailing-24h Pearson correlation between a user's hourly turn
+    volume and click volume — the sliding complement of
+    corr_traffic_value: regime changes show up as the curve
+    decorrelating in place. Integer-exact pooled sums over ONE RANGE
+    frame (single user exchange), one closed-form double; undefined
+    windows (< 3 buckets or zero variance) are dropped on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias(
+            "click_cnt"
+        ),
+    )
+    out = rolling_corr(hourly, "turn_cnt", "click_cnt", 24 * 3600)
+    return out.where(F.col("corr").isNotNull()).select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.col("x").cast("long").alias("turn_cnt"),
+        F.col("y").cast("long").alias("click_cnt"),
+        "win_n",
+        F.round(F.col("corr") * 1e6, 0).cast("long").alias("corr_u"),
+    )
+
+
+def q_trimmed_mean_1d(spark, sf_dir):
+    """10% trimmed mean of event value per (event_type, day) — the
+    robust "ignore the runaways" aggregate. floor(n/10) rows dropped
+    from each end under the total order (value, event_id); the kept
+    micro-unit sum is integer-exact, the mean one double division. One
+    exchange shared by both row_number passes and the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_u"),
+        "event_id",
+    )
+    out = trimmed_mean(
+        base,
+        "v_u",
+        dims=("event_type", "bucket_epoch"),
+        trim_frac=0.1,
+        order_cols=("event_id",),
+    )
+    return out.select(
+        "event_type",
+        "bucket_epoch",
+        "n",
+        "n_trim",
+        "n_kept",
+        F.col("kept_sum").alias("kept_sum_u"),
+        F.round(
+            F.col("kept_sum").cast("double") / F.col("n_kept").cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("mean_u"),
+    )
+
+
+def q_spearman_1d(spark, sf_dir):
+    """Per-day Spearman rank correlation ACROSS users between daily
+    turn volume and daily click volume — "does talking more still go
+    with clicking more, monotonically?". Deterministic tie-broken
+    ranks (row_number over (value, user)), then the integer-exact
+    Pearson closed form on the rank vectors; one bucket exchange
+    shared by both rank windows and the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+    ).agg(
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias(
+            "click_cnt"
+        ),
+    )
+    out = rank_corr_bucket(
+        daily,
+        "turn_cnt",
+        "click_cnt",
+        key_col="conv_id",
+        bucket_col="bucket_epoch",
+    )
+    return out.where(F.col("corr").isNotNull()).select(
+        "bucket_epoch",
+        "n_series",
+        F.round(F.col("corr") * 1e6, 0).cast("long").alias("spearman_u"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -3172,6 +3333,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens (oldest evidence), then round-3 greens; round-4
         # greens close the list. Every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "dtw_pairs_1d": q_dtw_pairs_1d,
+        "rolling_corr_24h": q_rolling_corr_24h,
+        "trimmed_mean_1d": q_trimmed_mean_1d,
+        "spearman_1d": q_spearman_1d,
         "kmv_ladder_1d": q_kmv_ladder_1d,
         "kmv_jaccard_1d": q_kmv_jaccard_1d,
         "ohlc_1h": q_ohlc_1h,
@@ -4162,6 +4327,153 @@ SELECT r.* FROM r, mx WHERE cast(r.bucket_ts AS date) >= mx.d - 3
     # adds are no-ops in the zero-initialized scoring matrix -> same
     # answer as the direct rollup search
     d["muse_over_chunks_1h"] = d["muse_topk_1h"]
+    # ---- DTW: the recursive CTE replays the EXACT int64 anti-diagonal
+    # recurrence of operators/dtw.py (cost |a_i-b_j| in counts, D in
+    # int64, INF = 2^62) over list state, one wavefront per iteration —
+    # bit-identical distances, no float anywhere.
+    d["dtw_pairs_1d"] = """
+WITH RECURSIVE d0 AS (
+  SELECT cast(user_id AS varchar) AS u,
+         (epoch_us(ts) // 86400000000) * 86400 AS d,
+         cast(count(*) AS bigint) AS cnt
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT (min(epoch_us(ts)) // 86400000000) * 86400 AS dmin,
+         (max(epoch_us(ts)) // 86400000000) * 86400 AS dmax
+  FROM events
+), top AS (
+  SELECT u FROM (
+    SELECT u, sum(cnt) AS tot FROM d0 GROUP BY u
+    ORDER BY tot DESC, u LIMIT 12
+  )
+), grid AS (
+  SELECT t.u, unnest(range(b.dmin, b.dmax + 86400, 86400)) AS d
+  FROM top t, bounds b
+), dense AS (
+  SELECT g.u, g.d, coalesce(d0.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN d0 ON g.u = d0.u AND g.d = d0.d
+), ser AS (
+  SELECT u, list(cnt ORDER BY d) AS vals FROM dense GROUP BY u
+), pairs AS (
+  SELECT sa.u AS ka, sb.u AS kb, sa.vals AS a, sb.vals AS b,
+         len(sa.vals) AS n, len(sb.vals) AS m
+  FROM ser sa JOIN ser sb ON sa.u < sb.u
+), dp AS (
+  SELECT ka, kb, 0 AS k,
+         list_transform(range(1, n + 1),
+           i -> CASE WHEN i = 1 THEN abs(a[1] - b[1])
+                ELSE 4611686018427387904 END) AS cur,
+         list_transform(range(1, n + 1),
+           i -> 4611686018427387904) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT p.ka, p.kb, dp.k + 1,
+         list_transform(range(1, p.n + 1), i ->
+           CASE WHEN dp.k + 3 - i BETWEEN 1 AND p.m THEN
+             abs(p.a[i] - p.b[dp.k + 3 - i]) + least(
+               CASE WHEN i > 1 THEN dp.cur[i - 1]
+                    ELSE 4611686018427387904 END,
+               CASE WHEN dp.k + 3 - i > 1 THEN dp.cur[i]
+                    ELSE 4611686018427387904 END,
+               CASE WHEN i > 1 AND dp.k + 3 - i > 1 THEN dp.prev[i - 1]
+                    ELSE 4611686018427387904 END)
+           ELSE 4611686018427387904 END) AS cur,
+         dp.cur AS prev
+  FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
+  WHERE dp.k < p.n + p.m - 2
+)
+SELECT dp.ka AS key_a, dp.kb AS key_b,
+       p.n AS n_a, p.m AS n_b,
+       dp.cur[p.n] AS dtw,
+       cast(round(cast(dp.cur[p.n] AS double)
+                  / cast(p.n + p.m AS double) * 1e6) AS bigint)
+         AS dtw_norm_u
+FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
+WHERE dp.k = p.n + p.m - 2
+"""
+    # rolling corr: same five integer window sums + identical closed
+    # form as the Spark side (stats.rolling_corr)
+    d["rolling_corr_24h"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         cast(count(*) AS bigint) AS x,
+         cast(count(*) FILTER (WHERE event_type = 'click') AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT user_id, bucket_ts, x, y,
+         count(*) OVER win AS n,
+         sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+         sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy,
+         sum(x * y) OVER win AS sxy
+  FROM r
+  WINDOW win AS (PARTITION BY user_id ORDER BY epoch(bucket_ts)
+                 RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, bucket_ts, x AS turn_cnt, y AS click_cnt, n AS win_n,
+       cast(round(cast(n * sxy - sx * sy AS double)
+            / sqrt(cast(n * sxx - sx * sx AS double))
+            / sqrt(cast(n * syy - sy * sy AS double)) * 1e6) AS bigint)
+         AS corr_u
+FROM w
+WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+    # trimmed mean: the same two row_number passes + floor(n/10) cut
+    d["trimmed_mean_1d"] = """
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400 AS bucket_epoch,
+         cast(round(value * 1e6) AS bigint) AS v_u, event_id
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket_epoch
+                            ORDER BY v_u, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, bucket_epoch
+                            ORDER BY v_u DESC, event_id DESC) AS rd,
+         count(*) OVER (PARTITION BY event_type, bucket_epoch) AS n
+  FROM b
+), k AS (
+  SELECT *, cast(floor(n * 0.1) AS bigint) AS nt FROM r
+)
+SELECT event_type, bucket_epoch,
+       max(n) AS n, max(nt) AS n_trim,
+       cast(count(*) AS bigint) AS n_kept,
+       cast(sum(v_u) AS bigint) AS kept_sum_u,
+       cast(round(cast(sum(v_u) AS double) / cast(count(*) AS double))
+            AS bigint) AS mean_u
+FROM k WHERE ra > nt AND rd > nt
+GROUP BY 1, 2
+"""
+    # Spearman: row_number ranks (value, user) -> integer-exact Pearson
+    d["spearman_1d"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         (epoch_us(ts) // 86400000000) * 86400 AS bucket_epoch,
+         cast(count(*) AS bigint) AS x,
+         cast(count(*) FILTER (WHERE event_type = 'click') AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), rk AS (
+  SELECT bucket_epoch,
+         cast(row_number() OVER (PARTITION BY bucket_epoch
+                                 ORDER BY x, u) AS bigint) AS rx,
+         cast(row_number() OVER (PARTITION BY bucket_epoch
+                                 ORDER BY y, u) AS bigint) AS ry
+  FROM r
+), a AS (
+  SELECT bucket_epoch, count(*) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+  FROM rk GROUP BY 1
+)
+SELECT bucket_epoch, n AS n_series,
+       cast(round(cast(n * sxy - sx * sy AS double)
+            / sqrt(cast(n * sxx - sx * sx AS double))
+            / sqrt(cast(n * syy - sy * sy AS double)) * 1e6) AS bigint)
+         AS spearman_u
+FROM a
+WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
     return d
 
 

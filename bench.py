@@ -95,6 +95,10 @@ BENCH_QUERIES = [
     "holt_winters_1h",
     "mp_ab_global_1d",
     "seasonal_forecast_1h",
+    "dtw_pairs_1d",
+    "rolling_corr_24h",
+    "trimmed_mean_1d",
+    "spearman_1d",
     "counter_rate_1h",
     "irate_1h",
     "moving_avg_24h",

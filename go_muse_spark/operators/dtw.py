@@ -1,0 +1,193 @@
+"""Dynamic-time-warping similarity search over rolled-up series.
+
+DTW is the classic "same shape, locally stretched in time" distance —
+the complement of the muse FFT path (xcorr sweeps a GLOBAL lag; DTW
+lets the alignment warp point-by-point within a band, catching a
+conversation that does the same thing 20% slower). The reference's
+correlation-search framing (README.md:7-20) is the zero-warp special
+case; this operator covers the elastic case dashboards ask for when
+rigid-lag correlation misses slowed-down replays of an incident.
+
+Numerics: the per-cell cost is |a_i − b_j| on integer (micro-unit)
+values and the DP accumulates in int64, so the distance is EXACT — a
+DuckDB oracle replaying the same recurrence (recursive CTE over
+anti-diagonals) matches bit-for-bit, no float rounding anywhere.
+
+Scale shape (the corr_pairs discipline): the pair space is quadratic,
+so candidates are bounded BEFORE the join — `top_series` keeps the N
+most active keys via a broadcast semi-join, then the N-row series
+table self-joins (key_a < key_b) broadcast-side. Each pair's DP is
+vectorized over ANTI-DIAGONALS (the recurrence's only dependency-free
+axis): O(n+m) numpy ops of length ≤ min(n, m), never a Python
+per-cell loop. A Sakoe-Chiba `band` caps the warp and cuts work to
+O(n·band). For unbounded-N search, prefilter candidates with the
+SAX/PAA LSH path (operators/downsample.sax_words +
+operators/similarity.py) and verify the survivors here; for long raw
+series, run DTW over a rollup tier (the 1d tier caps n at
+days-of-retention) — warping below the bucket width is noise anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dtw_distance", "dtw_pairs"]
+
+_INF = np.int64(1) << np.int64(62)
+
+
+def dtw_distance(
+    a: np.ndarray, b: np.ndarray, band: int | None = None
+) -> int:
+    """Exact integer DTW distance between two int64 vectors.
+
+    Anti-diagonal vectorization: cells (i, j) with i+j == k form
+    diagonal k; D[k] depends only on D[k−1] (up, left) and D[k−2]
+    (diagonal), so each of the n+m−1 steps is a handful of numpy
+    shift/min ops over a ≤min(n,m)-length vector — the same wavefront
+    order the SQL oracle's recursive CTE replays. `band` is the
+    Sakoe-Chiba constraint: cells with |i−j| > band are unreachable
+    (+INF), capping both the warp and the work.
+    """
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        raise ValueError("dtw_distance: empty series")
+    if band is not None and abs(n - m) > band:
+        return int(_INF)
+    # diag k (0-based k = i+j, i over a, j over b): valid i in
+    # [max(0, k-m+1), min(k, n-1)]; store diagonals as full-length-n
+    # vectors indexed by i, invalid cells = INF.
+    prev2 = np.full(n, _INF, dtype=np.int64)  # diag k-2
+    prev1 = np.full(n, _INF, dtype=np.int64)  # diag k-1
+    prev1[0] = abs(a[0] - b[0])  # D(0,0), diag k=0
+    if n == 1 and m == 1:
+        return int(prev1[0])
+    for k in range(1, n + m - 1):
+        cur = np.full(n, _INF, dtype=np.int64)
+        lo = max(0, k - m + 1)
+        hi = min(k, n - 1)
+        i = np.arange(lo, hi + 1)
+        j = k - i
+        if band is not None:
+            keep = np.abs(i - j) <= band
+            if not keep.any():
+                prev2, prev1 = prev1, cur
+                continue
+            i, j = i[keep], j[keep]
+        cost = np.abs(a[i] - b[j])
+        up = np.where(i > 0, prev1[np.maximum(i - 1, 0)], _INF)  # (i-1, j)
+        left = np.where(j > 0, prev1[i], _INF)  # (i, j-1)
+        diag = np.where(
+            (i > 0) & (j > 0), prev2[np.maximum(i - 1, 0)], _INF
+        )  # (i-1, j-1)
+        best = np.minimum(np.minimum(up, left), diag)
+        # the k=1 corner cells reach back to D(0,0) only via up/left
+        cur[i] = cost + np.minimum(best, _INF)
+        prev2, prev1 = prev1, cur
+    return int(prev1[n - 1])
+
+
+def dtw_pairs(
+    series: DataFrame,
+    key_col: str = "conv_id",
+    idx_col: str = "bucket_ts",
+    value_col: str = "turn_cnt",
+    top_series: int | None = 12,
+    band: int | None = None,
+) -> DataFrame:
+    """All-pairs DTW over per-key series gathered from a long tier
+    table — "which conversations trace the same daily shape, allowing
+    local time stretch?".
+
+    Input rows (key, idx, value) with integral values; each key's
+    series is its values ordered by (idx) — gaps are the caller's
+    contract (gap-fill first if a dense grid is wanted). Pairs are
+    emitted once with key_a < key_b, with the exact int64 DTW distance
+    and the length-normalized double.
+
+    Plan: ONE exchange gathers each key's series (sorted struct
+    collect — same one-pass idiom as the chunk encoder), top-N bounds
+    the key set via TakeOrdered + broadcast semi-join, the pair join
+    broadcasts the N-row array table, and the DP runs in Arrow batches
+    (mapInPandas) with the anti-diagonal numpy kernel. No shuffle
+    after the gather.
+    """
+    r = series.select(
+        F.col(key_col).alias("k"),
+        F.col(idx_col).alias("i"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    if top_series is not None:
+        top = (
+            r.groupBy("k")
+            .agg(F.sum(F.abs(F.col("v"))).alias("__w"))
+            .orderBy(F.desc("__w"), "k")
+            .limit(int(top_series))
+            .select("k")
+        )
+        r = r.join(F.broadcast(top), "k")
+    gathered = r.groupBy("k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
+        ).alias("vals")
+    )
+    a = gathered.select(
+        F.col("k").alias("key_a"), F.col("vals").alias("va")
+    )
+    b = gathered.select(
+        F.col("k").alias("key_b"), F.col("vals").alias("vb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+
+    band_ = band
+    out_schema = (
+        "key_a string, key_b string, n_a int, n_b int, "
+        "dtw long, dtw_norm double"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {
+                        "key_a": pd.Series(dtype="str"),
+                        "key_b": pd.Series(dtype="str"),
+                        "n_a": pd.Series(dtype="int32"),
+                        "n_b": pd.Series(dtype="int32"),
+                        "dtw": pd.Series(dtype="int64"),
+                        "dtw_norm": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            ka = pdf["key_a"].to_numpy()
+            kb = pdf["key_b"].to_numpy()
+            va = pdf["va"].to_numpy()
+            vb = pdf["vb"].to_numpy()
+            n_a = np.empty(len(pdf), dtype=np.int32)
+            n_b = np.empty(len(pdf), dtype=np.int32)
+            d = np.empty(len(pdf), dtype=np.int64)
+            for x in range(len(pdf)):
+                aa = np.asarray(va[x], dtype=np.int64)
+                bb = np.asarray(vb[x], dtype=np.int64)
+                n_a[x], n_b[x] = len(aa), len(bb)
+                d[x] = dtw_distance(aa, bb, band=band_)
+            yield pd.DataFrame(
+                {
+                    "key_a": ka,
+                    "key_b": kb,
+                    "n_a": n_a,
+                    "n_b": n_b,
+                    "dtw": d,
+                    "dtw_norm": d.astype(np.float64)
+                    / (n_a.astype(np.float64) + n_b.astype(np.float64)),
+                }
+            )
+
+    return pairs.mapInPandas(score, schema=out_schema)

@@ -26,6 +26,7 @@ __all__ = [
     "value_histogram",
     "histogram_quantile",
     "ohlc_bars",
+    "trimmed_mean",
 ]
 
 
@@ -197,4 +198,66 @@ def ohlc_bars(
         F.max_by(v, key).alias("c"),
         F.count(F.lit(1)).alias("n"),
         F.sum(v).alias("vsum"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    dims: tuple[str, ...],
+    trim_frac: float = 0.1,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Robust per-group mean with the top and bottom `trim_frac` of
+    rows removed — the "ignore the outliers" aggregate dashboards want
+    when one runaway conversation would otherwise drag the hourly mean
+    (cf. a 10% trimmed mean / winsorized latency panel).
+
+    Semantics: within each dims group, k = floor(n · trim_frac) rows
+    are dropped from EACH end under the total order (value,
+    order_cols...) — the tie-break makes the kept multiset, and
+    therefore the sums, deterministic on both engines. The mean is one
+    double division over the integer-exact kept sum, so an oracle
+    spelling the same two row_number passes agrees bit-for-bit.
+
+    Scale shape: ONE exchange on dims; the ascending and descending
+    row_numbers and the group count all share that single partitioning
+    (three window functions, one sort each way), then a
+    map-side-combined aggregate on the same key — no second shuffle.
+    Skewed hot groups split under AQE like any windowed key.
+
+    Returns (dims..., n, n_trim, n_kept, kept_sum, trimmed_mean).
+    """
+    v = F.col(value_col)
+    tie = [F.col(c) for c in order_cols]
+    wa = Window.partitionBy(*dims).orderBy(v.asc(), *tie)
+    wd = Window.partitionBy(*dims).orderBy(
+        v.desc(), *[c.desc() for c in tie]
+    )
+    wn = Window.partitionBy(*dims)
+    r = df.select(
+        *dims,
+        v.alias("__v"),
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wd).alias("__rd"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    ).withColumn(
+        "__k", F.floor(F.col("__n") * F.lit(float(trim_frac))).cast("long")
+    )
+    kept = r.where((F.col("__ra") > F.col("__k")) & (F.col("__rd") > F.col("__k")))
+    agg = kept.groupBy(*dims).agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("n_trim"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("__v").alias("kept_sum"),
+    )
+    return agg.select(
+        *dims,
+        "n",
+        "n_trim",
+        "n_kept",
+        "kept_sum",
+        (F.col("kept_sum").cast("double") / F.col("n_kept").cast("double")).alias(
+            "trimmed_mean"
+        ),
     )

@@ -50,6 +50,8 @@ __all__ = [
     "classical_decompose",
     "seasonal_forecast",
     "holt_winters",
+    "rolling_corr",
+    "rank_corr_bucket",
 ]
 
 
@@ -1355,3 +1357,129 @@ def holt_winters(
             folded["s1"].alias("smoothed"),
         )
     )
+
+
+def rolling_corr(
+    rolled: DataFrame,
+    x_col: str,
+    y_col: str,
+    window_secs: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int = 3,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two metrics of the
+    SAME series — "are this conversation's turn volume and tool usage
+    still moving together, right now?". The sliding complement of
+    series_corr (whole-history corr): every bucket gets the corr over
+    the preceding `window_secs` (inclusive), so regime changes show up
+    as the curve decorrelating in place.
+
+    Numerics: the five pooled sums (Σx Σy Σxy Σx² Σy²) come from RANGE
+    window aggregates over the raw (integral) metric values — exact
+    integers — and the corr is ONE closed-form double expression
+    (n·Σxy − ΣxΣy) / sqrt(n·Σxx − Σx²) / sqrt(n·Σyy − Σy²), the same
+    contract as series_corr, so an oracle writing the identical tree
+    agrees bit-for-bit. Windows with < min_points buckets or zero
+    variance on either side emit NULL (undefined, not 0).
+
+    Scale shape: one exchange on the series key + one sort, all five
+    sums share the single RANGE frame (one window pass); gaps are
+    absent, not zero, exactly like moving_aggregate. No Python.
+
+    Returns (by..., bucket_col, x, y, win_n, corr).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.unix_timestamp(bucket_col))
+        .rangeBetween(-(window_secs - 1), 0)
+    )
+    base = rolled.select(
+        *by,
+        bucket_col,
+        x.alias("__x"),
+        y.alias("__y"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum(x).over(w).alias("__sx"),
+        F.sum(y).over(w).alias("__sy"),
+        F.sum(x * x).over(w).alias("__sxx"),
+        F.sum(y * y).over(w).alias("__syy"),
+        F.sum(x * y).over(w).alias("__sxy"),
+    )
+    n = F.col("win_n")
+    vx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    cov = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    corr = F.when(
+        (n >= min_points) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx) / F.sqrt(vy),
+    )
+    return base.select(
+        *by,
+        bucket_col,
+        F.col("__x").alias("x"),
+        F.col("__y").alias("y"),
+        "win_n",
+        corr.alias("corr"),
+    )
+
+
+def rank_corr_bucket(
+    rolled: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_col: str = "conv_id",
+    bucket_col: str = "bucket_ts",
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-bucket Spearman rank correlation ACROSS series: within each
+    bucket, rank every series by metric x and by metric y, then Pearson
+    over the two rank vectors — "does talking more still go with using
+    more tools today, monotonically?". Robust to outliers and to any
+    monotone rescaling of either metric, which Pearson is not.
+
+    Tie rule: ranks are row_number() ordered by (value, key) — a total
+    order, so both engines produce the identical permutation and the
+    whole computation stays in exact integers until the one closed-form
+    corr expression (same tree as series_corr). This is the
+    deterministic "tie-broken Spearman" variant, NOT the
+    fractional-average-tie textbook variant: with heavy integer ties
+    the two differ, and the average-tie variant cannot be made
+    bit-stable without a second ordering pass. The tie-break is part of
+    the operator contract and the oracle writes the same ORDER BY.
+
+    Scale shape: one exchange on the bucket (ranks are per-bucket
+    windows), one map-side-combined aggregate on the same key — two
+    window sorts share the single partitioning. Buckets with <
+    min_points series or zero rank variance (all-tied metric) emit
+    NULL.
+
+    Returns (bucket_col, n_series, corr) — one row per bucket.
+    """
+    wx = Window.partitionBy(bucket_col).orderBy(F.col(x_col), F.col(key_col))
+    wy = Window.partitionBy(bucket_col).orderBy(F.col(y_col), F.col(key_col))
+    ranked = rolled.select(
+        bucket_col,
+        F.row_number().over(wx).cast("long").alias("__rx"),
+        F.row_number().over(wy).cast("long").alias("__ry"),
+    )
+    rx, ry = F.col("__rx"), F.col("__ry")
+    agg = ranked.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("n_series"),
+        F.sum(rx).alias("__sx"),
+        F.sum(ry).alias("__sy"),
+        F.sum(rx * rx).alias("__sxx"),
+        F.sum(ry * ry).alias("__syy"),
+        F.sum(rx * ry).alias("__sxy"),
+    )
+    n = F.col("n_series")
+    vx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    cov = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    corr = F.when(
+        (n >= min_points) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx) / F.sqrt(vy),
+    )
+    return agg.select(bucket_col, "n_series", corr.alias("corr"))

@@ -1,0 +1,174 @@
+"""DTW + robust-stats operators vs independent pandas/numpy references."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_muse_spark.operators.dtw import dtw_distance, dtw_pairs
+from go_muse_spark.operators.olap import trimmed_mean
+from go_muse_spark.operators.stats import rank_corr_bucket, rolling_corr
+
+INF = 1 << 62
+
+
+def _brute_dtw(a, b, band=None):
+    n, m = len(a), len(b)
+    D = [[INF] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if band is not None and abs((i - 1) - (j - 1)) > band:
+                continue
+            c = abs(int(a[i - 1]) - int(b[j - 1]))
+            prev = min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+            if prev < INF:
+                D[i][j] = c + prev
+    return D[n][m]
+
+
+def test_dtw_distance_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        n = int(rng.integers(1, 30))
+        m = int(rng.integers(1, 30))
+        a = rng.integers(-500, 500, n)
+        b = rng.integers(-500, 500, m)
+        assert dtw_distance(a, b) == _brute_dtw(a, b)
+
+
+def test_dtw_distance_banded_matches_bruteforce_when_reachable():
+    rng = np.random.default_rng(12)
+    for _ in range(40):
+        n = int(rng.integers(2, 25))
+        a = rng.integers(0, 200, n)
+        b = rng.integers(0, 200, n)  # equal length: band always reachable
+        band = int(rng.integers(1, n))
+        assert dtw_distance(a, b, band=band) == _brute_dtw(a, b, band=band)
+
+
+def test_dtw_axioms():
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 100, 20)
+    b = rng.integers(0, 100, 20)
+    assert dtw_distance(a, a) == 0  # identity
+    assert dtw_distance(a, b) == dtw_distance(b, a)  # symmetry
+    # banded <= implies >= unbanded distance (band only removes paths)
+    assert dtw_distance(a, b, band=3) >= dtw_distance(a, b)
+    # shift-by-one of the same series is cheap vs a random pair
+    shifted = np.roll(a, 1)
+    assert dtw_distance(a, shifted) <= dtw_distance(a, b)
+
+
+def test_dtw_pairs_spark_matches_kernel(spark):
+    rng = np.random.default_rng(21)
+    rows = []
+    series = {}
+    for k in range(5):
+        key = f"u{k}"
+        vals = rng.integers(0, 50, 12)
+        series[key] = vals
+        for i, v in enumerate(vals):
+            rows.append((key, i, int(v)))
+    df = spark.createDataFrame(rows, "k string, i int, v long")
+    out = dtw_pairs(df, key_col="k", idx_col="i", value_col="v",
+                    top_series=None).toPandas()
+    assert len(out) == 10  # 5 choose 2
+    for r in out.itertuples():
+        want = dtw_distance(series[r.key_a], series[r.key_b])
+        assert r.dtw == want
+        assert r.n_a == 12 and r.n_b == 12
+        assert r.dtw_norm == pytest.approx(want / 24.0)
+
+
+def test_dtw_pairs_top_series_bounds_pairs(spark):
+    rows = [(f"u{k}", i, (k + 1) * 10 + i) for k in range(6)
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, i int, v long")
+    out = dtw_pairs(df, key_col="k", idx_col="i", value_col="v",
+                    top_series=3).toPandas()
+    assert len(out) == 3  # 3 choose 2
+    keys = set(out.key_a) | set(out.key_b)
+    assert keys == {"u3", "u4", "u5"}  # highest sum(|v|)
+
+
+def test_rolling_corr_matches_pandas(spark):
+    rng = np.random.default_rng(31)
+    rows = []
+    for k in ("a", "b"):
+        t0 = pd.Timestamp("2024-01-01")
+        for i in range(48):
+            if rng.random() < 0.15:
+                continue  # gaps stay absent
+            rows.append((k, (t0 + pd.Timedelta(hours=i)).to_pydatetime(),
+                         int(rng.integers(0, 20)),
+                         int(rng.integers(0, 10))))
+    df = spark.createDataFrame(rows, "conv_id string, bucket_ts timestamp,"
+                                     " x long, y long")
+    got = rolling_corr(df, "x", "y", 6 * 3600, min_points=3).toPandas()
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "x", "y"])
+    for r in got.itertuples():
+        win = pdf[(pdf.k == r.conv_id)
+                  & (pdf.ts > r.bucket_ts - pd.Timedelta(seconds=6 * 3600))
+                  & (pdf.ts <= r.bucket_ts)]
+        assert r.win_n == len(win)
+        if r.corr == r.corr and r.corr is not None:  # non-NaN/None
+            want = np.corrcoef(win.x, win.y)[0, 1]
+            assert r.corr == pytest.approx(want, abs=1e-9)
+        else:
+            assert (len(win) < 3 or win.x.nunique() == 1
+                    or win.y.nunique() == 1)
+
+
+def test_rank_corr_bucket_matches_scipy_free_spearman(spark):
+    rng = np.random.default_rng(41)
+    rows = []
+    for b in range(4):
+        for k in range(20):
+            rows.append((b, f"u{k:02d}", int(rng.integers(0, 15)),
+                         int(rng.integers(0, 15))))
+    df = spark.createDataFrame(rows, "bucket long, conv_id string,"
+                                     " x long, y long")
+    got = rank_corr_bucket(df, "x", "y", key_col="conv_id",
+                           bucket_col="bucket").toPandas()
+    pdf = pd.DataFrame(rows, columns=["b", "k", "x", "y"])
+    for r in got.itertuples():
+        g = pdf[pdf.b == r.bucket].sort_values(["x", "k"]).reset_index()
+        rx = {k: i + 1 for i, k in enumerate(g.k)}
+        g2 = pdf[pdf.b == r.bucket].sort_values(["y", "k"]).reset_index()
+        ry = {k: i + 1 for i, k in enumerate(g2.k)}
+        xs = np.array([rx[k] for k in sorted(rx)])
+        ys = np.array([ry[k] for k in sorted(rx)])
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert r.n_series == 20
+        assert r.corr == pytest.approx(want, abs=1e-9)
+
+
+def test_trimmed_mean_matches_pandas(spark):
+    rng = np.random.default_rng(51)
+    rows = [(("g1" if i % 3 else "g2"), int(rng.integers(-100, 1000)), i)
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = trimmed_mean(df, "v", dims=("g",), trim_frac=0.1,
+                       order_cols=("id",)).toPandas()
+    pdf = pd.DataFrame(rows, columns=["g", "v", "id"])
+    for r in got.itertuples():
+        grp = pdf[pdf.g == r.g].sort_values(["v", "id"])
+        k = int(np.floor(len(grp) * 0.1))
+        kept = grp.iloc[k: len(grp) - k]
+        assert r.n == len(grp)
+        assert r.n_trim == k
+        assert r.n_kept == len(kept)
+        assert r.kept_sum == kept.v.sum()
+        assert r.trimmed_mean == pytest.approx(kept.v.mean())
+
+
+def test_trimmed_mean_zero_trim_is_plain_mean(spark):
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate([5, 1, 9])],
+        "g string, v long, id long",
+    )
+    got = trimmed_mean(df, "v", dims=("g",), trim_frac=0.1,
+                       order_cols=("id",)).toPandas()
+    assert got.iloc[0].n_kept == 3  # floor(3*0.1)=0 trimmed
+    assert got.iloc[0].trimmed_mean == pytest.approx(5.0)
