@@ -134,6 +134,8 @@ from go_muse_spark.operators.stats import (
     seasonal_forecast,
     rolling_corr,
     rank_corr_bucket,
+    best_changepoint,
+    theil_sen,
 )
 from go_muse_spark.operators.freqsketch import (
     cm_estimate,
@@ -3313,6 +3315,59 @@ def q_spearman_1d(spark, sf_dir):
     )
 
 
+
+def q_changepoint_1d(spark, sf_dir):
+    """Best level-shift changepoint per user over the daily turn-count
+    series (one binary-segmentation step, piecewise-constant SSE cost):
+    the split k minimizing SSE(left)+SSE(right), plus the explained
+    sum of squares. All candidate scores are IEEE divisions of exact
+    int64 prefix-sum products (< 2^53), so the argmax (ties -> smallest
+    k) is bit-stable against the oracle's identical expression. ONE
+    exchange on the user; prefix sums, candidate scores and the argmax
+    row_number all ride that partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = best_changepoint(
+        daily, "turn_cnt", bucket_col="bucket_epoch", min_seg=3
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "n",
+        F.col("split_k").cast("long").alias("split_k"),
+        F.col("split_bucket").alias("split_epoch"),
+        F.round(F.col("gain") * 1e6, 0).cast("long").alias("gain_u"),
+    )
+
+
+def q_theilsen_1d(spark, sf_dir):
+    """Theil-Sen robust trend per user over the daily turn-count
+    series: LOWER median of all pairwise slopes (deterministic order
+    statistic, no float averaging), intercept = lower median of
+    v - slope*t. Robust to ~29% outliers where linear_fit is not.
+    Pair space is per-series O(days**2), bounded by the tier, and the
+    whole computation shares one user-key partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = theil_sen(daily, "turn_cnt", bucket_col="bucket_ts")
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("slope") * F.lit(86400.0) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("slope_day_u"),
+        F.round(F.col("intercept"), 0).cast("long").alias("intercept_r"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -3333,6 +3388,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens (oldest evidence), then round-3 greens; round-4
         # greens close the list. Every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "changepoint_1d": q_changepoint_1d,
+        "theilsen_1d": q_theilsen_1d,
         "dtw_pairs_1d": q_dtw_pairs_1d,
         "rolling_corr_24h": q_rolling_corr_24h,
         "trimmed_mean_1d": q_trimmed_mean_1d,
@@ -4473,6 +4530,75 @@ SELECT bucket_epoch, n AS n_series,
          AS spearman_u
 FROM a
 WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+    # binary-segmentation best split: identical prefix-sum algebra
+    d["changepoint_1d"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         (epoch_us(ts) // 86400000000) * 86400 AS b,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT u, b, v,
+         row_number() OVER (PARTITION BY u ORDER BY b) AS k,
+         sum(v) OVER (PARTITION BY u ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS sk,
+         count(*) OVER (PARTITION BY u) AS n,
+         sum(v) OVER (PARTITION BY u) AS sn,
+         lead(b) OVER (PARTITION BY u ORDER BY b) AS next_b
+  FROM r
+), c AS (
+  SELECT u, n, k, next_b,
+         cast(sk * sk * (n - k) + (sn - sk) * (sn - sk) * k AS double)
+           / cast(k * (n - k) AS double) AS h,
+         cast(sn * sn AS double) / cast(n AS double) AS h0
+  FROM w WHERE k >= 3 AND k <= n - 3
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY u ORDER BY h DESC, k) AS r
+  FROM c
+)
+SELECT u AS user_id, n, cast(k AS bigint) AS split_k,
+       next_b AS split_epoch,
+       cast(round((h - h0) * 1e6) AS bigint) AS gain_u
+FROM best WHERE r = 1
+"""
+    # Theil-Sen: lower-median order statistic over exact-int slopes
+    d["theilsen_1d"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('day', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT u, cast(epoch(b) AS bigint) AS tt, v FROM r
+), p AS (
+  SELECT a.u, a.tt AS ti, c.tt AS tj,
+         cast(c.v - a.v AS double) / cast(c.tt - a.tt AS double) AS s
+  FROM t a JOIN t c ON a.u = c.u AND a.tt < c.tt
+), med AS (
+  SELECT u, s AS slope, np FROM (
+    SELECT u, s,
+           row_number() OVER (PARTITION BY u ORDER BY s, ti, tj) AS rn,
+           count(*) OVER (PARTITION BY u) AS np
+    FROM p
+  ) WHERE rn = (np + 1) // 2
+), e AS (
+  SELECT t.u, med.np, med.slope,
+         cast(t.v AS double) - med.slope * cast(t.tt AS double) AS e0,
+         t.tt
+  FROM t JOIN med ON t.u = med.u
+), emed AS (
+  SELECT u, np, slope, e0, n FROM (
+    SELECT u, np, slope, e0,
+           row_number() OVER (PARTITION BY u ORDER BY e0, tt) AS rn,
+           count(*) OVER (PARTITION BY u) AS n
+    FROM e
+  ) WHERE rn = (n + 1) // 2 AND n >= 3
+)
+SELECT u AS user_id, n, np AS n_pairs,
+       cast(round(slope * 86400.0 * 1e6) AS bigint) AS slope_day_u,
+       cast(round(e0) AS bigint) AS intercept_r
+FROM emed
 """
     return d
 

@@ -52,6 +52,8 @@ __all__ = [
     "holt_winters",
     "rolling_corr",
     "rank_corr_bucket",
+    "best_changepoint",
+    "theil_sen",
 ]
 
 
@@ -1483,3 +1485,157 @@ def rank_corr_bucket(
         cov / F.sqrt(vx) / F.sqrt(vy),
     )
     return agg.select(bucket_col, "n_series", corr.alias("corr"))
+
+
+def best_changepoint(
+    rolled: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_seg: int = 3,
+) -> DataFrame:
+    """Single best level-shift changepoint per series (one step of
+    binary segmentation with the classic piecewise-constant SSE cost):
+    the split index k that minimizes SSE(left) + SSE(right) over the
+    series' ordered buckets — "when did this conversation's volume
+    regime change?". Repeated application to the two halves is full
+    binary segmentation; the one-split step is the alertable quantity
+    (where + how much variance the split explains).
+
+    Numerics: with prefix sums S_k = Σ_{i≤k} x_i over INTEGRAL values,
+    SSE(split at k) = Σx² − S_k²/k − (S_n−S_k)²/(n−k), so the only
+    non-integer quantity is h(k) = S_k²·(n−k) + (S_n−S_k)²·k divided
+    by k(n−k) — both operands exact int64 well under 2^53, so the IEEE
+    double division is correctly rounded and IDENTICAL on any engine:
+    the argmax (ties → smallest k) is bit-stable and oracle-checkable.
+    gain = SSE(no split) − SSE(best split) ≥ 0 is the explained sum of
+    squares.
+
+    Scale shape: ONE exchange on the series key; the prefix sums, the
+    per-candidate h(k), and the argmax row_number all ride that same
+    partitioning (running + unbounded frames, no second shuffle). The
+    candidate space is the series' own length — nothing quadratic.
+
+    Returns (by..., n, split_k, split_bucket, gain) — split_k is the
+    left-segment length, split_bucket the first bucket of the RIGHT
+    segment, gain in value² units (double). Series shorter than
+    2·min_seg emit nothing.
+    """
+    v = F.col(value_col).cast("long")
+    word = Window.partitionBy(*by).orderBy(bucket_col)
+    wall = Window.partitionBy(*by)
+    run = (
+        Window.partitionBy(*by)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = rolled.select(
+        *by,
+        F.col(bucket_col).alias("__b"),
+        v.alias("__v"),
+        F.row_number().over(word).alias("__k"),
+        F.sum(v).over(run).alias("__sk"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        F.sum(v).over(wall).alias("__sn"),
+        F.sum(v * v).over(wall).alias("__sxx"),
+        F.lead(bucket_col, 1).over(word).alias("__next_b"),
+    )
+    n, k = F.col("__n"), F.col("__k")
+    sk, sn = F.col("__sk"), F.col("__sn")
+    cand = base.where(
+        (k >= F.lit(int(min_seg))) & (k <= n - F.lit(int(min_seg)))
+    )
+    h = (
+        (sk * sk * (n - k) + (sn - sk) * (sn - sk) * k).cast("double")
+        / (k * (n - k)).cast("double")
+    )
+    scored = cand.withColumn("__h", h)
+    wbest = Window.partitionBy(*by).orderBy(F.desc("__h"), "__k")
+    best = scored.withColumn("__r", F.row_number().over(wbest)).where(
+        F.col("__r") == 1
+    )
+    gain = F.col("__h") - (sn * sn).cast("double") / n.cast("double")
+    return best.select(
+        *by,
+        n.alias("n"),
+        k.alias("split_k"),
+        F.col("__next_b").alias("split_bucket"),
+        gain.alias("gain"),
+    )
+
+
+def theil_sen(
+    rolled: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int = 3,
+) -> DataFrame:
+    """Theil–Sen robust trend per series: the (lower) median of all
+    pairwise slopes (x_j−x_i)/(t_j−t_i), i < j — up to ~29% outliers
+    cannot move it, unlike linear_fit's least squares. The estimator
+    dashboards want when one spike would otherwise fake a trend.
+
+    Determinism contract: slopes are IEEE divisions of exact integers
+    (integral values, epoch-second buckets), so every slope double is
+    correctly rounded and identical across engines; the median is the
+    LOWER median (order statistic at ceil(p/2) over (slope, i, j) —
+    a total order), not the interpolated midpoint, so no float
+    averaging is introduced. The intercept is the lower median of
+    (x_i − slope·t_i) under the same rule.
+
+    Scale shape: the pair space is per-series O(n²) — bounded by the
+    TIER length, not the corpus (run it over the 1d tier: n ≤ days of
+    retention). ONE exchange gathers the series; the pair expansion is
+    a broadcast-free in-partition self-join on the series key; both
+    medians ride the same partitioning. For per-series n beyond ~10³,
+    downsample to a coarser tier first (the estimator is rank-based —
+    resistant to the aggregation).
+
+    Returns (by..., n, n_pairs, slope, intercept).
+    """
+    t = F.unix_timestamp(bucket_col).cast("long")
+    v = F.col(value_col).cast("long")
+    r = rolled.select(*by, t.alias("__t"), v.alias("__v"))
+    # materialize the rolled series once: the self-join and the
+    # residual join would otherwise re-execute the whole upstream
+    # scan+rollup per branch (same convention as corr_pairs /
+    # operators/dedup.py _materialize; in production the tier is
+    # already a persisted store table).
+    r = r.localCheckpoint(eager=True)
+    l = r.select(*by, F.col("__t").alias("__ti"), F.col("__v").alias("__vi"))
+    rr = r.select(*by, F.col("__t").alias("__tj"), F.col("__v").alias("__vj"))
+    pairs = l.join(rr, list(by)).where(F.col("__ti") < F.col("__tj"))
+    slope = (F.col("__vj") - F.col("__vi")).cast("double") / (
+        F.col("__tj") - F.col("__ti")
+    ).cast("double")
+    p = pairs.withColumn("__s", slope)
+    wm = Window.partitionBy(*by).orderBy("__s", "__ti", "__tj")
+    wc = Window.partitionBy(*by)
+    med = (
+        p.withColumn("__r", F.row_number().over(wm))
+        .withColumn("__p", F.count(F.lit(1)).over(wc))
+        .where(F.col("__r") == F.floor((F.col("__p") + 1) / 2))
+        .select(*by, F.col("__p").alias("n_pairs"), F.col("__s").alias("slope"))
+    )
+    resid = r.join(med, list(by)).withColumn(
+        "__e", F.col("__v").cast("double") - F.col("slope") * F.col("__t").cast("double")
+    )
+    wme = Window.partitionBy(*by).orderBy("__e", "__t")
+    wcn = Window.partitionBy(*by)
+    out = (
+        resid.withColumn("__r", F.row_number().over(wme))
+        .withColumn("__n", F.count(F.lit(1)).over(wcn))
+        .where(
+            (F.col("__r") == F.floor((F.col("__n") + 1) / 2))
+            & (F.col("__n") >= F.lit(int(min_points)))
+        )
+        .select(
+            *by,
+            F.col("__n").alias("n"),
+            "n_pairs",
+            "slope",
+            F.col("__e").alias("intercept"),
+        )
+    )
+    return out

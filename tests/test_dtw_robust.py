@@ -172,3 +172,79 @@ def test_trimmed_mean_zero_trim_is_plain_mean(spark):
                        order_cols=("id",)).toPandas()
     assert got.iloc[0].n_kept == 3  # floor(3*0.1)=0 trimmed
     assert got.iloc[0].trimmed_mean == pytest.approx(5.0)
+
+
+def test_best_changepoint_matches_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    series = {}
+    rows = []
+    for u in range(6):
+        n = int(rng.integers(8, 28))
+        shift_at = int(rng.integers(3, n - 3))
+        vals = [int((10 if i >= shift_at else 3) + rng.integers(0, 3))
+                for i in range(n)]
+        series[f"u{u}"] = vals
+        for i, v in enumerate(vals):
+            rows.append((f"u{u}", i * 86400, v))
+    from go_muse_spark.operators.stats import best_changepoint
+
+    df = spark.createDataFrame(rows, "conv_id string, bucket_epoch long,"
+                                     " v long")
+    got = (best_changepoint(df, "v", bucket_col="bucket_epoch")
+           .toPandas().set_index("conv_id"))
+
+    for u, vals in series.items():
+        x = np.array(vals, dtype=np.int64)
+        n, sn = len(x), int(x.sum())
+        best = None
+        for k in range(3, n - 2):
+            sk = int(x[:k].sum())
+            h = float(sk * sk * (n - k) + (sn - sk) * (sn - sk) * k) \
+                / float(k * (n - k))
+            if best is None or h > best[1]:
+                best = (k, h)
+        g = got.loc[u]
+        assert int(g.split_k) == best[0]
+        assert g.gain == pytest.approx(best[1] - sn * sn / n, abs=1e-9)
+        assert int(g.split_bucket) == best[0] * 86400  # first right bucket
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    import datetime
+
+    rng = np.random.default_rng(6)
+    series = {}
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for u in range(5):
+        n = int(rng.integers(6, 20))  # mix of odd/even pair counts
+        vals = [int(2 * i + rng.integers(0, 5)) for i in range(n)]
+        if n > 8:
+            vals[3] = 500  # outlier the median slope must shrug off
+        series[f"u{u}"] = vals
+        for i, v in enumerate(vals):
+            rows.append((f"u{u}", t0 + datetime.timedelta(days=i), v))
+    from go_muse_spark.operators.stats import theil_sen
+
+    df = spark.createDataFrame(rows, "conv_id string, bucket_ts timestamp,"
+                                     " v long")
+    got = theil_sen(df, "v").toPandas().set_index("conv_id")
+
+    epoch0 = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    for u, vals in series.items():
+        t = [epoch0 + i * 86400 for i in range(len(vals))]
+        slopes = sorted(((vals[j] - vals[i]) / (t[j] - t[i]), t[i], t[j])
+                        for i in range(len(vals))
+                        for j in range(i + 1, len(vals)))
+        p = len(slopes)
+        s = slopes[(p + 1) // 2 - 1][0]
+        resid = sorted((vals[i] - s * t[i], t[i])
+                       for i in range(len(vals)))
+        e = resid[(len(vals) + 1) // 2 - 1][0]
+        g = got.loc[u]
+        assert g.n_pairs == p
+        assert g.slope == s  # bit-exact: same IEEE division
+        assert g.intercept == pytest.approx(e, abs=1e-12)
+        if len(vals) > 8:
+            # outlier resistance: slope stays near the true 2/day
+            assert abs(g.slope * 86400 - 2.0) < 1.5
