@@ -3368,6 +3368,59 @@ def q_theilsen_1d(spark, sf_dir):
     )
 
 
+
+def q_dtw_band_1d(spark, sf_dir):
+    """Sakoe-Chiba banded DTW (band=3 days) over the same top-12 dense
+    daily grid as dtw_pairs_1d — the 100-TB scale path: the band caps
+    the warp AND the work at O(n·band) per pair instead of O(n·m).
+    Same exact-integer DP; cells with |i−j| > 3 are unreachable (+INF),
+    and the oracle's recursive CTE masks the identical cells."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    daily = (
+        ev.select(
+            F.col("user_id").cast("string").alias("u"), day.alias("d")
+        )
+        .groupBy("u", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = ev.select(
+        (F.floor(F.min(F.unix_timestamp("ts")) / 86400) * 86400)
+        .cast("long")
+        .alias("dmin"),
+        (F.floor(F.max(F.unix_timestamp("ts")) / 86400) * 86400)
+        .cast("long")
+        .alias("dmax"),
+    )
+    top = (
+        daily.groupBy("u")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.desc("tot"), "u")
+        .limit(12)
+        .select("u")
+    )
+    grid = top.crossJoin(F.broadcast(bounds)).select(
+        "u",
+        F.explode(
+            F.sequence(F.col("dmin"), F.col("dmax"), F.lit(86400))
+        ).alias("d"),
+    )
+    dense = grid.join(daily, ["u", "d"], "left").select(
+        "u", "d", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    out = dtw_pairs(
+        dense, key_col="u", idx_col="d", value_col="cnt",
+        top_series=None, band=3,
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        "dtw",
+        F.round(F.col("dtw_norm") * 1e6, 0).cast("long").alias("dtw_norm_u"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -3388,6 +3441,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens (oldest evidence), then round-3 greens; round-4
         # greens close the list. Every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "dtw_band_1d": q_dtw_band_1d,
         "changepoint_1d": q_changepoint_1d,
         "theilsen_1d": q_theilsen_1d,
         "dtw_pairs_1d": q_dtw_pairs_1d,
@@ -4599,6 +4653,68 @@ SELECT u AS user_id, n, np AS n_pairs,
        cast(round(slope * 86400.0 * 1e6) AS bigint) AS slope_day_u,
        cast(round(e0) AS bigint) AS intercept_r
 FROM emed
+"""
+    # banded DTW: same recurrence with |i-j| > band cells masked to INF
+    # (i - j = 2i - k - 3 on diagonal k with 1-based i)
+    d["dtw_band_1d"] = """
+WITH RECURSIVE d0 AS (
+  SELECT cast(user_id AS varchar) AS u,
+         (epoch_us(ts) // 86400000000) * 86400 AS d,
+         cast(count(*) AS bigint) AS cnt
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT (min(epoch_us(ts)) // 86400000000) * 86400 AS dmin,
+         (max(epoch_us(ts)) // 86400000000) * 86400 AS dmax
+  FROM events
+), top AS (
+  SELECT u FROM (
+    SELECT u, sum(cnt) AS tot FROM d0 GROUP BY u
+    ORDER BY tot DESC, u LIMIT 12
+  )
+), grid AS (
+  SELECT t.u, unnest(range(b.dmin, b.dmax + 86400, 86400)) AS d
+  FROM top t, bounds b
+), dense AS (
+  SELECT g.u, g.d, coalesce(d0.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN d0 ON g.u = d0.u AND g.d = d0.d
+), ser AS (
+  SELECT u, list(cnt ORDER BY d) AS vals FROM dense GROUP BY u
+), pairs AS (
+  SELECT sa.u AS ka, sb.u AS kb, sa.vals AS a, sb.vals AS b,
+         len(sa.vals) AS n, len(sb.vals) AS m
+  FROM ser sa JOIN ser sb ON sa.u < sb.u
+), dp AS (
+  SELECT ka, kb, 0 AS k,
+         list_transform(range(1, n + 1),
+           i -> CASE WHEN i = 1 THEN abs(a[1] - b[1])
+                ELSE 4611686018427387904 END) AS cur,
+         list_transform(range(1, n + 1),
+           i -> 4611686018427387904) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT p.ka, p.kb, dp.k + 1,
+         list_transform(range(1, p.n + 1), i ->
+           CASE WHEN dp.k + 3 - i BETWEEN 1 AND p.m
+                     AND abs(2 * i - dp.k - 3) <= 3 THEN
+             abs(p.a[i] - p.b[dp.k + 3 - i]) + least(
+               CASE WHEN i > 1 THEN dp.cur[i - 1]
+                    ELSE 4611686018427387904 END,
+               CASE WHEN dp.k + 3 - i > 1 THEN dp.cur[i]
+                    ELSE 4611686018427387904 END,
+               CASE WHEN i > 1 AND dp.k + 3 - i > 1 THEN dp.prev[i - 1]
+                    ELSE 4611686018427387904 END)
+           ELSE 4611686018427387904 END) AS cur,
+         dp.cur AS prev
+  FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
+  WHERE dp.k < p.n + p.m - 2
+)
+SELECT dp.ka AS key_a, dp.kb AS key_b, p.n AS n_a,
+       dp.cur[p.n] AS dtw,
+       cast(round(cast(dp.cur[p.n] AS double)
+                  / cast(p.n + p.m AS double) * 1e6) AS bigint)
+         AS dtw_norm_u
+FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
+WHERE dp.k = p.n + p.m - 2
 """
     return d
 

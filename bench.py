@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "mp_ab_global_1d",
     "seasonal_forecast_1h",
     "dtw_pairs_1d",
+    "dtw_band_1d",
     "changepoint_1d",
     "theilsen_1d",
     "rolling_corr_24h",
