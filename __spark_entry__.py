@@ -3159,17 +3159,10 @@ def q_state_transitions(spark, sf_dir):
 
 
 
-def q_dtw_pairs_1d(spark, sf_dir):
-    """All-pairs dynamic-time-warping similarity over the daily tier:
-    the 12 most active users' dense 30-day turn-count series (global
-    daily grid, gaps = 0), every pair's EXACT integer DTW distance —
-    "which users trace the same daily shape, allowing local time
-    stretch?". The elastic complement of the muse xcorr search (rigid
-    global lag) and corr_pairs (zero lag). Plan: one gather exchange,
-    TakeOrdered top-N + broadcast pair join, anti-diagonal-vectorized
-    int64 DP in Arrow batches (operators/dtw.py); the oracle replays
-    the identical recurrence as a DuckDB recursive CTE over list
-    state, so the distances match bit-for-bit."""
+def _dtw_dense_daily(spark, sf_dir):
+    """Shared prep for the DTW contract queries: the 12 most active
+    users' daily turn-count series on the dense global daily grid
+    (gaps = 0), as (u, d, cnt) rows."""
     ev = load_table(spark, sf_dir, "events")
     day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
     daily = (
@@ -3200,9 +3193,24 @@ def q_dtw_pairs_1d(spark, sf_dir):
             F.sequence(F.col("dmin"), F.col("dmax"), F.lit(86400))
         ).alias("d"),
     )
-    dense = grid.join(daily, ["u", "d"], "left").select(
+    return grid.join(daily, ["u", "d"], "left").select(
         "u", "d", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
+
+
+
+def q_dtw_pairs_1d(spark, sf_dir):
+    """All-pairs dynamic-time-warping similarity over the daily tier:
+    the 12 most active users' dense 30-day turn-count series (global
+    daily grid, gaps = 0), every pair's EXACT integer DTW distance —
+    "which users trace the same daily shape, allowing local time
+    stretch?". The elastic complement of the muse xcorr search (rigid
+    global lag) and corr_pairs (zero lag). Plan: one gather exchange,
+    TakeOrdered top-N + broadcast pair join, anti-diagonal-vectorized
+    int64 DP in Arrow batches (operators/dtw.py); the oracle replays
+    the identical recurrence as a DuckDB recursive CTE over list
+    state, so the distances match bit-for-bit."""
+    dense = _dtw_dense_daily(spark, sf_dir)
     out = dtw_pairs(
         dense, key_col="u", idx_col="d", value_col="cnt", top_series=None
     )
@@ -3314,6 +3322,80 @@ def q_spearman_1d(spark, sf_dir):
         F.round(F.col("corr") * 1e6, 0).cast("long").alias("spearman_u"),
     )
 
+
+
+def q_changepoint_1d(spark, sf_dir):
+    """Best level-shift changepoint per user over the daily turn-count
+    series (one binary-segmentation step, piecewise-constant SSE cost):
+    the split k minimizing SSE(left)+SSE(right), plus the explained
+    sum of squares. All candidate scores are IEEE divisions of exact
+    int64 prefix-sum products (< 2^53), so the argmax (ties -> smallest
+    k) is bit-stable against the oracle's identical expression. ONE
+    exchange on the user; prefix sums, candidate scores and the argmax
+    row_number all ride that partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = best_changepoint(
+        daily, "turn_cnt", bucket_col="bucket_epoch", min_seg=3
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "n",
+        F.col("split_k").cast("long").alias("split_k"),
+        F.col("split_bucket").alias("split_epoch"),
+        F.round(F.col("gain") * 1e6, 0).cast("long").alias("gain_u"),
+    )
+
+
+def q_theilsen_1d(spark, sf_dir):
+    """Theil-Sen robust trend per user over the daily turn-count
+    series: LOWER median of all pairwise slopes (deterministic order
+    statistic, no float averaging), intercept = lower median of
+    v - slope*t. Robust to ~29% outliers where linear_fit is not.
+    Pair space is per-series O(days**2), bounded by the tier, and the
+    whole computation shares one user-key partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = theil_sen(daily, "turn_cnt", bucket_col="bucket_ts")
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("slope") * F.lit(86400.0) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("slope_day_u"),
+        F.round(F.col("intercept"), 0).cast("long").alias("intercept_r"),
+    )
+
+
+
+def q_dtw_band_1d(spark, sf_dir):
+    """Sakoe-Chiba banded DTW (band=3 days) over the same top-12 dense
+    daily grid as dtw_pairs_1d — the 100-TB scale path: the band caps
+    the warp AND the work at O(n·band) per pair instead of O(n·m)
+    (the kernel's per-diagonal in-band interval is analytic, not a
+    mask). Same exact-integer DP; cells with |i−j| > 3 are unreachable
+    (+INF), and the oracle's recursive CTE masks the identical cells."""
+    dense = _dtw_dense_daily(spark, sf_dir)
+    out = dtw_pairs(
+        dense, key_col="u", idx_col="d", value_col="cnt",
+        top_series=None, band=3,
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        "dtw",
+        F.round(F.col("dtw_norm") * 1e6, 0).cast("long").alias("dtw_norm_u"),
+    )
 
 
 def q_changepoint_1d(spark, sf_dir):
@@ -3751,6 +3833,82 @@ SELECT dd.user_id, dd.bucket_ts, dd.y,
 FROM dd
 JOIN seas ON seas.user_id = dd.user_id AND seas.ph = dd.ph
 JOIN cent ON cent.user_id = dd.user_id
+"""
+
+
+
+def _dtw_oracle(band: int | None = None, with_nb: bool = True) -> str:
+    """Band-parameterized DuckDB recursive-CTE DTW oracle: replays the
+    EXACT int64 anti-diagonal recurrence of operators/dtw.py (cost
+    |a_i−b_j| in counts, D in int64, INF = 2^62) over list state, one
+    wavefront per iteration — bit-identical distances, no float
+    anywhere. With a band, cells with |i−j| > band (1-based: |2i−k−3|
+    on diagonal k) mask to INF, the same cells the kernel's analytic
+    in-band interval skips."""
+    mask = (
+        f"\n                     AND abs(2 * i - dp.k - 3) <= {band}"
+        if band is not None
+        else ""
+    )
+    nb = "p.m AS n_b,\n       " if with_nb else ""
+    return f"""
+WITH RECURSIVE d0 AS (
+  SELECT cast(user_id AS varchar) AS u,
+         (epoch_us(ts) // 86400000000) * 86400 AS d,
+         cast(count(*) AS bigint) AS cnt
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT (min(epoch_us(ts)) // 86400000000) * 86400 AS dmin,
+         (max(epoch_us(ts)) // 86400000000) * 86400 AS dmax
+  FROM events
+), top AS (
+  SELECT u FROM (
+    SELECT u, sum(cnt) AS tot FROM d0 GROUP BY u
+    ORDER BY tot DESC, u LIMIT 12
+  )
+), grid AS (
+  SELECT t.u, unnest(range(b.dmin, b.dmax + 86400, 86400)) AS d
+  FROM top t, bounds b
+), dense AS (
+  SELECT g.u, g.d, coalesce(d0.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN d0 ON g.u = d0.u AND g.d = d0.d
+), ser AS (
+  SELECT u, list(cnt ORDER BY d) AS vals FROM dense GROUP BY u
+), pairs AS (
+  SELECT sa.u AS ka, sb.u AS kb, sa.vals AS a, sb.vals AS b,
+         len(sa.vals) AS n, len(sb.vals) AS m
+  FROM ser sa JOIN ser sb ON sa.u < sb.u
+), dp AS (
+  SELECT ka, kb, 0 AS k,
+         list_transform(range(1, n + 1),
+           i -> CASE WHEN i = 1 THEN abs(a[1] - b[1])
+                ELSE 4611686018427387904 END) AS cur,
+         list_transform(range(1, n + 1),
+           i -> 4611686018427387904) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT p.ka, p.kb, dp.k + 1,
+         list_transform(range(1, p.n + 1), i ->
+           CASE WHEN dp.k + 3 - i BETWEEN 1 AND p.m{mask} THEN
+             abs(p.a[i] - p.b[dp.k + 3 - i]) + least(
+               CASE WHEN i > 1 THEN dp.cur[i - 1]
+                    ELSE 4611686018427387904 END,
+               CASE WHEN dp.k + 3 - i > 1 THEN dp.cur[i]
+                    ELSE 4611686018427387904 END,
+               CASE WHEN i > 1 AND dp.k + 3 - i > 1 THEN dp.prev[i - 1]
+                    ELSE 4611686018427387904 END)
+           ELSE 4611686018427387904 END) AS cur,
+         dp.cur AS prev
+  FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
+  WHERE dp.k < p.n + p.m - 2
+)
+SELECT dp.ka AS key_a, dp.kb AS key_b, p.n AS n_a,
+       {nb}dp.cur[p.n] AS dtw,
+       cast(round(cast(dp.cur[p.n] AS double)
+                  / cast(p.n + p.m AS double) * 1e6) AS bigint)
+         AS dtw_norm_u
+FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
+WHERE dp.k = p.n + p.m - 2
 """
 
 
@@ -4438,70 +4596,7 @@ SELECT r.* FROM r, mx WHERE cast(r.bucket_ts AS date) >= mx.d - 3
     # adds are no-ops in the zero-initialized scoring matrix -> same
     # answer as the direct rollup search
     d["muse_over_chunks_1h"] = d["muse_topk_1h"]
-    # ---- DTW: the recursive CTE replays the EXACT int64 anti-diagonal
-    # recurrence of operators/dtw.py (cost |a_i-b_j| in counts, D in
-    # int64, INF = 2^62) over list state, one wavefront per iteration —
-    # bit-identical distances, no float anywhere.
-    d["dtw_pairs_1d"] = """
-WITH RECURSIVE d0 AS (
-  SELECT cast(user_id AS varchar) AS u,
-         (epoch_us(ts) // 86400000000) * 86400 AS d,
-         cast(count(*) AS bigint) AS cnt
-  FROM events GROUP BY 1, 2
-), bounds AS (
-  SELECT (min(epoch_us(ts)) // 86400000000) * 86400 AS dmin,
-         (max(epoch_us(ts)) // 86400000000) * 86400 AS dmax
-  FROM events
-), top AS (
-  SELECT u FROM (
-    SELECT u, sum(cnt) AS tot FROM d0 GROUP BY u
-    ORDER BY tot DESC, u LIMIT 12
-  )
-), grid AS (
-  SELECT t.u, unnest(range(b.dmin, b.dmax + 86400, 86400)) AS d
-  FROM top t, bounds b
-), dense AS (
-  SELECT g.u, g.d, coalesce(d0.cnt, 0) AS cnt
-  FROM grid g LEFT JOIN d0 ON g.u = d0.u AND g.d = d0.d
-), ser AS (
-  SELECT u, list(cnt ORDER BY d) AS vals FROM dense GROUP BY u
-), pairs AS (
-  SELECT sa.u AS ka, sb.u AS kb, sa.vals AS a, sb.vals AS b,
-         len(sa.vals) AS n, len(sb.vals) AS m
-  FROM ser sa JOIN ser sb ON sa.u < sb.u
-), dp AS (
-  SELECT ka, kb, 0 AS k,
-         list_transform(range(1, n + 1),
-           i -> CASE WHEN i = 1 THEN abs(a[1] - b[1])
-                ELSE 4611686018427387904 END) AS cur,
-         list_transform(range(1, n + 1),
-           i -> 4611686018427387904) AS prev
-  FROM pairs
-  UNION ALL
-  SELECT p.ka, p.kb, dp.k + 1,
-         list_transform(range(1, p.n + 1), i ->
-           CASE WHEN dp.k + 3 - i BETWEEN 1 AND p.m THEN
-             abs(p.a[i] - p.b[dp.k + 3 - i]) + least(
-               CASE WHEN i > 1 THEN dp.cur[i - 1]
-                    ELSE 4611686018427387904 END,
-               CASE WHEN dp.k + 3 - i > 1 THEN dp.cur[i]
-                    ELSE 4611686018427387904 END,
-               CASE WHEN i > 1 AND dp.k + 3 - i > 1 THEN dp.prev[i - 1]
-                    ELSE 4611686018427387904 END)
-           ELSE 4611686018427387904 END) AS cur,
-         dp.cur AS prev
-  FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
-  WHERE dp.k < p.n + p.m - 2
-)
-SELECT dp.ka AS key_a, dp.kb AS key_b,
-       p.n AS n_a, p.m AS n_b,
-       dp.cur[p.n] AS dtw,
-       cast(round(cast(dp.cur[p.n] AS double)
-                  / cast(p.n + p.m AS double) * 1e6) AS bigint)
-         AS dtw_norm_u
-FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
-WHERE dp.k = p.n + p.m - 2
-"""
+    d["dtw_pairs_1d"] = _dtw_oracle(band=None, with_nb=True)
     # rolling corr: same five integer window sums + identical closed
     # form as the Spark side (stats.rolling_corr)
     d["rolling_corr_24h"] = """
@@ -4654,68 +4749,7 @@ SELECT u AS user_id, n, np AS n_pairs,
        cast(round(e0) AS bigint) AS intercept_r
 FROM emed
 """
-    # banded DTW: same recurrence with |i-j| > band cells masked to INF
-    # (i - j = 2i - k - 3 on diagonal k with 1-based i)
-    d["dtw_band_1d"] = """
-WITH RECURSIVE d0 AS (
-  SELECT cast(user_id AS varchar) AS u,
-         (epoch_us(ts) // 86400000000) * 86400 AS d,
-         cast(count(*) AS bigint) AS cnt
-  FROM events GROUP BY 1, 2
-), bounds AS (
-  SELECT (min(epoch_us(ts)) // 86400000000) * 86400 AS dmin,
-         (max(epoch_us(ts)) // 86400000000) * 86400 AS dmax
-  FROM events
-), top AS (
-  SELECT u FROM (
-    SELECT u, sum(cnt) AS tot FROM d0 GROUP BY u
-    ORDER BY tot DESC, u LIMIT 12
-  )
-), grid AS (
-  SELECT t.u, unnest(range(b.dmin, b.dmax + 86400, 86400)) AS d
-  FROM top t, bounds b
-), dense AS (
-  SELECT g.u, g.d, coalesce(d0.cnt, 0) AS cnt
-  FROM grid g LEFT JOIN d0 ON g.u = d0.u AND g.d = d0.d
-), ser AS (
-  SELECT u, list(cnt ORDER BY d) AS vals FROM dense GROUP BY u
-), pairs AS (
-  SELECT sa.u AS ka, sb.u AS kb, sa.vals AS a, sb.vals AS b,
-         len(sa.vals) AS n, len(sb.vals) AS m
-  FROM ser sa JOIN ser sb ON sa.u < sb.u
-), dp AS (
-  SELECT ka, kb, 0 AS k,
-         list_transform(range(1, n + 1),
-           i -> CASE WHEN i = 1 THEN abs(a[1] - b[1])
-                ELSE 4611686018427387904 END) AS cur,
-         list_transform(range(1, n + 1),
-           i -> 4611686018427387904) AS prev
-  FROM pairs
-  UNION ALL
-  SELECT p.ka, p.kb, dp.k + 1,
-         list_transform(range(1, p.n + 1), i ->
-           CASE WHEN dp.k + 3 - i BETWEEN 1 AND p.m
-                     AND abs(2 * i - dp.k - 3) <= 3 THEN
-             abs(p.a[i] - p.b[dp.k + 3 - i]) + least(
-               CASE WHEN i > 1 THEN dp.cur[i - 1]
-                    ELSE 4611686018427387904 END,
-               CASE WHEN dp.k + 3 - i > 1 THEN dp.cur[i]
-                    ELSE 4611686018427387904 END,
-               CASE WHEN i > 1 AND dp.k + 3 - i > 1 THEN dp.prev[i - 1]
-                    ELSE 4611686018427387904 END)
-           ELSE 4611686018427387904 END) AS cur,
-         dp.cur AS prev
-  FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
-  WHERE dp.k < p.n + p.m - 2
-)
-SELECT dp.ka AS key_a, dp.kb AS key_b, p.n AS n_a,
-       dp.cur[p.n] AS dtw,
-       cast(round(cast(dp.cur[p.n] AS double)
-                  / cast(p.n + p.m AS double) * 1e6) AS bigint)
-         AS dtw_norm_u
-FROM dp JOIN pairs p ON dp.ka = p.ka AND dp.kb = p.kb
-WHERE dp.k = p.n + p.m - 2
-"""
+    d["dtw_band_1d"] = _dtw_oracle(band=3, with_nb=False)
     return d
 
 

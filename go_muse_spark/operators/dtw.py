@@ -43,16 +43,19 @@ _INF = np.int64(1) << np.int64(62)
 
 def dtw_distance(
     a: np.ndarray, b: np.ndarray, band: int | None = None
-) -> int:
-    """Exact integer DTW distance between two int64 vectors.
+) -> int | None:
+    """Exact integer DTW distance between two int64 vectors, or None
+    when the pair is unreachable under the band (|n−m| > band — a
+    Sakoe-Chiba band admits a full path iff the length gap fits inside
+    it). None, not an INF sentinel: a sentinel returned as a distance
+    poisons any downstream mean/threshold.
 
     Anti-diagonal vectorization: cells (i, j) with i+j == k form
     diagonal k; D[k] depends only on D[k−1] (up, left) and D[k−2]
     (diagonal), so each of the n+m−1 steps is a handful of numpy
-    shift/min ops over a ≤min(n,m)-length vector — the same wavefront
-    order the SQL oracle's recursive CTE replays. `band` is the
-    Sakoe-Chiba constraint: cells with |i−j| > band are unreachable
-    (+INF), capping both the warp and the work.
+    shift/min ops — and with `band` set, each diagonal's in-band
+    i-interval is computed analytically, so the work is O(n·band),
+    not O(n·m) with a mask.
     """
     a = np.asarray(a, dtype=np.int64)
     b = np.asarray(b, dtype=np.int64)
@@ -60,7 +63,7 @@ def dtw_distance(
     if n == 0 or m == 0:
         raise ValueError("dtw_distance: empty series")
     if band is not None and abs(n - m) > band:
-        return int(_INF)
+        return None
     # diag k (0-based k = i+j, i over a, j over b): valid i in
     # [max(0, k-m+1), min(k, n-1)]; store diagonals as full-length-n
     # vectors indexed by i, invalid cells = INF.
@@ -73,14 +76,15 @@ def dtw_distance(
         cur = np.full(n, _INF, dtype=np.int64)
         lo = max(0, k - m + 1)
         hi = min(k, n - 1)
-        i = np.arange(lo, hi + 1)
-        j = k - i
         if band is not None:
-            keep = np.abs(i - j) <= band
-            if not keep.any():
+            # |i − j| = |2i − k| ≤ band  ⇔  ⌈(k−band)/2⌉ ≤ i ≤ ⌊(k+band)/2⌋
+            lo = max(lo, (k - band + 1) // 2)
+            hi = min(hi, (k + band) // 2)
+            if lo > hi:
                 prev2, prev1 = prev1, cur
                 continue
-            i, j = i[keep], j[keep]
+        i = np.arange(lo, hi + 1)
+        j = k - i
         cost = np.abs(a[i] - b[j])
         up = np.where(i > 0, prev1[np.maximum(i - 1, 0)], _INF)  # (i-1, j)
         left = np.where(j > 0, prev1[i], _INF)  # (i, j-1)
@@ -110,7 +114,9 @@ def dtw_pairs(
     series is its values ordered by (idx) — gaps are the caller's
     contract (gap-fill first if a dense grid is wanted). Pairs are
     emitted once with key_a < key_b, with the exact int64 DTW distance
-    and the length-normalized double.
+    and the length-normalized double. Under a band, pairs whose length
+    gap exceeds it (unreachable) are DROPPED, not emitted with a
+    sentinel.
 
     Plan: ONE exchange gathers each key's series (sorted struct
     collect — same one-pass idiom as the chunk encoder), top-N bounds
@@ -170,18 +176,26 @@ def dtw_pairs(
             kb = pdf["key_b"].to_numpy()
             va = pdf["va"].to_numpy()
             vb = pdf["vb"].to_numpy()
-            n_a = np.empty(len(pdf), dtype=np.int32)
-            n_b = np.empty(len(pdf), dtype=np.int32)
-            d = np.empty(len(pdf), dtype=np.int64)
+            out = {"key_a": [], "key_b": [], "n_a": [], "n_b": [],
+                   "dtw": []}
             for x in range(len(pdf)):
                 aa = np.asarray(va[x], dtype=np.int64)
                 bb = np.asarray(vb[x], dtype=np.int64)
-                n_a[x], n_b[x] = len(aa), len(bb)
-                d[x] = dtw_distance(aa, bb, band=band_)
+                dist = dtw_distance(aa, bb, band=band_)
+                if dist is None:  # unreachable under the band: drop
+                    continue
+                out["key_a"].append(ka[x])
+                out["key_b"].append(kb[x])
+                out["n_a"].append(len(aa))
+                out["n_b"].append(len(bb))
+                out["dtw"].append(dist)
+            n_a = np.asarray(out["n_a"], dtype=np.int32)
+            n_b = np.asarray(out["n_b"], dtype=np.int32)
+            d = np.asarray(out["dtw"], dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "key_a": ka,
-                    "key_b": kb,
+                    "key_a": np.asarray(out["key_a"], dtype=object),
+                    "key_b": np.asarray(out["key_b"], dtype=object),
                     "n_a": n_a,
                     "n_b": n_b,
                     "dtw": d,

@@ -226,8 +226,16 @@ def trimmed_mean(
     map-side-combined aggregate on the same key — no second shuffle.
     Skewed hot groups split under AQE like any windowed key.
 
+    trim_frac must sit in [0, 0.5): floor(n·f) < n/2 then guarantees
+    every group keeps at least one row — at 0.5+ whole groups would
+    silently vanish from the output.
+
     Returns (dims..., n, n_trim, n_kept, kept_sum, trimmed_mean).
     """
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError(
+            f"trim_frac must be in [0, 0.5), got {trim_frac}"
+        )
     v = F.col(value_col)
     tie = [F.col(c) for c in order_cols]
     wa = Window.partitionBy(*dims).orderBy(v.asc(), *tie)

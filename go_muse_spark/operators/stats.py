@@ -1361,6 +1361,31 @@ def holt_winters(
     )
 
 
+
+def _pearson_from_sums(n, sx, sy, sxx, syy, sxy, min_points):
+    """Pooled-sums → Pearson closed form shared by rolling_corr and
+    rank_corr_bucket (series_corr/corr_pairs predate it and keep their
+    committed expression trees). The n·Σxx − Σx² products are evaluated
+    in decimal(38,0) so they stay EXACT far past int64 — with plain
+    long math, n·Σrx² wraps silently at ~75k ranked series per bucket
+    (n⁴/3 > 2^63) and the corr silently diverges from an oracle whose
+    engine promotes to int128. The one cast to double of the exact
+    integer difference is correctly rounded and engine-identical, so
+    oracle bit-parity holds at any scale below 10^38.
+    """
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    vx = (d(n) * d(sxx) - d(sx) * d(sx)).cast("double")
+    vy = (d(n) * d(syy) - d(sy) * d(sy)).cast("double")
+    cov = (d(n) * d(sxy) - d(sx) * d(sy)).cast("double")
+    return F.when(
+        (n >= min_points) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx) / F.sqrt(vy),
+    )
+
+
 def rolling_corr(
     rolled: DataFrame,
     x_col: str,
@@ -1393,6 +1418,13 @@ def rolling_corr(
     """
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
+
+    def d(c):
+        # squares and their sums run in decimal(38,0): with micro-unit
+        # values, x² (1e18) and Σx² wrap int64 long before the
+        # closed-form products do — exactness must start at the square.
+        return c.cast("decimal(38,0)")
+
     w = (
         Window.partitionBy(*by)
         .orderBy(F.unix_timestamp(bucket_col))
@@ -1406,17 +1438,13 @@ def rolling_corr(
         F.count(F.lit(1)).over(w).alias("win_n"),
         F.sum(x).over(w).alias("__sx"),
         F.sum(y).over(w).alias("__sy"),
-        F.sum(x * x).over(w).alias("__sxx"),
-        F.sum(y * y).over(w).alias("__syy"),
-        F.sum(x * y).over(w).alias("__sxy"),
+        F.sum(d(x) * d(x)).over(w).alias("__sxx"),
+        F.sum(d(y) * d(y)).over(w).alias("__syy"),
+        F.sum(d(x) * d(y)).over(w).alias("__sxy"),
     )
-    n = F.col("win_n")
-    vx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
-    vy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
-    cov = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
-    corr = F.when(
-        (n >= min_points) & (vx > 0) & (vy > 0),
-        cov / F.sqrt(vx) / F.sqrt(vy),
+    corr = _pearson_from_sums(
+        F.col("win_n"), F.col("__sx"), F.col("__sy"), F.col("__sxx"),
+        F.col("__syy"), F.col("__sxy"), min_points,
     )
     return base.select(
         *by,
@@ -1468,21 +1496,23 @@ def rank_corr_bucket(
         F.row_number().over(wy).cast("long").alias("__ry"),
     )
     rx, ry = F.col("__rx"), F.col("__ry")
+
+    def d(c):
+        # Σrank² ≈ n³/3 wraps int64 at ~3e6 series per bucket; keep the
+        # squares and sums exact in decimal(38,0) all the way.
+        return c.cast("decimal(38,0)")
+
     agg = ranked.groupBy(bucket_col).agg(
         F.count(F.lit(1)).alias("n_series"),
         F.sum(rx).alias("__sx"),
         F.sum(ry).alias("__sy"),
-        F.sum(rx * rx).alias("__sxx"),
-        F.sum(ry * ry).alias("__syy"),
-        F.sum(rx * ry).alias("__sxy"),
+        F.sum(d(rx) * d(rx)).alias("__sxx"),
+        F.sum(d(ry) * d(ry)).alias("__syy"),
+        F.sum(d(rx) * d(ry)).alias("__sxy"),
     )
-    n = F.col("n_series")
-    vx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
-    vy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
-    cov = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
-    corr = F.when(
-        (n >= min_points) & (vx > 0) & (vy > 0),
-        cov / F.sqrt(vx) / F.sqrt(vy),
+    corr = _pearson_from_sums(
+        F.col("n_series"), F.col("__sx"), F.col("__sy"), F.col("__sxx"),
+        F.col("__syy"), F.col("__sxy"), min_points,
     )
     return agg.select(bucket_col, "n_series", corr.alias("corr"))
 
@@ -1505,8 +1535,11 @@ def best_changepoint(
     Numerics: with prefix sums S_k = Σ_{i≤k} x_i over INTEGRAL values,
     SSE(split at k) = Σx² − S_k²/k − (S_n−S_k)²/(n−k), so the only
     non-integer quantity is h(k) = S_k²·(n−k) + (S_n−S_k)²·k divided
-    by k(n−k) — both operands exact int64 well under 2^53, so the IEEE
-    double division is correctly rounded and IDENTICAL on any engine:
+    by k(n−k). The numerator products run in decimal(38,0) — EXACT far
+    past int64, where a micro-unit value column (S_n ~ 3·10⁹ already
+    wraps S_n² in long math) would otherwise corrupt the argmax
+    silently — and the IEEE double division of the exact operands is
+    correctly rounded and IDENTICAL on any engine:
     the argmax (ties → smallest k) is bit-stable and oracle-checkable.
     gain = SSE(no split) − SSE(best split) ≥ 0 is the explained sum of
     squares.
@@ -1531,13 +1564,10 @@ def best_changepoint(
     )
     base = rolled.select(
         *by,
-        F.col(bucket_col).alias("__b"),
-        v.alias("__v"),
         F.row_number().over(word).alias("__k"),
         F.sum(v).over(run).alias("__sk"),
         F.count(F.lit(1)).over(wall).alias("__n"),
         F.sum(v).over(wall).alias("__sn"),
-        F.sum(v * v).over(wall).alias("__sxx"),
         F.lead(bucket_col, 1).over(word).alias("__next_b"),
     )
     n, k = F.col("__n"), F.col("__k")
@@ -1545,8 +1575,12 @@ def best_changepoint(
     cand = base.where(
         (k >= F.lit(int(min_seg))) & (k <= n - F.lit(int(min_seg)))
     )
+    def _d(c):
+        return c.cast("decimal(38,0)")
+
     h = (
-        (sk * sk * (n - k) + (sn - sk) * (sn - sk) * k).cast("double")
+        (_d(sk) * _d(sk) * _d(n - k) + _d(sn - sk) * _d(sn - sk) * _d(k))
+        .cast("double")
         / (k * (n - k)).cast("double")
     )
     scored = cand.withColumn("__h", h)
@@ -1554,7 +1588,7 @@ def best_changepoint(
     best = scored.withColumn("__r", F.row_number().over(wbest)).where(
         F.col("__r") == 1
     )
-    gain = F.col("__h") - (sn * sn).cast("double") / n.cast("double")
+    gain = F.col("__h") - (_d(sn) * _d(sn)).cast("double") / n.cast("double")
     return best.select(
         *by,
         n.alias("n"),

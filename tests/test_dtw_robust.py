@@ -248,3 +248,19 @@ def test_theil_sen_matches_bruteforce(spark):
         if len(vals) > 8:
             # outlier resistance: slope stays near the true 2/day
             assert abs(g.slope * 86400 - 2.0) < 1.5
+
+
+def test_dtw_unreachable_band_pairs_dropped(spark):
+    # ragged series: lengths 5 and 12 with band=3 -> |n-m|=7 > band,
+    # the pair is unreachable and must be DROPPED (not a sentinel row)
+    assert dtw_distance(np.arange(5), np.arange(12), band=3) is None
+    rows = [("short", i, i) for i in range(5)]
+    rows += [("long", i, i) for i in range(12)]
+    rows += [("mid", i, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, i int, v long")
+    out = dtw_pairs(df, key_col="k", idx_col="i", value_col="v",
+                    top_series=None, band=3).toPandas()
+    got_pairs = set(map(tuple, out[["key_a", "key_b"]].to_numpy()))
+    assert ("long", "short") not in got_pairs  # |12-5| > 3: dropped
+    assert ("long", "mid") in got_pairs        # |12-10| <= 3: kept
+    assert ("mid", "short") not in got_pairs   # |10-5| > 3: dropped

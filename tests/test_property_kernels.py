@@ -88,7 +88,7 @@ def test_scores_clamped_to_unit_interval(data, n):
     y = np.asarray(data.draw(_series(n)), dtype=np.float64)
     spec = kernels.prepare_ref(ref)
     lags, scores = kernels.batch_xcorr(spec, y[None, :])
-    assert -1.0 - 1e-9 <= scores[0] <= 1.0 + 1e-9
+    assert -1.0 - 1e-12 <= scores[0] <= 1.0 + 1e-12
     clamped = kernels.clamp_signed(scores.copy())
     assert -1.0 <= clamped[0] <= 1.0
     nfft = kernels.next_pow_2(n) if hasattr(kernels, "next_pow_2") else None
