@@ -3503,6 +3503,46 @@ def q_dtw_band_1d(spark, sf_dir):
     )
 
 
+
+def q_fleet_decorr_7d(spark, sf_dir):
+    """Fleet-decorrelation alert, a composition of two engine
+    operators: the fleet's DAILY lower-median turn count (exact order
+    statistic across users — deterministic under the (value, user)
+    total order) broadcast back onto each user's daily row, then
+    stats.rolling_corr of the user's own series against the fleet
+    median over a trailing 7 days — "which users stopped moving with
+    the fleet?". The median table is one row per day (broadcast join,
+    no extra shuffle on the big side); the corr inherits
+    rolling_corr's single series-key exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    wm = Window.partitionBy("bucket_ts").orderBy("turn_cnt", "conv_id")
+    wc = Window.partitionBy("bucket_ts")
+    med = (
+        daily.select(
+            "bucket_ts",
+            "turn_cnt",
+            F.row_number().over(wm).alias("__r"),
+            F.count(F.lit(1)).over(wc).alias("__n"),
+        )
+        .where(F.col("__r") == F.floor((F.col("__n") + 1) / 2))
+        .select("bucket_ts", F.col("turn_cnt").alias("fleet_med"))
+    )
+    joined = daily.join(F.broadcast(med), "bucket_ts")
+    out = rolling_corr(joined, "turn_cnt", "fleet_med", 7 * 86400)
+    return out.where(F.col("corr").isNotNull()).select(
+        F.col("conv_id").alias("user_id"),
+        "bucket_ts",
+        F.col("x").cast("long").alias("turn_cnt"),
+        F.col("y").cast("long").alias("fleet_med"),
+        "win_n",
+        F.round(F.col("corr") * 1e6, 0).cast("long").alias("corr_u"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -3523,6 +3563,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens (oldest evidence), then round-3 greens; round-4
         # greens close the list. Every entry stays full-sweep green
         # locally (tools/check_oracle.py).
+        "fleet_decorr_7d": q_fleet_decorr_7d,
         "dtw_band_1d": q_dtw_band_1d,
         "changepoint_1d": q_changepoint_1d,
         "theilsen_1d": q_theilsen_1d,
@@ -4750,6 +4791,43 @@ SELECT u AS user_id, n, np AS n_pairs,
 FROM emed
 """
     d["dtw_band_1d"] = _dtw_oracle(band=3, with_nb=False)
+    # fleet decorrelation: lower-median across users per bucket, then
+    # the rolling_corr window algebra verbatim with y = fleet median
+    d["fleet_decorr_7d"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('day', ts) AS bucket_ts,
+         cast(count(*) AS bigint) AS x
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT bucket_ts, x AS fleet_med FROM (
+    SELECT bucket_ts, x,
+           row_number() OVER (PARTITION BY bucket_ts
+                              ORDER BY x, user_id) AS rn,
+           count(*) OVER (PARTITION BY bucket_ts) AS n
+    FROM r
+  ) WHERE rn = (n + 1) // 2
+), j AS (
+  SELECT r.user_id, r.bucket_ts, r.x, med.fleet_med AS y
+  FROM r JOIN med USING (bucket_ts)
+), w AS (
+  SELECT user_id, bucket_ts, x, y,
+         count(*) OVER win AS n,
+         sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+         sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy,
+         sum(x * y) OVER win AS sxy
+  FROM j
+  WINDOW win AS (PARTITION BY user_id ORDER BY epoch(bucket_ts)
+                 RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, bucket_ts, x AS turn_cnt, y AS fleet_med, n AS win_n,
+       cast(round(cast(n * sxy - sx * sy AS double)
+            / sqrt(cast(n * sxx - sx * sx AS double))
+            / sqrt(cast(n * syy - sy * sy AS double)) * 1e6) AS bigint)
+         AS corr_u
+FROM w
+WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
     return d
 
 

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "changepoint_1d",
     "theilsen_1d",
     "rolling_corr_24h",
+    "fleet_decorr_7d",
     "trimmed_mean_1d",
     "spearman_1d",
     "counter_rate_1h",
