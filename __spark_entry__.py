@@ -3519,6 +3519,11 @@ def q_fleet_decorr_7d(spark, sf_dir):
         F.col("user_id").cast("string").alias("conv_id"),
         F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
     ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    # materialize the daily tier once: the median branch and the join
+    # branch would otherwise each re-execute the raw scan+aggregate
+    # (same convention as corr_pairs / theil_sen; in production this
+    # IS the persisted 1d store table).
+    daily = daily.localCheckpoint(eager=True)
     wm = Window.partitionBy("bucket_ts").orderBy("turn_cnt", "conv_id")
     wc = Window.partitionBy("bucket_ts")
     med = (
