@@ -3398,109 +3398,6 @@ def q_dtw_band_1d(spark, sf_dir):
     )
 
 
-def q_changepoint_1d(spark, sf_dir):
-    """Best level-shift changepoint per user over the daily turn-count
-    series (one binary-segmentation step, piecewise-constant SSE cost):
-    the split k minimizing SSE(left)+SSE(right), plus the explained
-    sum of squares. All candidate scores are IEEE divisions of exact
-    int64 prefix-sum products (< 2^53), so the argmax (ties -> smallest
-    k) is bit-stable against the oracle's identical expression. ONE
-    exchange on the user; prefix sums, candidate scores and the argmax
-    row_number all ride that partitioning."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("user_id").cast("string").alias("conv_id"),
-        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
-        .cast("long")
-        .alias("bucket_epoch"),
-    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
-    out = best_changepoint(
-        daily, "turn_cnt", bucket_col="bucket_epoch", min_seg=3
-    )
-    return out.select(
-        F.col("conv_id").alias("user_id"),
-        "n",
-        F.col("split_k").cast("long").alias("split_k"),
-        F.col("split_bucket").alias("split_epoch"),
-        F.round(F.col("gain") * 1e6, 0).cast("long").alias("gain_u"),
-    )
-
-
-def q_theilsen_1d(spark, sf_dir):
-    """Theil-Sen robust trend per user over the daily turn-count
-    series: LOWER median of all pairwise slopes (deterministic order
-    statistic, no float averaging), intercept = lower median of
-    v - slope*t. Robust to ~29% outliers where linear_fit is not.
-    Pair space is per-series O(days**2), bounded by the tier, and the
-    whole computation shares one user-key partitioning."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.col("user_id").cast("string").alias("conv_id"),
-        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
-    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
-    out = theil_sen(daily, "turn_cnt", bucket_col="bucket_ts")
-    return out.select(
-        F.col("conv_id").alias("user_id"),
-        F.col("n").cast("long").alias("n"),
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        F.round(F.col("slope") * F.lit(86400.0) * F.lit(1e6), 0)
-        .cast("long")
-        .alias("slope_day_u"),
-        F.round(F.col("intercept"), 0).cast("long").alias("intercept_r"),
-    )
-
-
-
-def q_dtw_band_1d(spark, sf_dir):
-    """Sakoe-Chiba banded DTW (band=3 days) over the same top-12 dense
-    daily grid as dtw_pairs_1d — the 100-TB scale path: the band caps
-    the warp AND the work at O(n·band) per pair instead of O(n·m).
-    Same exact-integer DP; cells with |i−j| > 3 are unreachable (+INF),
-    and the oracle's recursive CTE masks the identical cells."""
-    ev = load_table(spark, sf_dir, "events")
-    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
-    daily = (
-        ev.select(
-            F.col("user_id").cast("string").alias("u"), day.alias("d")
-        )
-        .groupBy("u", "d")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    bounds = ev.select(
-        (F.floor(F.min(F.unix_timestamp("ts")) / 86400) * 86400)
-        .cast("long")
-        .alias("dmin"),
-        (F.floor(F.max(F.unix_timestamp("ts")) / 86400) * 86400)
-        .cast("long")
-        .alias("dmax"),
-    )
-    top = (
-        daily.groupBy("u")
-        .agg(F.sum("cnt").alias("tot"))
-        .orderBy(F.desc("tot"), "u")
-        .limit(12)
-        .select("u")
-    )
-    grid = top.crossJoin(F.broadcast(bounds)).select(
-        "u",
-        F.explode(
-            F.sequence(F.col("dmin"), F.col("dmax"), F.lit(86400))
-        ).alias("d"),
-    )
-    dense = grid.join(daily, ["u", "d"], "left").select(
-        "u", "d", F.coalesce("cnt", F.lit(0)).alias("cnt")
-    )
-    out = dtw_pairs(
-        dense, key_col="u", idx_col="d", value_col="cnt",
-        top_series=None, band=3,
-    )
-    return out.select(
-        "key_a",
-        "key_b",
-        F.col("n_a").cast("long").alias("n_a"),
-        "dtw",
-        F.round(F.col("dtw_norm") * 1e6, 0).cast("long").alias("dtw_norm_u"),
-    )
 
 
 
@@ -3523,7 +3420,7 @@ def q_fleet_decorr_7d(spark, sf_dir):
     # branch would otherwise each re-execute the raw scan+aggregate
     # (same convention as corr_pairs / theil_sen; in production this
     # IS the persisted 1d store table).
-    daily = daily.localCheckpoint(eager=True)
+    daily = daily.localCheckpoint(eager=False)
     wm = Window.partitionBy("bucket_ts").orderBy("turn_cnt", "conv_id")
     wc = Window.partitionBy("bucket_ts")
     med = (
@@ -3897,6 +3794,11 @@ def _dtw_oracle(band: int | None = None, with_nb: bool = True) -> str:
         else ""
     )
     nb = "p.m AS n_b,\n       " if with_nb else ""
+    reach = (
+        f" AND abs(len(sa.vals) - len(sb.vals)) <= {band}"
+        if band is not None
+        else ""
+    )
     return f"""
 WITH RECURSIVE d0 AS (
   SELECT cast(user_id AS varchar) AS u,
@@ -3923,7 +3825,7 @@ WITH RECURSIVE d0 AS (
 ), pairs AS (
   SELECT sa.u AS ka, sb.u AS kb, sa.vals AS a, sb.vals AS b,
          len(sa.vals) AS n, len(sb.vals) AS m
-  FROM ser sa JOIN ser sb ON sa.u < sb.u
+  FROM ser sa JOIN ser sb ON sa.u < sb.u{reach}
 ), dp AS (
   SELECT ka, kb, 0 AS k,
          list_transform(range(1, n + 1),

@@ -1636,7 +1636,7 @@ def theil_sen(
     # scan+rollup per branch (same convention as corr_pairs /
     # operators/dedup.py _materialize; in production the tier is
     # already a persisted store table).
-    r = r.localCheckpoint(eager=True)
+    r = r.localCheckpoint(eager=False)
     l = r.select(*by, F.col("__t").alias("__ti"), F.col("__v").alias("__vi"))
     rr = r.select(*by, F.col("__t").alias("__tj"), F.col("__v").alias("__vj"))
     pairs = l.join(rr, list(by)).where(F.col("__ti") < F.col("__tj"))
