@@ -3458,13 +3458,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Evidence-rotation order: the driver's correctness gate
-        # samples the FIRST 50 entries, so never-driver-checked
-        # queries lead (irate/pmi/histq per VERDICT r4 item 3),
-        # then queries whose semantics changed this round (stl_1h:
-        # even-period half-weight MA), then the round-2-dated
-        # greens (oldest evidence), then round-3 greens; round-4
-        # greens close the list. Every entry stays full-sweep green
-        # locally (tools/check_oracle.py).
+        # samples the FIRST 50 entries, so the newest queries lead
+        # (round-5 second sweep: fleet_decorr/DTW/changepoint/
+        # theilsen/rolling-corr/trimmed/spearman, then the earlier
+        # round-5 batches — none driver-checked yet), followed by
+        # the oldest-evidence (round-2-dated) greens; round-3/4
+        # driver-greens close the list. Every entry stays full-sweep
+        # green locally (ORACLE_SWEEP_r05.log: 147/147 one-pass +
+        # the post-pass additions checked individually).
         "fleet_decorr_7d": q_fleet_decorr_7d,
         "dtw_band_1d": q_dtw_band_1d,
         "changepoint_1d": q_changepoint_1d,
