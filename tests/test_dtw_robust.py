@@ -264,3 +264,26 @@ def test_dtw_unreachable_band_pairs_dropped(spark):
     assert ("long", "short") not in got_pairs  # |12-5| > 3: dropped
     assert ("long", "mid") in got_pairs        # |12-10| <= 3: kept
     assert ("mid", "short") not in got_pairs   # |10-5| > 3: dropped
+
+
+def test_dtw_batch_matches_single():
+    rng = np.random.default_rng(71)
+    from go_muse_spark.operators.dtw import dtw_distance_batch
+
+    for band in (None, 8, 3):
+        for (n, m) in ((64, 64), (40, 37), (1, 1), (5, 8)):
+            if band is not None and abs(n - m) > band:
+                with pytest.raises(ValueError):
+                    dtw_distance_batch(
+                        rng.integers(0, 99, (4, n)).astype(np.int64),
+                        rng.integers(0, 99, (4, m)).astype(np.int64),
+                        band=band,
+                    )
+                continue
+            A = rng.integers(0, 997, (20, n)).astype(np.int64)
+            B = rng.integers(0, 997, (20, m)).astype(np.int64)
+            got = dtw_distance_batch(A, B, band=band)
+            want = np.array(
+                [dtw_distance(A[i], B[i], band=band) for i in range(20)]
+            )
+            assert (got == want).all()
