@@ -20,7 +20,8 @@ Usage:
   python tools/path_scaling_bench.py [N] [pairs] [path ...]
   python tools/path_scaling_bench.py --child <path> <cpus>   (internal)
 
-Paths: muse | minhash | embedding | mp. Appends a section to BENCH.md.
+Paths: muse | minhash | embedding | mp | dtw. Appends a section to
+BENCH.md.
 """
 
 from __future__ import annotations
@@ -278,11 +279,53 @@ def run_mp(spark) -> tuple[float, int]:
     return wall, MP_SERIES
 
 
+DTW_SERIES = int(os.environ.get("SPARK_GRAFT_PS_DTW_SERIES", "800"))
+DTW_LEN = int(os.environ.get("SPARK_GRAFT_PS_DTW_LEN", "256"))
+
+
+def dtw_path(spark) -> str:
+    """Synthetic series corpus for the DTW leg: DTW_SERIES series x
+    DTW_LEN points, hash-derived small ints (integer-exact kernel,
+    same as the contract queries). All-pairs = DTW_SERIES^2/2 pair
+    DPs through the batched anti-diagonal kernel."""
+    path = os.path.join(CACHE, f"ps_dtw_{DTW_SERIES}x{DTW_LEN}.parquet")
+    if not os.path.exists(path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(DTW_SERIES * DTW_LEN).select(
+            F.concat(F.lit("c"), (F.col("id") / DTW_LEN).cast("long")).alias(
+                "conv_id"
+            ),
+            (F.col("id") % DTW_LEN).alias("i"),
+            F.pmod(F.hash(F.col("id")), F.lit(997)).cast("long").alias("v"),
+        )
+        df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_dtw(spark) -> tuple[float, int]:
+    from go_muse_spark.operators.dtw import dtw_pairs
+
+    df = spark.read.parquet(dtw_path(spark))
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop(
+            dtw_pairs(
+                df, key_col="conv_id", idx_col="i", value_col="v",
+                top_series=None,
+            )
+        )
+        wall = min(wall, time.time() - t0)
+    return wall, DTW_SERIES * (DTW_SERIES - 1) // 2
+
+
 PATHS = {
     "muse": run_muse,
     "minhash": run_minhash,
     "embedding": run_embedding,
     "mp": run_mp,
+    "dtw": run_dtw,
 }
 
 
