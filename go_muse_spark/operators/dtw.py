@@ -156,6 +156,8 @@ def dtw_pairs(
     value_col: str = "turn_cnt",
     top_series: int | None = 12,
     band: int | None = None,
+    broadcast_series: bool = False,
+    pair_partitions: int | None = None,
 ) -> DataFrame:
     """All-pairs DTW over per-key series gathered from a long tier
     table — "which conversations trace the same daily shape, allowing
@@ -173,8 +175,17 @@ def dtw_pairs(
     collect — same one-pass idiom as the chunk encoder), top-N bounds
     the key set via TakeOrdered + broadcast semi-join, the pair join
     broadcasts the N-row array table, and the DP runs in Arrow batches
-    (mapInPandas) with the anti-diagonal numpy kernel. No shuffle
-    after the gather.
+    (mapInPandas) with the batched anti-diagonal numpy kernel (one
+    diagonal sweep per shape group, not per pair). No shuffle after
+    the gather.
+
+    broadcast_series=True switches to the muse-style plan for larger
+    N: the gathered arrays (N·n int64 — the caller's top-N contract
+    makes this driver-collectable) broadcast ONCE, the pair table
+    carries only the two keys, and `pair_partitions` spreads the N²/2
+    key pairs evenly over the cluster. This removes the ~N× array
+    duplication the join plan ships through Arrow (each series rides
+    in N−1 pair rows), turning the stage compute-bound.
     """
     r = series.select(
         F.col(key_col).alias("k"),
@@ -195,13 +206,41 @@ def dtw_pairs(
             F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
         ).alias("vals")
     )
-    a = gathered.select(
-        F.col("k").alias("key_a"), F.col("vals").alias("va")
-    )
-    b = gathered.select(
-        F.col("k").alias("key_b"), F.col("vals").alias("vb")
-    )
-    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    spark = series.sparkSession
+    if broadcast_series:
+        rows = gathered.collect()  # bounded: the top-N contract
+        smap = {
+            r["k"]: np.asarray(r["vals"], dtype=np.int64) for r in rows
+        }
+        bser = spark.sparkContext.broadcast(smap)
+        keys = spark.createDataFrame(
+            [(k,) for k in sorted(smap)], "key_a string"
+        )
+        kb = keys.select(F.col("key_a").alias("key_b"))
+        pairs = keys.join(F.broadcast(kb), F.col("key_a") < F.col("key_b"))
+        pairs = pairs.repartition(
+            pair_partitions
+            or spark.sparkContext.defaultParallelism * 4
+        )
+
+        def fetch(pdf):
+            sm = bser.value
+            return (
+                [sm[k] for k in pdf["key_a"]],
+                [sm[k] for k in pdf["key_b"]],
+            )
+
+    else:
+        a = gathered.select(
+            F.col("k").alias("key_a"), F.col("vals").alias("va")
+        )
+        b = gathered.select(
+            F.col("k").alias("key_b"), F.col("vals").alias("vb")
+        )
+        pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+
+        def fetch(pdf):
+            return pdf["va"].to_numpy(), pdf["vb"].to_numpy()
 
     band_ = band
     out_schema = (
@@ -225,8 +264,7 @@ def dtw_pairs(
                 continue
             ka = pdf["key_a"].to_numpy()
             kb = pdf["key_b"].to_numpy()
-            va = pdf["va"].to_numpy()
-            vb = pdf["vb"].to_numpy()
+            va, vb = fetch(pdf)
             lens_a = np.fromiter((len(v) for v in va), dtype=np.int64)
             lens_b = np.fromiter((len(v) for v in vb), dtype=np.int64)
             keep = np.arange(len(pdf))

@@ -287,3 +287,17 @@ def test_dtw_batch_matches_single():
                 [dtw_distance(A[i], B[i], band=band) for i in range(20)]
             )
             assert (got == want).all()
+
+
+def test_dtw_pairs_broadcast_matches_join_plan(spark):
+    rng = np.random.default_rng(81)
+    rows = [(f"u{k}", i, int(rng.integers(0, 60)))
+            for k in range(8) for i in range(15)]
+    df = spark.createDataFrame(rows, "k string, i int, v long")
+    a = (dtw_pairs(df, "k", "i", "v", top_series=None)
+         .toPandas().sort_values(["key_a", "key_b"]).reset_index(drop=True))
+    b = (dtw_pairs(df, "k", "i", "v", top_series=None,
+                   broadcast_series=True, pair_partitions=8)
+         .toPandas().sort_values(["key_a", "key_b"]).reset_index(drop=True))
+    assert len(a) == 28
+    assert a.equals(b)

@@ -313,7 +313,8 @@ def run_dtw(spark) -> tuple[float, int]:
         _noop(
             dtw_pairs(
                 df, key_col="conv_id", idx_col="i", value_col="v",
-                top_series=None,
+                top_series=None, broadcast_series=True,
+                pair_partitions=128,
             )
         )
         wall = min(wall, time.time() - t0)
