@@ -109,12 +109,18 @@ from go_muse_spark.operators.quantsketch import (
     log_hist_rollup,
 )
 from go_muse_spark.operators.textdedup import remove_boilerplate
+from go_muse_spark.operators.drift import (
+    dist_drift,
+    dist_entropy,
+    heavy_change,
+)
 from go_muse_spark.operators.olap import (
     dimensional_rollup,
     histogram_quantile,
     ohlc_bars,
     trimmed_mean,
     value_histogram,
+    winsorized_mean,
 )
 from go_muse_spark.operators.stats import (
     autocorr_lags,
@@ -136,6 +142,7 @@ from go_muse_spark.operators.stats import (
     rank_corr_bucket,
     best_changepoint,
     theil_sen,
+    ccf_lags,
 )
 from go_muse_spark.operators.freqsketch import (
     cm_estimate,
@@ -3445,6 +3452,170 @@ def q_fleet_decorr_7d(spark, sf_dir):
     )
 
 
+def q_psi_drift_1d(spark, sf_dir):
+    """Population Stability Index of the event-value distribution per
+    day vs the first-week baseline (operators/drift.py) — the ML-ops
+    drift monitor: one shuffle builds the (day, bin) histogram, the
+    baseline re-aggregates that tiny table, and every smoothed bin term
+    is micro-unit rounded before the sum so the score is summation-
+    order independent and oracle-exact. 20 fixed 25-unit bins."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_u"),
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+    )
+    out = dist_drift(
+        base,
+        "v_u",
+        "bucket_epoch",
+        baseline_end=1704672000,  # 2024-01-08T00:00Z: first week
+        width=25_000_000,
+        n_bins=20,
+        metric="psi",
+    )
+    return out.select(
+        "bucket_epoch", "n", F.col("drift_u").alias("psi_u")
+    )
+
+
+def q_jsd_hod_1d(spark, sf_dir):
+    """Jensen-Shannon divergence of each day's HOUR-OF-DAY traffic
+    shape vs the first-week baseline — "did the diurnal rhythm move?".
+    Same dist_drift machinery as psi_drift_1d with the 24 hour slots
+    as the bins (width 1); JSD is symmetric and bounded by ln 2, the
+    right scale for a shape alarm."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.hour("ts").cast("long").alias("hod"),
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+    )
+    out = dist_drift(
+        base,
+        "hod",
+        "bucket_epoch",
+        baseline_end=1704672000,
+        width=1,
+        n_bins=24,
+        metric="jsd",
+    )
+    return out.select(
+        "bucket_epoch", "n", F.col("drift_u").alias("jsd_u")
+    )
+
+
+def q_state_entropy_1d(spark, sf_dir):
+    """Shannon entropy (nats, micro-units) of the daily event-type mix
+    (operators/drift.py dist_entropy) — collapsing entropy flags a
+    stuck producer before any single count alarms. One hash aggregate;
+    per-category terms micro-rounded before the sum."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+    )
+    return dist_entropy(base, "event_type", ("bucket_epoch",)).select(
+        "bucket_epoch", "n", "k", "entropy_u"
+    )
+
+
+def q_heavy_change_1d(spark, sf_dir):
+    """Heavy-change detection (operators/drift.py): per day, the top-5
+    users whose daily turn count moved the most vs the previous day,
+    appearances (prev=0) and disappearances (cur=0) included — the
+    absolute-delta complement of top_users_1d. Self-join and rank run
+    on the aggregated tier, never raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.col("user_id").cast("string").alias("user_id"),
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    return heavy_change(
+        counts,
+        ("user_id",),
+        "bucket_epoch",
+        "turn_cnt",
+        step=86400,
+        top_k=5,
+    )
+
+
+def q_ccf_3h(spark, sf_dir):
+    """Exact cross-correlation function between a user's hourly turn
+    volume and click volume at lags -3h..+3h (stats.ccf_lags) — the
+    read-the-response-delay diagnostic a user runs after muse flags a
+    pair. All 7 lags share ONE series-key exchange via degenerate
+    RANGE frames (no self-join); pooled sums exact in decimal."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias(
+            "click_cnt"
+        ),
+    )
+    out = ccf_lags(
+        hourly,
+        "turn_cnt",
+        "click_cnt",
+        lag_secs=(-10800, -7200, -3600, 0, 3600, 7200, 10800),
+        min_pairs=3,
+    )
+    return out.where(F.col("ccf").isNotNull()).select(
+        F.col("conv_id").alias("user_id"),
+        "lag_s",
+        "n_pairs",
+        F.round(F.col("ccf") * 1e6, 0).cast("long").alias("ccf_u"),
+    )
+
+
+def q_winsorized_mean_1d(spark, sf_dir):
+    """10% winsorized mean of event value per (event_type, day)
+    (olap.winsorized_mean): the boundary order statistics clamp the
+    tails instead of dropping them, so n stays the reported event
+    count. Integer-exact winsorized sum; one exchange shared by both
+    row_number passes and the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_u"),
+        "event_id",
+    )
+    out = winsorized_mean(
+        base,
+        "v_u",
+        dims=("event_type", "bucket_epoch"),
+        wins_frac=0.1,
+        order_cols=("event_id",),
+    )
+    return out.select(
+        "event_type",
+        "bucket_epoch",
+        "n",
+        "n_wins",
+        F.col("lo_cap").alias("lo_cap_u"),
+        F.col("hi_cap").alias("hi_cap_u"),
+        F.col("wins_sum").alias("wins_sum_u"),
+        F.round(
+            F.col("wins_sum").cast("double") / F.col("n").cast("double"), 0
+        )
+        .cast("long")
+        .alias("mean_u"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -3466,6 +3637,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-greens close the list. Every entry stays full-sweep
         # green locally (ORACLE_SWEEP_r05.log: 147/147 one-pass +
         # the post-pass additions checked individually).
+        "psi_drift_1d": q_psi_drift_1d,
+        "jsd_hod_1d": q_jsd_hod_1d,
+        "state_entropy_1d": q_state_entropy_1d,
+        "heavy_change_1d": q_heavy_change_1d,
+        "ccf_3h": q_ccf_3h,
+        "winsorized_mean_1d": q_winsorized_mean_1d,
         "fleet_decorr_7d": q_fleet_decorr_7d,
         "dtw_band_1d": q_dtw_band_1d,
         "changepoint_1d": q_changepoint_1d,
@@ -4735,6 +4912,210 @@ SELECT user_id, bucket_ts, x AS turn_cnt, y AS fleet_med, n AS win_n,
          AS corr_u
 FROM w
 WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+    # PSI drift: (day, bin) histogram once, baseline re-agg of that
+    # tiny table, smoothed terms micro-rounded BEFORE the sum
+    d["psi_drift_1d"] = """
+WITH b AS (
+  SELECT cast(round(value * 1e6) AS bigint) AS v_u,
+         (epoch_us(ts) // 86400000000) * 86400 AS d
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT d,
+         cast(least(19, greatest(0, floor(v_u / 25000000))) AS int) AS bin,
+         cast(count(*) AS bigint) AS c
+  FROM b GROUP BY 1, 2
+), base AS (
+  SELECT bin, cast(sum(c) AS bigint) AS bc FROM c
+  WHERE d < 1704672000 GROUP BY 1
+), bt AS (
+  SELECT cast(sum(bc) AS bigint) AS bn FROM base
+), grid AS (
+  SELECT dd.d, g.bin
+  FROM (SELECT DISTINCT d FROM c WHERE d >= 1704672000) dd,
+       range(0, 20) AS g(bin)
+), f AS (
+  SELECT grid.d, grid.bin, coalesce(c.c, 0) AS c,
+         coalesce(base.bc, 0) AS bc, bt.bn
+  FROM grid
+  LEFT JOIN c ON c.d = grid.d AND c.bin = grid.bin
+  LEFT JOIN base ON base.bin = grid.bin
+  CROSS JOIN bt
+), w AS (
+  SELECT *, cast(sum(c) OVER (PARTITION BY d) AS bigint) AS n FROM f
+), t AS (
+  SELECT d, n,
+    cast(round(((cast(c AS double) + 1.0) / (cast(n AS double) + 20.0)
+               - (cast(bc AS double) + 1.0) / (cast(bn AS double) + 20.0))
+        * ln(((cast(c AS double) + 1.0) / (cast(n AS double) + 20.0))
+             / ((cast(bc AS double) + 1.0) / (cast(bn AS double) + 20.0)))
+        * 1e6) AS bigint) AS tu
+  FROM w
+)
+SELECT d AS bucket_epoch, cast(max(n) AS bigint) AS n,
+       cast(sum(tu) AS bigint) AS psi_u
+FROM t GROUP BY 1
+"""
+    # JSD of the hour-of-day shape: same machinery, 24 unit bins,
+    # symmetric bounded divergence vs the first-week baseline
+    d["jsd_hod_1d"] = """
+WITH b AS (
+  SELECT cast(hour(ts) AS bigint) AS v_u,
+         (epoch_us(ts) // 86400000000) * 86400 AS d
+  FROM events
+), c AS (
+  SELECT d,
+         cast(least(23, greatest(0, floor(v_u / 1))) AS int) AS bin,
+         cast(count(*) AS bigint) AS c
+  FROM b GROUP BY 1, 2
+), base AS (
+  SELECT bin, cast(sum(c) AS bigint) AS bc FROM c
+  WHERE d < 1704672000 GROUP BY 1
+), bt AS (
+  SELECT cast(sum(bc) AS bigint) AS bn FROM base
+), grid AS (
+  SELECT dd.d, g.bin
+  FROM (SELECT DISTINCT d FROM c WHERE d >= 1704672000) dd,
+       range(0, 24) AS g(bin)
+), f AS (
+  SELECT grid.d, grid.bin, coalesce(c.c, 0) AS c,
+         coalesce(base.bc, 0) AS bc, bt.bn
+  FROM grid
+  LEFT JOIN c ON c.d = grid.d AND c.bin = grid.bin
+  LEFT JOIN base ON base.bin = grid.bin
+  CROSS JOIN bt
+), w AS (
+  SELECT *, cast(sum(c) OVER (PARTITION BY d) AS bigint) AS n FROM f
+), t AS (
+  SELECT d, n,
+    cast(round((
+        ((cast(c AS double) + 1.0) / (cast(n AS double) + 24.0))
+          * ln(((cast(c AS double) + 1.0) / (cast(n AS double) + 24.0))
+               / ((((cast(c AS double) + 1.0) / (cast(n AS double) + 24.0))
+                  + ((cast(bc AS double) + 1.0) / (cast(bn AS double) + 24.0)))
+                  / 2.0))
+      + ((cast(bc AS double) + 1.0) / (cast(bn AS double) + 24.0))
+          * ln(((cast(bc AS double) + 1.0) / (cast(bn AS double) + 24.0))
+               / ((((cast(c AS double) + 1.0) / (cast(n AS double) + 24.0))
+                  + ((cast(bc AS double) + 1.0) / (cast(bn AS double) + 24.0)))
+                  / 2.0))
+    ) / 2.0 * 1e6) AS bigint) AS tu
+  FROM w
+)
+SELECT d AS bucket_epoch, cast(max(n) AS bigint) AS n,
+       cast(sum(tu) AS bigint) AS jsd_u
+FROM t GROUP BY 1
+"""
+    # Shannon entropy of the daily event-type mix, terms micro-rounded
+    d["state_entropy_1d"] = """
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400 AS d,
+         cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT *, cast(sum(c) OVER (PARTITION BY d) AS bigint) AS n FROM c
+), t AS (
+  SELECT d, n,
+    cast(round((cast(c AS double) / cast(n AS double))
+        * ln(cast(c AS double) / cast(n AS double)) * 1e6) AS bigint) AS tu
+  FROM w
+)
+SELECT d AS bucket_epoch, cast(max(n) AS bigint) AS n,
+       cast(count(*) AS bigint) AS k,
+       cast(-sum(tu) AS bigint) AS entropy_u
+FROM t GROUP BY 1
+"""
+    # heavy change: full-outer day-shift self-join on the aggregated
+    # tier, phantom buckets dropped, |delta| rank with key tie-break
+    d["heavy_change_1d"] = """
+WITH c AS (
+  SELECT cast(user_id AS varchar) AS u,
+         (epoch_us(ts) // 86400000000) * 86400 AS d,
+         cast(count(*) AS bigint) AS cnt
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(a.u, b.u) AS u, coalesce(a.d, b.d) AS d,
+         coalesce(a.cnt, 0) AS cur, coalesce(b.cnt, 0) AS prev
+  FROM c a FULL OUTER JOIN
+       (SELECT u, d + 86400 AS d, cnt FROM c) b
+    ON a.u = b.u AND a.d = b.d
+), f AS (
+  SELECT * FROM j WHERE d IN (SELECT DISTINCT d FROM c)
+), r AS (
+  SELECT *, cur - prev AS delta,
+         row_number() OVER (PARTITION BY d
+                            ORDER BY abs(cur - prev) DESC, u) AS rnk
+  FROM f
+)
+SELECT d AS bucket_epoch, u AS user_id, cur, prev, delta,
+       cast(rnk AS int) AS rnk
+FROM r WHERE rnk <= 5
+"""
+    # CCF: the degenerate-range-frame pairs spelled as an equi-join on
+    # the shifted bucket — identical realized-pair set, exact sums
+    d["ccf_3h"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         epoch(date_trunc('hour', ts)) AS t,
+         cast(count(*) AS bigint) AS x,
+         cast(count(*) FILTER (WHERE event_type = 'click') AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT * FROM (VALUES (-10800), (-7200), (-3600), (0),
+                        (3600), (7200), (10800)) AS t(lag_s)
+), p AS (
+  SELECT a.u, l.lag_s, a.x, b.y
+  FROM r a CROSS JOIN l
+  JOIN r b ON b.u = a.u AND b.t = a.t - l.lag_s
+), s AS (
+  SELECT u, lag_s, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT u AS user_id, lag_s, cast(n AS bigint) AS n_pairs,
+       cast(round(cast(n * sxy - sx * sy AS double)
+            / sqrt(cast(n * sxx - sx * sx AS double))
+            / sqrt(cast(n * syy - sy * sy AS double)) * 1e6) AS bigint)
+         AS ccf_u
+FROM s
+WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+    # winsorized mean: trimmed_mean's two row_number passes, but the
+    # boundary order statistics clamp the tails instead of dropping
+    d["winsorized_mean_1d"] = """
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400 AS bucket_epoch,
+         cast(round(value * 1e6) AS bigint) AS v_u, event_id
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket_epoch
+                            ORDER BY v_u, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, bucket_epoch
+                            ORDER BY v_u DESC, event_id DESC) AS rd,
+         count(*) OVER (PARTITION BY event_type, bucket_epoch) AS n
+  FROM b
+), k AS (
+  SELECT *, cast(floor(n * 0.1) AS bigint) AS nw FROM r
+), a AS (
+  SELECT event_type, bucket_epoch,
+         cast(max(n) AS bigint) AS n, max(nw) AS n_wins,
+         max(CASE WHEN ra = nw + 1 THEN v_u END) AS lo_cap,
+         max(CASE WHEN rd = nw + 1 THEN v_u END) AS hi_cap,
+         cast(sum(CASE WHEN ra > nw AND rd > nw THEN v_u
+                       ELSE 0 END) AS bigint) AS kept
+  FROM k GROUP BY 1, 2
+)
+SELECT event_type, bucket_epoch, n, n_wins,
+       lo_cap AS lo_cap_u, hi_cap AS hi_cap_u,
+       cast(kept + n_wins * lo_cap + n_wins * hi_cap AS bigint)
+         AS wins_sum_u,
+       cast(round(cast(kept + n_wins * lo_cap + n_wins * hi_cap AS double)
+            / cast(n AS double)) AS bigint) AS mean_u
+FROM a
 """
     return d
 

@@ -1,0 +1,234 @@
+"""Distribution-drift detection between time windows.
+
+A 100-TB training-data pipeline needs to know when the DATA changed,
+not just when a single aggregate moved: an upstream format change or a
+new traffic source shifts the whole value distribution while the mean
+barely twitches. The standard monitors are the Population Stability
+Index (PSI, the banking/ML-ops de-facto drift score), Jensen-Shannon
+divergence (symmetric, bounded, never infinite), and Shannon entropy of
+a categorical mix. The reference engine has no distribution operators
+at all (its group.go only indexes label values); these compose with the
+tier tables the same way its rollups do.
+
+Numerics contract (shared with the rest of the engine): every bin/term
+count is an exact integer; each bin's drift contribution is ONE double
+expression over those integers, rounded to integer micro-units BEFORE
+the final SUM, so the total is order-independent and an oracle writing
+the identical expression tree matches bit-for-bit.
+
+Scale shape: ONE shuffle over the raw data — the (bucket, bin) hash
+aggregate. Everything after runs on buckets x bins rows: the baseline
+re-aggregates that tiny table (no second raw scan), joins back via
+broadcast, and the per-bucket normalizer is a bounded window (<= n_bins
+rows per partition). At 1000 executors the raw scan dominates; drift
+itself is free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dist_drift", "dist_entropy", "heavy_change"]
+
+
+def dist_drift(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str,
+    baseline_end: int,
+    width: int,
+    n_bins: int,
+    metric: str = "psi",
+    lo: int = 0,
+) -> DataFrame:
+    """Per-bucket drift of `value_col`'s distribution vs the baseline
+    window (`bucket_col` < baseline_end, epoch-seconds long). Values
+    are binned fixed-width (bin = clamp(floor((v - lo)/width), 0,
+    n_bins-1) — under/overflow land in the edge bins, nothing is
+    dropped), and each scored bucket's smoothed histogram is compared
+    bin-by-bin against the pooled baseline histogram.
+
+    Laplace smoothing (+1 per bin) keeps empty bins finite:
+    p_i = (c_i + 1)/(n + B), q_i = (b_i + 1)/(n_base + B).
+
+    metric="psi":  sum_i (p_i - q_i) * ln(p_i / q_i)   (>= 0)
+    metric="jsd":  sum_i (p_i*ln(p_i/m_i) + q_i*ln(q_i/m_i)) / 2
+                   with m_i = (p_i + q_i)/2            (in [0, ln 2])
+
+    Each bin term is rounded to micro-units (long) before the sum, so
+    the score is exact-summation-order independent. Buckets inside the
+    baseline window are not scored. Returns (bucket_col, n, drift_u).
+    """
+    if metric not in ("psi", "jsd"):
+        raise ValueError(f"metric must be 'psi' or 'jsd', got {metric!r}")
+    if n_bins < 2 or width <= 0:
+        raise ValueError("need n_bins >= 2 and width > 0")
+
+    v = F.col(value_col).cast("long")
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+
+    # ONE shuffle over the raw rows; all later stages run on the
+    # (bucket, bin) aggregate (<= buckets * n_bins rows).
+    counts = (
+        df.select(F.col(bucket_col).cast("long").alias("__b"),
+                  bin_expr.alias("__bin"))
+        .groupBy("__b", "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+    base = (
+        counts.where(F.col("__b") < baseline_end)
+        .groupBy("__bin")
+        .agg(F.sum("__c").alias("__bc"))
+    )
+    base_tot = base.agg(F.sum("__bc").alias("__bn"))
+
+    # Dense (bucket, bin) grid so empty bins still contribute their
+    # smoothed term — the drift of a bin that VANISHED is the signal.
+    grid = (
+        counts.where(F.col("__b") >= baseline_end)
+        .select("__b")
+        .distinct()
+        .select(
+            "__b",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__bin"),
+        )
+    )
+    full = (
+        grid.join(counts, ["__b", "__bin"], "left")
+        .na.fill({"__c": 0})
+        .join(F.broadcast(base), ["__bin"], "left")
+        .na.fill({"__bc": 0})
+        .crossJoin(F.broadcast(base_tot))
+    )
+
+    wb = Window.partitionBy("__b")
+    full = full.withColumn("__n", F.sum("__c").over(wb))
+
+    d = lambda c: c.cast("double")  # noqa: E731 - local shorthand
+    p = (d(F.col("__c")) + 1.0) / (d(F.col("__n")) + float(n_bins))
+    q = (d(F.col("__bc")) + 1.0) / (d(F.col("__bn")) + float(n_bins))
+    if metric == "psi":
+        term = (p - q) * F.log(p / q)
+    else:
+        m = (p + q) / 2.0
+        term = (p * F.log(p / m) + q * F.log(q / m)) / 2.0
+
+    return (
+        full.select(
+            F.col("__b").alias(bucket_col),
+            "__n",
+            F.round(term * 1e6, 0).cast("long").alias("__t"),
+        )
+        .groupBy(bucket_col)
+        .agg(
+            F.max("__n").alias("n"),
+            F.sum("__t").alias("drift_u"),
+        )
+    )
+
+
+def dist_entropy(
+    df: DataFrame,
+    cat_col: str,
+    dims: tuple[str, ...],
+) -> DataFrame:
+    """Shannon entropy (nats) of the `cat_col` mix per dims... —
+    "how diverse is today's traffic?" Collapsing entropy flags a
+    stuck producer long before any single count alarms. H = -sum_k
+    p_k ln p_k over the categories PRESENT in the group (absent
+    categories contribute lim p->0 p ln p = 0, so no smoothing and no
+    dense grid is needed).
+
+    Each category's term is rounded to micro-units before the sum
+    (order-independent, oracle-exact). Returns (dims..., n, k,
+    entropy_u) with k = number of distinct categories observed.
+
+    Scale: one hash aggregate on (dims, cat); the normalizing window
+    partitions on dims over <= |categories| rows. One shuffle total.
+    """
+    counts = df.groupBy(*dims, cat_col).agg(F.count(F.lit(1)).alias("__c"))
+    wd = Window.partitionBy(*dims)
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    return (
+        counts.withColumn("__n", F.sum("__c").over(wd))
+        .select(
+            *dims,
+            "__n",
+            F.round(p * F.log(p) * 1e6, 0).cast("long").alias("__t"),
+        )
+        .groupBy(*dims)
+        .agg(
+            F.max("__n").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            (-F.sum("__t")).alias("entropy_u"),
+        )
+    )
+
+
+def heavy_change(
+    counts: DataFrame,
+    key_cols: tuple[str, ...],
+    bucket_col: str,
+    count_col: str,
+    step: int,
+    top_k: int,
+) -> DataFrame:
+    """Heavy-CHANGE detection (Cormode & Muthukrishnan's "what's new"
+    question): per bucket, the top_k keys whose count moved the most
+    vs the previous bucket (bucket - step), counting appearances
+    (prev=0) and disappearances (cur=0) both. The absolute-delta
+    complement of heavy-hitters: a key can be huge and boring, or
+    small and exploding — this finds the second kind.
+
+    `counts` is an already-aggregated (key..., bucket, count) table
+    (typically a tier). Missing sides are 0 via a full outer self-join
+    on (key, bucket vs bucket+step); phantom buckets the data never
+    observed (the slot after each key's last sample) are dropped by a
+    broadcast semi-join against the observed-bucket set, so every
+    emitted bucket is real. Ties break on the key (deterministic).
+
+    Returns (bucket_col, key..., cur, prev, delta, rnk), rnk 1..top_k
+    by (|delta| DESC, key...).
+
+    Scale: self-join and rank both run on the aggregated table, not
+    raw rows; the rank window partitions per bucket over only the
+    keys active around it. Shuffles: join (key,bucket) + rank
+    (bucket); the observed-bucket set broadcasts.
+    """
+    keys = list(key_cols)
+    b = F.col(bucket_col).cast("long")
+    cur = counts.select(
+        *keys, b.alias("__b"), F.col(count_col).cast("long").alias("__cur")
+    )
+    prev = counts.select(
+        *keys,
+        (b + F.lit(step)).alias("__b"),
+        F.col(count_col).cast("long").alias("__prev"),
+    )
+    observed = counts.select(b.alias("__b")).distinct()
+    joined = (
+        cur.join(prev, [*keys, "__b"], "full_outer")
+        .na.fill({"__cur": 0, "__prev": 0})
+        .join(F.broadcast(observed), ["__b"], "left_semi")
+        .withColumn("__delta", F.col("__cur") - F.col("__prev"))
+    )
+    wr = Window.partitionBy("__b").orderBy(
+        F.abs(F.col("__delta")).desc(), *[F.col(k).asc() for k in keys]
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            F.col("__b").alias(bucket_col),
+            *keys,
+            F.col("__cur").alias("cur"),
+            F.col("__prev").alias("prev"),
+            F.col("__delta").alias("delta"),
+            "rnk",
+        )
+    )

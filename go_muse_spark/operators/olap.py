@@ -27,6 +27,7 @@ __all__ = [
     "histogram_quantile",
     "ohlc_bars",
     "trimmed_mean",
+    "winsorized_mean",
 ]
 
 
@@ -267,5 +268,85 @@ def trimmed_mean(
         "kept_sum",
         (F.col("kept_sum").cast("double") / F.col("n_kept").cast("double")).alias(
             "trimmed_mean"
+        ),
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    dims: tuple[str, ...],
+    wins_frac: float = 0.1,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Winsorized per-group mean: the robust sibling of trimmed_mean
+    that CLAMPS instead of drops — the k = floor(n · wins_frac)
+    smallest rows are replaced by the (k+1)-th smallest value and the
+    k largest by the (k+1)-th largest, keeping n constant (the form
+    most latency SLO panels actually specify, because the sample size
+    in the denominator stays the reported event count).
+
+    Same determinism contract as trimmed_mean: the total order is
+    (value, order_cols...), all counts and the clamped sum are exact
+    integers — winsorized_sum = kept_sum + k·lo_cap + k·hi_cap where
+    lo_cap/hi_cap are the boundary order statistics — and the mean is
+    one double division, so an oracle spelling the same two
+    row_number passes agrees bit-for-bit.
+
+    Scale shape: identical to trimmed_mean — ONE exchange on dims
+    shared by both row_number windows and the count, then a map-side
+    combined aggregate on the same key. wins_frac in [0, 0.5) so the
+    boundary statistics always exist (k+1 <= n - k).
+
+    Returns (dims..., n, n_wins, lo_cap, hi_cap, wins_sum, wins_mean).
+    """
+    if not 0.0 <= wins_frac < 0.5:
+        raise ValueError(f"wins_frac must be in [0, 0.5), got {wins_frac}")
+    v = F.col(value_col)
+    tie = [F.col(c) for c in order_cols]
+    wa = Window.partitionBy(*dims).orderBy(v.asc(), *tie)
+    wd = Window.partitionBy(*dims).orderBy(
+        v.desc(), *[c.desc() for c in tie]
+    )
+    wn = Window.partitionBy(*dims)
+    r = df.select(
+        *dims,
+        v.alias("__v"),
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wd).alias("__rd"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    ).withColumn(
+        "__k", F.floor(F.col("__n") * F.lit(float(wins_frac))).cast("long")
+    )
+    agg = r.groupBy(*dims).agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("n_wins"),
+        F.max(
+            F.when(F.col("__ra") == F.col("__k") + 1, F.col("__v"))
+        ).alias("lo_cap"),
+        F.max(
+            F.when(F.col("__rd") == F.col("__k") + 1, F.col("__v"))
+        ).alias("hi_cap"),
+        F.sum(
+            F.when(
+                (F.col("__ra") > F.col("__k")) & (F.col("__rd") > F.col("__k")),
+                F.col("__v"),
+            ).otherwise(F.lit(0))
+        ).alias("__kept_sum"),
+    )
+    wins_sum = (
+        F.col("__kept_sum")
+        + F.col("n_wins") * F.col("lo_cap")
+        + F.col("n_wins") * F.col("hi_cap")
+    )
+    return agg.select(
+        *dims,
+        "n",
+        "n_wins",
+        "lo_cap",
+        "hi_cap",
+        wins_sum.alias("wins_sum"),
+        (wins_sum.cast("double") / F.col("n").cast("double")).alias(
+            "wins_mean"
         ),
     )

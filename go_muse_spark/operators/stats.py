@@ -54,6 +54,7 @@ __all__ = [
     "rank_corr_bucket",
     "best_changepoint",
     "theil_sen",
+    "ccf_lags",
 ]
 
 
@@ -1673,3 +1674,96 @@ def theil_sen(
         )
     )
     return out
+
+
+def ccf_lags(
+    rolled: DataFrame,
+    x_col: str,
+    y_col: str,
+    lag_secs: tuple[int, ...],
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_pairs: int = 3,
+) -> DataFrame:
+    """Sample CROSS-correlation function between two metrics of the
+    same series at fixed signed bucket lags — the exact, per-pair
+    complement of the muse FFT search: corr(x_t, y_{t-L}) for each
+    requested L, so a POSITIVE peak lag means y LEADS x by L seconds
+    ("clicks now predict turns L later"). The diagnostic a user runs
+    after muse flags a pair, to read the response delay off a small
+    exact table (cf. the reference's per-lag cc vector, xcorr.go, which
+    muse reduces to its max — this keeps the whole slice).
+
+    Same machinery as autocorr_lags: the lagged partner y_{t-L} comes
+    from a degenerate RANGE frame [-L, -L] per lag (signed lags allowed
+    — a negative L reads the FUTURE partner), so ALL lags share one
+    exchange + one window sort on the series key; no self-join, no
+    second scan. Pairs where either bucket is missing are dropped, not
+    zero-filled. Squares/products accumulate in decimal(38,0) (exact
+    past int64 for micro-unit inputs) and the Pearson closed form is
+    applied once (module contract, _pearson_from_sums). Series with
+    < min_pairs realized pairs or zero variance at a lag emit NULL.
+
+    Returns (by..., lag_s, n_pairs, ccf).
+
+    Scale shape: one exchange on the series key, one sort, (2K+1)
+    degenerate frames over it, then a map-side-combined aggregate on
+    (by, lag) — cost is O(lags) column ops per row, never a row blowup
+    before the shuffle.
+    """
+    if not lag_secs:
+        raise ValueError("need at least one lag")
+    x = F.col(x_col).cast("long")
+    yv = F.col(y_col).cast("long")
+    sec = F.unix_timestamp(F.col(bucket_col).cast("timestamp"))
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    lagged = rolled.select(
+        *by,
+        x.alias("__x"),
+        *[
+            F.max(yv)
+            .over(
+                Window.partitionBy(*by)
+                .orderBy(sec)
+                .rangeBetween(-int(L), -int(L))
+            )
+            .alias(f"__y_{i}")
+            for i, L in enumerate(lag_secs)
+        ],
+    )
+    pairs = lagged.select(
+        *by,
+        "__x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(L)).alias("lag_s"),
+                        F.col(f"__y_{i}").alias("__y"),
+                    )
+                    for i, L in enumerate(lag_secs)
+                ]
+            )
+        ).alias("__p"),
+    ).select(*by, "__x", "__p.lag_s", "__p.__y")
+    xx, yy = F.col("__x"), F.col("__y")
+    agg = (
+        pairs.filter(yy.isNotNull())
+        .groupBy(*by, "lag_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(xx).alias("__sx"),
+            F.sum(yy).alias("__sy"),
+            F.sum(d(xx) * d(xx)).alias("__sxx"),
+            F.sum(d(yy) * d(yy)).alias("__syy"),
+            F.sum(d(xx) * d(yy)).alias("__sxy"),
+        )
+    )
+    ccf = _pearson_from_sums(
+        F.col("n_pairs"), F.col("__sx"), F.col("__sy"), F.col("__sxx"),
+        F.col("__syy"), F.col("__sxy"), int(min_pairs),
+    )
+    return agg.select(*by, "lag_s", "n_pairs", ccf.alias("ccf"))
