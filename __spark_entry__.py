@@ -100,6 +100,7 @@ from go_muse_spark.operators.cardinality import (
     kmv_hash_sql,
     kmv_jaccard,
     kmv_reagg,
+    kmv_rolling_union,
     kmv_sketch_rollup,
     rolling_distinct,
 )
@@ -143,6 +144,8 @@ from go_muse_spark.operators.stats import (
     best_changepoint,
     theil_sen,
     ccf_lags,
+    mann_kendall,
+    kendall_tau,
 )
 from go_muse_spark.operators.freqsketch import (
     cm_estimate,
@@ -168,6 +171,7 @@ from go_muse_spark.operators.timeweight import (
     instant_snapshot,
     state_transitions,
     state_durations,
+    time_above_threshold,
     time_weighted_avg,
 )
 from go_muse_spark.operators.multimodal import (
@@ -3616,6 +3620,95 @@ def q_winsorized_mean_1d(spark, sf_dir):
     )
 
 
+def q_mann_kendall_1d(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per user over the daily
+    turn-count series (stats.mann_kendall): S = sum sign(v_j - v_i),
+    tie-corrected Var(S), continuity-corrected z, tau_b. All-integer
+    S/n/tie sums; z and tau are each one double expression — the
+    trend-ALERT complement to theilsen_1d's slope magnitude."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = mann_kendall(daily, "turn_cnt", bucket_col="bucket_ts")
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var18"),
+        F.round(F.col("z") * 1e6, 0).cast("long").alias("z_u"),
+        F.round(F.col("tau_b") * 1e6, 0).cast("long").alias("tau_u"),
+    )
+
+
+def q_kendall_xy_1d(spark, sf_dir):
+    """Kendall tau-b between daily activity (turn count) and daily
+    total value per user (stats.kendall_tau): rank concordance, the
+    robust third leg of the correlation family (Pearson series_corr,
+    Spearman spearman_1d). Exact integer S and tie-pair counts; one
+    double division."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.sum(F.round(F.col("value") * 1e6, 0).cast("long")).alias("val_u"),
+    )
+    out = kendall_tau(daily, "turn_cnt", "val_u", bucket_col="bucket_ts")
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.round(F.col("tau_b") * 1e6, 0).cast("long").alias("tau_u"),
+    )
+
+
+def q_slo_above_1h(spark, sf_dir):
+    """Linear-interpolation SLO uptime (timeweight.time_above_threshold):
+    per (user, hour), microseconds the piecewise-linear value signal
+    sat >= 10.0, crossings credited exactly (crossing timestamp
+    rounded once to whole us, then pure integer interval algebra —
+    order-independent). Stale pairs (> 2h apart) draw no line."""
+    ev = load_table(spark, sf_dir, "events")
+    out = time_above_threshold(
+        ev, "value", threshold=10.0, bucket_secs=3600, max_gap_secs=7200
+    )
+    return out.select(
+        "user_id",
+        "bucket_epoch",
+        "covered_us",
+        "above_us",
+        F.round(F.col("above_frac") * 1e6, 0).cast("long").alias("frac_u"),
+    )
+
+
+def q_kmv_rolling_7d(spark, sf_dir):
+    """Trailing-7-day distinct users per event_type from STORED daily
+    KMV sketches (cardinality.kmv_rolling_union): the sketch table
+    (O(days x k) rows) slides under one RANGE window — no key is
+    revisited, unlike wau_7d's exact offset-explode. The oracle
+    computes the k-min over RAW distinct hashes per trailing window,
+    proving the min-associativity (union of k-min sets == k-min of
+    union) end-to-end on real data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = kmv_sketch_rollup(
+        ev, "user_id", bucket_secs=86400, k=64, dims=("event_type",)
+    )
+    out = kmv_rolling_union(
+        daily, window_buckets=7, bucket_secs=86400, k=64,
+        dims=("event_type",),
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket_epoch").cast("long").alias("bucket_epoch"),
+        F.size("kmv").cast("long").alias("n_sketch"),
+        F.element_at("kmv", 1).cast("long").alias("h_min"),
+        F.round(F.col("n_est") * 1e6, 0).cast("long").alias("est_u"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     ship_package(spark)
@@ -3637,6 +3730,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-greens close the list. Every entry stays full-sweep
         # green locally (ORACLE_SWEEP_r05.log: 147/147 one-pass +
         # the post-pass additions checked individually).
+        "mann_kendall_1d": q_mann_kendall_1d,
+        "kendall_xy_1d": q_kendall_xy_1d,
+        "slo_above_1h": q_slo_above_1h,
+        "kmv_rolling_7d": q_kmv_rolling_7d,
         "psi_drift_1d": q_psi_drift_1d,
         "jsd_hod_1d": q_jsd_hod_1d,
         "state_entropy_1d": q_state_entropy_1d,
@@ -5116,6 +5213,160 @@ SELECT event_type, bucket_epoch, n, n_wins,
        cast(round(cast(kept + n_wins * lo_cap + n_wins * hi_cap AS double)
             / cast(n AS double)) AS bigint) AS mean_u
 FROM a
+"""
+    # Mann-Kendall: S and both tie sums are exact integers; z and
+    # tau_b replay the identical double expression tree.
+    d["mann_kendall_1d"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('day', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.u,
+         cast(sum(cast(sign(c.v - a.v) AS bigint)) AS bigint) AS s_stat
+  FROM r a JOIN r c ON a.u = c.u AND a.b < c.b
+  GROUP BY 1
+), ties AS (
+  SELECT u, cast(sum(t) AS bigint) AS n,
+         cast(sum(t * (t - 1) * (2 * t + 5)) AS bigint) AS tie3,
+         cast(sum(t * (t - 1)) AS bigint) AS tie2
+  FROM (SELECT u, v, cast(count(*) AS bigint) AS t FROM r GROUP BY 1, 2)
+  GROUP BY 1
+), j AS (
+  SELECT s.u, ties.n, s.s_stat,
+         ties.n * (ties.n - 1) * (2 * ties.n + 5) - tie3 AS var18,
+         tie2
+  FROM s JOIN ties ON s.u = ties.u
+)
+SELECT u AS user_id, n, s_stat, cast(var18 AS bigint) AS var18,
+       cast(round(CASE
+             WHEN s_stat > 0
+               THEN (s_stat - 1) / sqrt(cast(var18 AS double) / 18.0)
+             WHEN s_stat < 0
+               THEN (s_stat + 1) / sqrt(cast(var18 AS double) / 18.0)
+             ELSE 0.0 END * 1e6) AS bigint) AS z_u,
+       cast(round(s_stat / sqrt((n * (n - 1) / 2)
+                  * (n * (n - 1) / 2 - tie2 / 2)) * 1e6) AS bigint) AS tau_u
+FROM j WHERE n >= 4 AND var18 > 0
+"""
+    # Kendall tau-b x vs y: concordant-minus-discordant S, tie-pair
+    # counts per margin, one double division.
+    d["kendall_xy_1d"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('day', ts) AS b,
+         cast(count(*) AS bigint) AS x,
+         cast(sum(cast(round(value * 1e6) AS bigint)) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.u,
+         cast(sum(cast(sign(c.x - a.x) AS bigint)
+                  * cast(sign(c.y - a.y) AS bigint)) AS bigint) AS s_stat
+  FROM r a JOIN r c ON a.u = c.u AND a.b < c.b
+  GROUP BY 1
+), txc AS (
+  SELECT u, cast(sum(t) AS bigint) AS n,
+         cast(sum(t * (t - 1)) // 2 AS bigint) AS tx
+  FROM (SELECT u, x, cast(count(*) AS bigint) AS t FROM r GROUP BY 1, 2)
+  GROUP BY 1
+), tyc AS (
+  SELECT u, cast(sum(t * (t - 1)) // 2 AS bigint) AS ty
+  FROM (SELECT u, y, cast(count(*) AS bigint) AS t FROM r GROUP BY 1, 2)
+  GROUP BY 1
+), j AS (
+  SELECT s.u, txc.n, s.s_stat, txc.tx, tyc.ty,
+         cast(txc.n * (txc.n - 1) / 2 AS bigint) AS d0
+  FROM s JOIN txc ON s.u = txc.u JOIN tyc ON s.u = tyc.u
+)
+SELECT u AS user_id, n, s_stat,
+       cast(round(s_stat / sqrt(cast(d0 - tx AS double)
+                                * cast(d0 - ty AS double)) * 1e6)
+            AS bigint) AS tau_u
+FROM j WHERE n >= 4 AND d0 > tx AND d0 > ty
+"""
+    # Linear-interpolation SLO uptime: crossing rounded ONCE to whole
+    # microseconds, then pure integer interval algebra per bucket.
+    d["slo_above_1h"] = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t0,
+         cast(round(value * 1000) AS bigint) AS v0,
+         lead(epoch_us(ts)) OVER w AS t1,
+         lead(cast(round(value * 1000) AS bigint)) OVER w AS v1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(ts), cast(round(value * 1000) AS bigint))
+), s AS (
+  SELECT user_id, t0, t1, v0, v1, t1 - t0 AS dt FROM p
+  WHERE t1 IS NOT NULL AND t1 > t0 AND t1 - t0 <= 7200000000
+), c AS (
+  SELECT user_id, t0, t1, v0, v1,
+         CASE WHEN (v0 < 10000) != (v1 < 10000)
+              THEN t0 + cast(round(cast(dt * (10000 - v0) AS double)
+                                   / cast(v1 - v0 AS double)) AS bigint)
+              ELSE 0 END AS tx
+  FROM s
+), seg AS (
+  SELECT user_id, t0, t1,
+         CASE WHEN v0 >= 10000 AND v1 >= 10000 THEN t0
+              WHEN v0 < 10000 AND v1 >= 10000 THEN tx
+              WHEN v0 >= 10000 AND v1 < 10000 THEN t0
+              ELSE 0 END AS a_lo,
+         CASE WHEN v0 >= 10000 AND v1 >= 10000 THEN t1
+              WHEN v0 < 10000 AND v1 >= 10000 THEN t1
+              WHEN v0 >= 10000 AND v1 < 10000 THEN tx
+              ELSE 0 END AS a_hi
+  FROM c
+), x AS (
+  SELECT user_id, k,
+         least(t1, (k + 1) * 3600000000)
+           - greatest(t0, k * 3600000000) AS cov,
+         greatest(least(a_hi, (k + 1) * 3600000000)
+                  - greatest(a_lo, k * 3600000000), 0) AS ab
+  FROM seg, unnest(generate_series(t0 // 3600000000,
+                                   (t1 - 1) // 3600000000)) AS u(k)
+)
+SELECT user_id, cast(k * 3600 AS bigint) AS bucket_epoch,
+       cast(sum(cov) AS bigint) AS covered_us,
+       cast(sum(ab) AS bigint) AS above_us,
+       cast(round(sum(ab) * 1.0 / sum(cov) * 1e6) AS bigint) AS frac_u
+FROM x GROUP BY 1, 2
+"""
+    # Sliding KMV union vs the k-min over RAW window hashes: equality
+    # here IS the min-associativity proof (union of per-day k-min sets
+    # == k-min of the window's key set). 63000000441 = (k-1)*P.
+    d["kmv_rolling_7d"] = f"""
+WITH trips AS (
+  SELECT DISTINCT event_type,
+         cast(epoch(date_trunc('day', ts)) AS bigint) AS b,
+         {kmv_hash_sql('user_id')} AS h
+  FROM events
+), days AS (
+  SELECT DISTINCT event_type, b FROM trips
+), win AS (
+  SELECT DISTINCT d.event_type, d.b AS anchor, t.h
+  FROM days d JOIN trips t
+    ON t.event_type = d.event_type
+   AND t.b BETWEEN d.b - 518400 AND d.b
+), rk AS (
+  SELECT event_type, anchor, h,
+         row_number() OVER (PARTITION BY event_type, anchor
+                            ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type, anchor) AS nd
+  FROM win
+), agg AS (
+  SELECT event_type, anchor,
+         cast(max(nd) AS bigint) AS nd,
+         cast(least(max(nd), 64) AS bigint) AS n_sketch,
+         cast(min(h) AS bigint) AS h_min,
+         max(CASE WHEN rn = 64 THEN h END) AS h64
+  FROM rk GROUP BY 1, 2
+)
+SELECT event_type, anchor AS bucket_epoch, n_sketch, h_min,
+       cast(round(CASE WHEN nd < 64 THEN cast(nd AS double)
+                       ELSE 63000000441.0 / cast(h64 AS double) END * 1e6)
+            AS bigint) AS est_u
+FROM agg
 """
     return d
 

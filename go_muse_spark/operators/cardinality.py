@@ -24,7 +24,7 @@ engine exposes both because training-data audits need exact counts
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -41,6 +41,7 @@ __all__ = [
     "kmv_reagg",
     "kmv_estimate",
     "kmv_jaccard",
+    "kmv_rolling_union",
 ]
 
 
@@ -477,4 +478,75 @@ def kmv_jaccard(
         (
             inter.cast("double") / F.size(merged).cast("double")
         ).alias("jaccard"),
+    )
+
+
+def kmv_rolling_union(
+    sketch: DataFrame,
+    window_buckets: int,
+    bucket_secs: int = 86400,
+    k: int = 64,
+    dims: tuple[str, ...] = (),
+    bucket_col: str = "bucket_epoch",
+) -> DataFrame:
+    """Sliding-window distinct from STORED sketches: for each observed
+    bucket, union the trailing `window_buckets` KMV sketches and
+    estimate — the sketch-path complement of rolling_distinct. That
+    operator is exact but fans every active key into W anchors
+    (shuffle O(W x daily actives)); this one never revisits keys at
+    all: the per-bucket sketch table (O(buckets x k) rows TOTAL) slides
+    under a window frame, so a 90-day MAU over 10^9 DAU costs the same
+    as over 10^3.
+
+    Correctness lean: min is associative, so the k smallest of the
+    union of per-bucket k-min sets IS the k-min set of the union of
+    the underlying key sets (kmv_reagg's lossless property) — the
+    estimate equals one built from the raw window. The contract
+    query's oracle computes the k-min over raw distinct hashes per
+    window directly, proving the identity end-to-end.
+
+    Window semantics: one output row per OBSERVED (bucket, dims) row —
+    quiet buckets emit nothing (rollup-family gap convention; gap-fill
+    first if a dense panel is needed). The frame is a RANGE over the
+    epoch column, so missing buckets inside the window simply
+    contribute no sketch.
+
+    Scale shape: ONE exchange on dims + one sort of the tiny sketch
+    table; per-row state is <= W sketches (W*k longs). With empty dims
+    the table collapses to one partition of O(buckets) rows — use dims
+    (the panel key) when the anchor grid itself is large.
+
+    Returns (bucket_epoch, dims..., w_buckets, kmv, n_est).
+    """
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    span = (int(window_buckets) - 1) * int(bucket_secs)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in dims])
+        .orderBy(F.col(bucket_col).cast("long"))
+        .rangeBetween(-span, 0)
+    )
+    merged = sketch.select(
+        bucket_col,
+        *dims,
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(F.collect_list("kmv").over(w))
+                )
+            ),
+            1,
+            k,
+        ).alias("kmv"),
+    )
+    h_k = F.element_at("kmv", k).cast("double")
+    est = F.when(
+        F.size("kmv") < k, F.size("kmv").cast("double")
+    ).otherwise(F.lit(float((k - 1) * KMV_P)) / h_k)
+    return merged.select(
+        bucket_col,
+        *dims,
+        F.lit(int(window_buckets)).alias("w_buckets"),
+        "kmv",
+        est.alias("n_est"),
     )

@@ -55,6 +55,8 @@ __all__ = [
     "best_changepoint",
     "theil_sen",
     "ccf_lags",
+    "mann_kendall",
+    "kendall_tau",
 ]
 
 
@@ -1767,3 +1769,194 @@ def ccf_lags(
         F.col("__syy"), F.col("__sxy"), int(min_pairs),
     )
     return agg.select(*by, "lag_s", "n_pairs", ccf.alias("ccf"))
+
+
+def mann_kendall(
+    rolled: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int = 4,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per series: the nonparametric
+    "is this series going up?" detector (Mann 1945, Kendall 1975; the
+    standard in hydrology/ops for trend ALERTING, where Theil-Sen gives
+    the magnitude). S = sum over i<j of sign(v_j - v_i); under H0
+    (no trend) S is ~normal with the tie-corrected variance
+
+        Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18,
+
+    t ranging over the sizes of the tied-value groups. The continuity-
+    corrected z = (S-1)/sqrt(Var) for S>0, 0 for S=0, (S+1)/sqrt(Var)
+    for S<0, and tau_b = S / sqrt(D0 * (D0 - T1)) with D0 = n(n-1)/2,
+    T1 = sum_t t(t-1)/2 (time has no ties on a tier grid, so the
+    x-side tie term vanishes).
+
+    Determinism contract (module convention): S, n, and both tie sums
+    are EXACT integers (values are integral tier aggregates; n is
+    bounded by tier length so n**3 < 2**53 holds for any real
+    retention); Var*18 is carried as an exact long and z / tau_b are
+    each ONE double expression over those integers — an oracle
+    spelling the identical tree matches bit-for-bit.
+
+    Scale shape: same two-exchange budget as theil_sen, and the same
+    per-series O(tier-length**2) pair bound (run over the daily tier,
+    n <= retention days): one series-key exchange feeds BOTH the
+    in-partition pair self-join that sums sign() and the tied-group
+    count; the two tiny per-series tables merge on the same key. The
+    raw corpus is scanned once, upstream of the rollup.
+
+    Returns (by..., n, s_stat, var18, z, tau_b). Series with
+    n < min_points or zero variance (all values tied: Var = 0) are
+    dropped — no trend verdict is emitted rather than a NaN.
+    """
+    t = F.unix_timestamp(F.col(bucket_col).cast("timestamp"))
+    v = F.col(value_col).cast("long")
+    r = rolled.select(*by, t.alias("__t"), v.alias("__v"))
+    r = r.localCheckpoint(eager=False)  # theil_sen convention: the
+    # self-join must not re-run the upstream scan+rollup per branch
+    l = r.select(*by, F.col("__t").alias("__ti"), F.col("__v").alias("__vi"))
+    rr = r.select(*by, F.col("__t").alias("__tj"), F.col("__v").alias("__vj"))
+    s = (
+        l.join(rr, list(by))
+        .where(F.col("__ti") < F.col("__tj"))
+        .groupBy(*by)
+        .agg(
+            F.sum(
+                F.signum((F.col("__vj") - F.col("__vi")).cast("double"))
+                .cast("long")
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        r.groupBy(*by, "__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*by)
+        .agg(
+            F.sum(F.lit(1)).alias("n0"),
+            F.sum("__t").alias("n"),
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__tie3"),
+            F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__tie2"),
+        )
+    )
+    j = s.join(ties, list(by))
+    n = F.col("n")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("__tie3")
+    ss = F.col("s_stat")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = F.when(ss > 0, (ss - 1).cast("double") / sd).when(
+        ss < 0, (ss + 1).cast("double") / sd
+    ).otherwise(F.lit(0.0))
+    d0 = n * (n - 1) / F.lit(2)
+    tau_den = F.sqrt(
+        d0.cast("double")
+        * (d0 - F.col("__tie2") / F.lit(2)).cast("double")
+    )
+    tau = ss.cast("double") / tau_den
+    return (
+        j.where((n >= F.lit(int(min_points))) & (var18 > 0))
+        .select(
+            *by,
+            n.alias("n"),
+            "s_stat",
+            var18.alias("var18"),
+            z.alias("z"),
+            tau.alias("tau_b"),
+        )
+    )
+
+
+def kendall_tau(
+    rolled: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int = 4,
+) -> DataFrame:
+    """Kendall tau-b between two metrics of the same series over
+    aligned buckets — the rank-concordance complement to series_corr
+    (Pearson, linear) and rank_corr_bucket (Spearman, rank-linear):
+    tau asks only "when x moves up, does y?", pair by pair, so a
+    single outlier shifts it by at most O(1/n) — the most robust of
+    the three and the one with the cleanest integer form.
+
+        S = sum over i<j of sign(x_j - x_i) * sign(y_j - y_i)
+        tau_b = S / sqrt((D0 - Tx)(D0 - Ty)),  D0 = n(n-1)/2,
+        Tx/Ty = sum over tied groups t(t-1)/2 in x / in y.
+
+    S, D0, Tx, Ty are exact integers (integral tier values, n bounded
+    by tier length); tau_b is ONE double expression over them — the
+    module's oracle contract. Concordant/discordant/tied-pair counts
+    are also emitted (cd_stat = C - D = S; the pair classes an analyst
+    reads when tau is surprising).
+
+    Scale shape: identical to mann_kendall — one series-key exchange
+    shared by the in-partition pair self-join and both tie scans; the
+    pair space is per-series O(tier-length**2), bounded by retention.
+
+    Returns (by..., n, s_stat, tau_b). Series with n < min_points or
+    a degenerate margin (all x tied or all y tied) are dropped.
+    """
+    xv = F.col(x_col).cast("long")
+    yv = F.col(y_col).cast("long")
+    t = F.unix_timestamp(F.col(bucket_col).cast("timestamp"))
+    r = rolled.select(*by, t.alias("__t"), xv.alias("__x"), yv.alias("__y"))
+    r = r.localCheckpoint(eager=False)
+    l = r.select(
+        *by, F.col("__t").alias("__ti"),
+        F.col("__x").alias("__xi"), F.col("__y").alias("__yi"),
+    )
+    rr = r.select(
+        *by, F.col("__t").alias("__tj"),
+        F.col("__x").alias("__xj"), F.col("__y").alias("__yj"),
+    )
+    sgn = lambda a, b: F.signum((a - b).cast("double")).cast("long")  # noqa: E731
+    s = (
+        l.join(rr, list(by))
+        .where(F.col("__ti") < F.col("__tj"))
+        .groupBy(*by)
+        .agg(
+            F.sum(
+                sgn(F.col("__xj"), F.col("__xi"))
+                * sgn(F.col("__yj"), F.col("__yi"))
+            ).alias("s_stat")
+        )
+    )
+
+    def tie_pairs(col: str, alias: str):
+        return (
+            r.groupBy(*by, col)
+            .agg(F.count(F.lit(1)).alias("__t"))
+            .groupBy(*by)
+            .agg(
+                F.sum("__t").alias("n" if alias == "tx" else "__n2"),
+                (F.sum(F.col("__t") * (F.col("__t") - 1)) / F.lit(2))
+                .cast("long")
+                .alias(alias),
+            )
+        )
+
+    j = s.join(tie_pairs("__x", "tx"), list(by)).join(
+        tie_pairs("__y", "ty"), list(by)
+    )
+    n = F.col("n")
+    d0 = (n * (n - 1) / F.lit(2)).cast("long")
+    den = F.sqrt(
+        (d0 - F.col("tx")).cast("double") * (d0 - F.col("ty")).cast("double")
+    )
+    return (
+        j.where(
+            (n >= F.lit(int(min_points)))
+            & (d0 > F.col("tx"))
+            & (d0 > F.col("ty"))
+        )
+        .select(
+            *by,
+            n.alias("n"),
+            "s_stat",
+            (F.col("s_stat").cast("double") / den).alias("tau_b"),
+        )
+    )

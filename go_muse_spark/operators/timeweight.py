@@ -45,6 +45,7 @@ __all__ = [
     "state_durations",
     "instant_snapshot",
     "state_transitions",
+    "time_above_threshold",
 ]
 
 _US = 1_000_000
@@ -274,4 +275,117 @@ def state_transitions(
         "from_state",
         "to_state",
         F.row_number().over(w2).alias("trans_idx"),
+    )
+
+
+def time_above_threshold(
+    events: DataFrame,
+    value_col: str,
+    threshold: float,
+    bucket_secs: int,
+    max_gap_secs: int,
+    by: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SLO uptime with LINEAR interpolation: per (series, tumbling
+    bucket), how many microseconds the piecewise-linear signal through
+    the samples sat at or above `threshold` — TimescaleDB's
+    `time above threshold` / the burn-budget numerator. The LOCF
+    operators above hold the LAST value; this one draws the line
+    between consecutive samples and credits the exact sub-segment
+    beyond the crossing, so a 10-minute ramp through the threshold
+    contributes the interpolated minutes, not 0 or 10.
+
+    Geometry per consecutive pair (t0,v0)->(t1,v1), values quantized to
+    milli-units (module convention), h = round(threshold*1000):
+
+      both >= h  -> above on [t0, t1)
+      both <  h  -> empty
+      rising  (v0 < h <= v1) -> above on [t_x, t1)
+      falling (v0 >= h > v1) -> above on [t0, t_x)
+
+    with the crossing t_x = t0 + round(dt_us*(h - v0)/(v1 - v0)) — the
+    products are exact int64 (dt <= max_gap, milli values), ONE IEEE
+    division, one half-up round to whole microseconds. After that
+    rounding, everything is INTEGER interval algebra: the above-part
+    and the full segment are exploded into the tumbling buckets they
+    overlap and the per-bucket sums are exact int64 — order-
+    independent, bit-replayable by an oracle spelling the same tree.
+
+    Pairs further apart than max_gap_secs are stale — no line is drawn
+    (the span counts as uncovered, like a LOCF hold expiring); dt <= 0
+    pairs (duplicate timestamps) are dropped, with the pairing order
+    (ts, value) so the survivor is data-deterministic.
+
+    Scale shape: ONE exchange on the series key (the lead() window),
+    then a MAP-SIDE explode into <= gap/bucket + 2 buckets per segment
+    and one hash aggregate on (series, bucket) with map-side combine —
+    the same shuffle budget as time_weighted_avg.
+
+    Returns (by..., bucket_epoch, covered_us, above_us, above_frac)
+    where above_frac = above_us / covered_us (NULL when uncovered).
+    """
+    if max_gap_secs <= 0:
+        raise ValueError("max_gap_secs must be positive")
+    if bucket_secs <= 0:
+        raise ValueError("bucket_secs must be positive")
+    h = int(round(float(threshold) * 1000))
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    vmu = F.expr(f"cast(round({value_col} * 1000) as bigint)")
+    w = Window.partitionBy(*by).orderBy(t, vmu)
+    s = events.select(
+        *by,
+        t.alias("__t0"),
+        vmu.alias("__v0"),
+        F.lead(t).over(w).alias("__t1"),
+        F.lead(vmu).over(w).alias("__v1"),
+    ).filter(
+        F.col("__t1").isNotNull()
+        & (F.col("__t1") > F.col("__t0"))
+        & (F.col("__t1") - F.col("__t0") <= F.lit(int(max_gap_secs) * _US))
+    )
+    t0, t1 = F.col("__t0"), F.col("__t1")
+    v0, v1 = F.col("__v0"), F.col("__v1")
+    dt = t1 - t0
+    hh = F.lit(h)
+    t_x = t0 + F.round(
+        (dt * (hh - v0)).cast("double") / (v1 - v0).cast("double"), 0
+    ).cast("long")
+    a_lo = (
+        F.when((v0 >= hh) & (v1 >= hh), t0)
+        .when((v0 < hh) & (v1 >= hh), t_x)
+        .when((v0 >= hh) & (v1 < hh), t0)
+    )
+    a_hi = (
+        F.when((v0 >= hh) & (v1 >= hh), t1)
+        .when((v0 < hh) & (v1 >= hh), t1)
+        .when((v0 >= hh) & (v1 < hh), t_x)
+    )
+    seg = s.select(
+        *by,
+        t0.alias("__t_us"),
+        t1.alias("__e_us"),
+        F.coalesce(a_lo, F.lit(0)).alias("__a_lo"),
+        F.coalesce(a_hi, F.lit(0)).alias("__a_hi"),
+    )
+    ex = _explode_buckets(seg, bucket_secs)
+    bs = int(bucket_secs) * _US
+    ab = F.greatest(
+        F.least(F.col("__a_hi"), (F.col("__k") + 1) * F.lit(bs))
+        - F.greatest(F.col("__a_lo"), F.col("__k") * F.lit(bs)),
+        F.lit(0),
+    )
+    agg = ex.groupBy(*by, "__k").agg(
+        F.sum("__overlap_us").alias("covered_us"),
+        F.sum(ab).alias("above_us"),
+    )
+    return agg.select(
+        *by,
+        (F.col("__k") * F.lit(int(bucket_secs))).alias("bucket_epoch"),
+        "covered_us",
+        "above_us",
+        (
+            F.col("above_us").cast("double")
+            / F.col("covered_us").cast("double")
+        ).alias("above_frac"),
     )
