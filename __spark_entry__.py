@@ -160,6 +160,7 @@ from go_muse_spark.operators.terms import (
     unigram_logprob,
     pmi_pairs,
 )
+from go_muse_spark.operators.arfit import dl_sql_ctes, innov_layers, pacf
 from go_muse_spark.operators.dtw import dtw_pairs
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.matrix_profile import (
@@ -3620,6 +3621,30 @@ def q_winsorized_mean_1d(spark, sf_dir):
     )
 
 
+def q_pacf_1d(spark, sf_dir):
+    """PACF + Yule-Walker AR(5) per user over daily turn counts
+    (arfit.pacf): the Durbin-Levinson recursion unrolled into shared
+    SQL expression text, so Spark and the DuckDB oracle evaluate the
+    IDENTICAL IEEE tree — sequential float recursion made bit-
+    verifiable. Lag covariances are exact scaled integers
+    (decimal/HUGEINT); one double division per rho, one per level."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = pacf(daily, "turn_cnt", max_lag=5)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("k").cast("long").alias("k"),
+        "n",
+        F.round(F.col("rho") * 1e6, 0).cast("long").alias("rho_u"),
+        F.round(F.col("pacf") * 1e6, 0).cast("long").alias("pacf_u"),
+        F.round(F.col("ar_coef") * 1e6, 0).cast("long").alias("ar_u"),
+        F.round(F.col("innov_ratio") * 1e6, 0).cast("long").alias("innov_u"),
+    )
+
+
 def q_mann_kendall_1d(spark, sf_dir):
     """Mann-Kendall monotone-trend test per user over the daily
     turn-count series (stats.mann_kendall): S = sum sign(v_j - v_i),
@@ -3730,6 +3755,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-greens close the list. Every entry stays full-sweep
         # green locally (ORACLE_SWEEP_r05.log: 147/147 one-pass +
         # the post-pass additions checked individually).
+        "pacf_1d": q_pacf_1d,
         "mann_kendall_1d": q_mann_kendall_1d,
         "kendall_xy_1d": q_kendall_xy_1d,
         "slo_above_1h": q_slo_above_1h,
@@ -5213,6 +5239,62 @@ SELECT event_type, bucket_epoch, n, n_wins,
        cast(round(cast(kept + n_wins * lo_cap + n_wins * hi_cap AS double)
             / cast(n AS double)) AS bigint) AS mean_u
 FROM a
+"""
+    # PACF / AR(5): the oracle splices the SAME generated Durbin-
+    # Levinson layer text the Spark operator applies (arfit.dl_layers
+    # via dl_sql_ctes / innov_layers) — both engines evaluate one
+    # identical IEEE expression tree over exact-integer-derived rho.
+    _K = 5
+    _lags = ", ".join(f"lag(v, {k}) OVER w AS l{k}" for k in range(1, _K + 1))
+    _sums = ", ".join(
+        f"cast(sum(cast(x AS HUGEINT) * l{k}) AS HUGEINT) AS s{k}, "
+        f"cast(sum(l{k}) AS HUGEINT) AS a{k}, "
+        f"cast(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS HUGEINT) AS b{k}"
+        for k in range(1, _K + 1)
+    )
+    _rhos = ", ".join(
+        f"cast((n*n*s{k} - n*sx*(a{k}+b{k}) + (n-{k})*sx*sx) AS double)"
+        f" / cast(c_0 AS double) AS rho_{k}"
+        for k in range(1, _K + 1)
+    )
+    _dl, _final = dl_sql_ctes(_K, "base")
+    _innov = ", ".join(
+        f"{expr} AS {name}" for name, expr in innov_layers(_K).items()
+    )
+    _unpivot = " UNION ALL ".join(
+        f"SELECT u AS user_id, cast({k} AS bigint) AS k,"
+        f" cast(n AS bigint) AS n,"
+        f" cast(round(rho_{k} * 1e6) AS bigint) AS rho_u,"
+        f" cast(round(phi_{k}_{k} * 1e6) AS bigint) AS pacf_u,"
+        f" cast(round(phi_{_K}_{k} * 1e6) AS bigint) AS ar_u,"
+        f" cast(round(innov_{k} * 1e6) AS bigint) AS innov_u"
+        f" FROM iv"
+        for k in range(1, _K + 1)
+    )
+    d["pacf_1d"] = f"""
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('day', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), lg AS (
+  SELECT u, v AS x, {_lags}
+  FROM r WINDOW w AS (PARTITION BY u ORDER BY b)
+), g AS (
+  SELECT u, cast(count(*) AS HUGEINT) AS n,
+         cast(sum(x) AS HUGEINT) AS sx,
+         cast(sum(cast(x AS HUGEINT) * x) AS HUGEINT) AS s0,
+         {_sums}
+  FROM lg GROUP BY 1
+), gc AS (
+  SELECT *, n*n*s0 - n*sx*(sx+sx) + n*sx*sx AS c_0 FROM g
+), base AS (
+  SELECT u, n, {_rhos}
+  FROM gc WHERE n >= {_K + 4} AND c_0 > 0
+){_dl}, iv AS (
+  SELECT *, {_innov} FROM {_final}
+)
+{_unpivot}
 """
     # Mann-Kendall: S and both tie sums are exact integers; z and
     # tau_b replay the identical double expression tree.

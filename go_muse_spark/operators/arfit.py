@@ -1,0 +1,240 @@
+"""PACF and autoregressive fit via an unrolled Durbin-Levinson
+recursion — generated ONCE as portable SQL expression text and
+evaluated by BOTH engines.
+
+Why a timeseries engine needs this: the ACF (stats.autocorr_lags)
+answers "is there correlation at lag k?", but every lag echoes the
+lags before it (an AR(1) series has nonzero ACF at ALL lags). The
+PARTIAL autocorrelation removes the shorter-lag explanation, so the
+model-order question "how many lags actually matter?" reads directly
+off where the PACF cuts — the Box-Jenkins identification step. The
+same recursion's final level IS the Yule-Walker AR(p) coefficient
+vector, so one pass yields both the diagnostic and the fitted model
+(with the innovation-variance ratio as the fit quality).
+
+The determinism trick (this module's reason to exist as a separate
+file): Durbin-Levinson is a sequential recursion —
+
+    phi[1][1] = rho_1
+    num_k = rho_k - sum_j phi[k-1][j] * rho_{k-j}
+    den_k = 1 - sum_j phi[k-1][j] * rho_j
+    phi[k][k] = num_k / den_k
+    phi[k][j] = phi[k-1][j] - phi[k][k] * phi[k-1][k-j]
+
+— float arithmetic whose VALUE depends on the operation order, which
+would normally force a Python UDF here and an unverifiable oracle
+there. Instead `dl_layers` unrolls the recursion for a fixed max_lag
+into layers of scalar SQL expressions (left-associated sums, one
+division per level), as plain dialect-portable text. The Spark
+operator applies each layer with `F.expr`; the DuckDB oracle chains
+the SAME strings as CTE projections. Both engines then evaluate the
+IDENTICAL IEEE-754 expression tree on identical double inputs —
+bit-equal results, no epsilon, same contract as the rest of the repo.
+
+The inputs are themselves exact: the lag-covariances are carried as
+the scaled integers C_k = n^2*S_k - n*Sx*(A_k+B_k) + (n-k)*Sx^2
+(decimal(38,0) here, HUGEINT in the oracle — the module-standard
+overflow-proof moment sums), and rho_k = C_k/C_0 is one correctly-
+rounded double division. The biased (divide-by-n) autocovariance is
+used, as Durbin-Levinson requires (it keeps the Toeplitz system
+positive semidefinite).
+
+Indexing is POSITIONAL (row_number over bucket order): the series is
+assumed dense at the tier's grain — gap-fill first if it is not (the
+rollup-family convention; a gap would otherwise silently splice
+non-adjacent buckets into adjacent positions).
+
+Scale shape: ONE exchange on the series key feeds one window sort
+producing the K row-lags, then a single map-side-combined aggregate
+to one row per series; the unrolled recursion is a few hundred scalar
+column ops on that tiny table — free at any corpus size. max_lag is
+capped at 12 because each inlined level roughly doubles the collapsed
+expression tree (2^12 leaf terms per column is still cheap; 2^30 is
+not) — PACF beyond lag 12 on a tier series is not a real diagnostic
+anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dl_layers", "dl_sql_ctes", "innov_layers", "pacf"]
+
+MAX_LAG_CAP = 12
+
+
+def dl_layers(max_lag: int) -> list[dict[str, str]]:
+    """Unrolled Durbin-Levinson as ordered projection layers.
+
+    Each layer maps new column name -> portable SQL scalar expression
+    over columns defined by earlier layers (or the rho_k inputs).
+    Sums are emitted left-associated so every engine adds in the same
+    order; each level introduces exactly one division (num_k/den_k).
+    """
+    if not 1 <= max_lag <= MAX_LAG_CAP:
+        raise ValueError(
+            f"max_lag must be in [1, {MAX_LAG_CAP}], got {max_lag}"
+        )
+    layers: list[dict[str, str]] = [{"phi_1_1": "rho_1"}]
+    for k in range(2, max_lag + 1):
+        num = " + ".join(
+            f"phi_{k-1}_{j} * rho_{k-j}" for j in range(1, k)
+        )
+        den = " + ".join(
+            f"phi_{k-1}_{j} * rho_{j}" for j in range(1, k)
+        )
+        layers.append(
+            {
+                f"num_{k}": f"rho_{k} - ({num})",
+                f"den_{k}": f"1.0 - ({den})",
+            }
+        )
+        layers.append({f"phi_{k}_{k}": f"num_{k} / den_{k}"})
+        layers.append(
+            {
+                f"phi_{k}_{j}": (
+                    f"phi_{k-1}_{j} - phi_{k}_{k} * phi_{k-1}_{k-j}"
+                )
+                for j in range(1, k)
+            }
+        )
+    return layers
+
+
+def dl_sql_ctes(max_lag: int, src: str) -> tuple[str, str]:
+    """The oracle half: chain dl_layers over CTE projections.
+
+    Returns (cte_text, final_name): `cte_text` is a fragment
+    `, dl_1 AS (SELECT *, ... FROM src), dl_2 AS (...)...` to splice
+    after an existing WITH list whose last CTE is `src` (one row per
+    series, columns rho_1..rho_K); `final_name` selects the fully
+    recursed relation.
+    """
+    parts = []
+    prev = src
+    for i, layer in enumerate(dl_layers(max_lag), start=1):
+        cols = ", ".join(f"{expr} AS {name}" for name, expr in layer.items())
+        parts.append(f", dl_{i} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"dl_{i}"
+    return "".join(parts), prev
+
+
+def innov_layers(max_lag: int) -> dict[str, str]:
+    """Innovation-variance-ratio columns: left-associated running
+    product of (1 - phi_k_k^2), shared text for both engines."""
+    out: dict[str, str] = {}
+    prev = None
+    for k in range(1, max_lag + 1):
+        term = f"(1.0 - phi_{k}_{k} * phi_{k}_{k})"
+        out[f"innov_{k}"] = term if prev is None else f"{prev} * {term}"
+        prev = f"innov_{k}"
+    return out
+
+
+def pacf(
+    rolled: DataFrame,
+    value_col: str,
+    max_lag: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int | None = None,
+) -> DataFrame:
+    """Partial autocorrelation AND Yule-Walker AR(max_lag) fit per
+    series, long format: one row per (series, k), k = 1..max_lag.
+
+    Returns (by..., k, n, rho, pacf, ar_coef, innov_ratio):
+      rho         biased sample autocorrelation at lag k
+      pacf        phi[k][k] — the lag-k partial autocorrelation
+      ar_coef     phi[max_lag][k] — the AR(max_lag) coefficient
+      innov_ratio prod_{i<=k} (1 - pacf_i^2) — innovation variance
+                  over c_0 after fitting k lags (1 = nothing
+                  explained, -> 0 = deterministic), emitted per k so
+                  the order-selection curve is one query.
+
+    Series shorter than min_points (default max_lag + 4) or with zero
+    variance are dropped.
+    """
+    if min_points is None:
+        min_points = max_lag + 4
+    if min_points <= max_lag + 1:
+        raise ValueError("min_points must exceed max_lag + 1")
+    layers = dl_layers(max_lag)  # validates max_lag
+
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*by).orderBy(
+        F.col(bucket_col).cast("timestamp")
+    )
+    lagged = rolled.select(
+        *by,
+        v.alias("__x"),
+        *[F.lag(v, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+
+    def d(c):
+        # module-standard exact moment sums: decimal(38,0), never
+        # silently wrapping int64 (stats._pearson_from_sums)
+        return c.cast("decimal(38,0)")
+
+    x = F.col("__x")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(d(x) * d(x)).alias("s0"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.sum(d(x) * d(lk)).alias(f"s{k}"),
+            F.sum(F.when(lk.isNotNull(), x)).alias(f"b{k}"),
+            F.sum(lk).alias(f"a{k}"),
+        ]
+    g = lagged.groupBy(*by).agg(*aggs)
+
+    n, sx = d(F.col("n")), d(F.col("sx"))
+    c0 = n * n * F.col("s0") - n * sx * (sx + sx) + n * sx * sx
+    g = g.withColumn("c_0", c0)
+    for k in range(1, max_lag + 1):
+        ck = (
+            n * n * F.col(f"s{k}")
+            - n * sx * (d(F.col(f"a{k}")) + d(F.col(f"b{k}")))
+            + (n - F.lit(k)) * sx * sx
+        )
+        g = g.withColumn(
+            f"rho_{k}",
+            ck.cast("double") / F.col("c_0").cast("double"),
+        )
+    g = g.where(
+        (F.col("n") >= F.lit(int(min_points)))
+        & (F.col("c_0") > F.lit(0))
+    )
+
+    for layer in layers:
+        g = g.withColumns({name: F.expr(expr) for name, expr in layer.items()})
+
+    for name, expr in innov_layers(max_lag).items():
+        g = g.withColumns({name: F.expr(expr)})
+
+    K = max_lag
+    out = g.select(
+        *by,
+        F.col("n").cast("long").alias("n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.col(f"rho_{k}").alias("rho"),
+                        F.col(f"phi_{k}_{k}").alias("pacf"),
+                        F.col(f"phi_{K}_{k}").alias("ar_coef"),
+                        F.col(f"innov_{k}").alias("innov_ratio"),
+                    )
+                    for k in range(1, K + 1)
+                ]
+            )
+        ).alias("__p"),
+    )
+    return out.select(
+        *by, "n", "__p.k", "__p.rho", "__p.pacf", "__p.ar_coef",
+        "__p.innov_ratio",
+    )
