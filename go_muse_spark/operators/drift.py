@@ -72,12 +72,19 @@ def dist_drift(
     ).cast("int")
 
     # ONE shuffle over the raw rows; all later stages run on the
-    # (bucket, bin) aggregate (<= buckets * n_bins rows).
+    # (bucket, bin) aggregate (<= buckets * n_bins rows). Materialize
+    # it once (lazy localCheckpoint — the corr_pairs / theil_sen
+    # convention): four consumers read it (baseline hist, baseline
+    # total, scored-bucket grid, the left join), and without the
+    # checkpoint each would re-run the full raw scan+aggregate — the
+    # plan audit showed 4 parquet scans where the 100-TB shape
+    # affords exactly one.
     counts = (
         df.select(F.col(bucket_col).cast("long").alias("__b"),
                   bin_expr.alias("__bin"))
         .groupBy("__b", "__bin")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
 
     base = (
@@ -201,6 +208,10 @@ def heavy_change(
     (bucket); the observed-bucket set broadcasts.
     """
     keys = list(key_cols)
+    # three branches (cur, prev, observed buckets) read `counts`;
+    # materialize once so a counts built from raw lineage is not
+    # re-aggregated per branch (corr_pairs convention)
+    counts = counts.localCheckpoint(eager=False)
     b = F.col(bucket_col).cast("long")
     cur = counts.select(
         *keys, b.alias("__b"), F.col(count_col).cast("long").alias("__cur")
