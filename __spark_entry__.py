@@ -145,6 +145,7 @@ from go_muse_spark.operators.stats import (
     theil_sen,
     ccf_lags,
     mann_kendall,
+    seasonal_mann_kendall,
     kendall_tau,
 )
 from go_muse_spark.operators.freqsketch import (
@@ -3667,6 +3668,30 @@ def q_mann_kendall_1d(spark, sf_dir):
     )
 
 
+def q_seasonal_mk_1d(spark, sf_dir):
+    """Hirsch-Slack seasonal Mann-Kendall per user: pairs form only
+    within the same weekday phase, per-phase exact-integer S and
+    18*Var sum across phases (all-tied phases contribute 0, included
+    not dropped), one continuity-corrected z at the end. The trend
+    verdict a weekly-patterned metric needs — plain MK reads the
+    weekday shape itself as trend."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    daily = daily.withColumn("dow", F.dayofweek("bucket_ts"))
+    out = seasonal_mann_kendall(daily, "turn_cnt", "dow")
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_phases").cast("long").alias("n_phases"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var18"),
+        F.round(F.col("z") * 1e6, 0).cast("long").alias("z_u"),
+    )
+
+
 def q_kendall_xy_1d(spark, sf_dir):
     """Kendall tau-b between daily activity (turn count) and daily
     total value per user (stats.kendall_tau): rank concordance, the
@@ -3747,15 +3772,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Evidence-rotation order: the driver's correctness gate
-        # samples the FIRST 50 entries, so the newest queries lead
-        # (round-5 second sweep: fleet_decorr/DTW/changepoint/
-        # theilsen/rolling-corr/trimmed/spearman, then the earlier
-        # round-5 batches — none driver-checked yet), followed by
-        # the oldest-evidence (round-2-dated) greens; round-3/4
-        # driver-greens close the list. Every entry stays full-sweep
-        # green locally (ORACLE_SWEEP_r05.log: 147/147 one-pass +
-        # the post-pass additions checked individually).
+        # samples the FIRST 50 entries, so the newest queries lead —
+        # round-5 third sweep (pacf / mann_kendall / kendall_xy /
+        # slo_above / kmv_rolling / the drift+ccf+winsorized batch),
+        # then the round-5 second sweep (fleet_decorr / DTW /
+        # changepoint / theilsen / rolling-corr / trimmed / spearman)
+        # — none driver-checked yet — followed by the oldest-evidence
+        # (round-2-dated) greens; round-3/4 driver-greens close the
+        # list. Every entry stays full-sweep green locally
+        # (ORACLE_SWEEP_r05.log one-pass + per-addition checks; final
+        # full pass in ORACLE_SWEEP_r05_final.log).
         "pacf_1d": q_pacf_1d,
+        "seasonal_mk_1d": q_seasonal_mk_1d,
         "mann_kendall_1d": q_mann_kendall_1d,
         "kendall_xy_1d": q_kendall_xy_1d,
         "slo_above_1h": q_slo_above_1h,
@@ -5331,6 +5359,49 @@ SELECT u AS user_id, n, s_stat, cast(var18 AS bigint) AS var18,
        cast(round(s_stat / sqrt((n * (n - 1) / 2)
                   * (n * (n - 1) / 2 - tie2 / 2)) * 1e6) AS bigint) AS tau_u
 FROM j WHERE n >= 4 AND var18 > 0
+"""
+    # Seasonal (Hirsch-Slack) MK: per-(user, weekday-phase) exact
+    # parts, phase labels only partition (Spark 1=Sun..7 vs DuckDB
+    # 0=Sun..6 numbering is irrelevant — same groups), summed S /
+    # 18*Var, one z expression. All-tied phases contribute 0 via the
+    # left join, included not dropped.
+    d["seasonal_mk_1d"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('day', ts) AS b,
+         dayofweek(date_trunc('day', ts)) AS ph,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2, 3
+), s AS (
+  SELECT a.u, a.ph,
+         cast(sum(cast(sign(c.v - a.v) AS bigint)) AS bigint) AS s_stat
+  FROM r a JOIN r c ON a.u = c.u AND a.ph = c.ph AND a.b < c.b
+  GROUP BY 1, 2
+), ties AS (
+  SELECT u, ph, cast(sum(t) AS bigint) AS n,
+         cast(sum(t * (t - 1) * (2 * t + 5)) AS bigint) AS tie3
+  FROM (SELECT u, ph, v, cast(count(*) AS bigint) AS t
+        FROM r GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+), p AS (
+  SELECT ties.u, ties.n, coalesce(s.s_stat, 0) AS s_stat,
+         ties.n * (ties.n - 1) * (2 * ties.n + 5) - tie3 AS v18
+  FROM ties LEFT JOIN s ON ties.u = s.u AND ties.ph = s.ph
+), a AS (
+  SELECT u, cast(sum(n) AS bigint) AS n,
+         cast(count(*) AS bigint) AS n_phases,
+         cast(sum(s_stat) AS bigint) AS s_stat,
+         cast(sum(v18) AS bigint) AS var18
+  FROM p GROUP BY 1
+)
+SELECT u AS user_id, n, n_phases, s_stat, var18,
+       cast(round(CASE
+             WHEN s_stat > 0
+               THEN (s_stat - 1) / sqrt(cast(var18 AS double) / 18.0)
+             WHEN s_stat < 0
+               THEN (s_stat + 1) / sqrt(cast(var18 AS double) / 18.0)
+             ELSE 0.0 END * 1e6) AS bigint) AS z_u
+FROM a WHERE n >= 8 AND var18 > 0
 """
     # Kendall tau-b x vs y: concordant-minus-discordant S, tie-pair
     # counts per margin, one double division.

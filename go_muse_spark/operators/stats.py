@@ -56,6 +56,7 @@ __all__ = [
     "theil_sen",
     "ccf_lags",
     "mann_kendall",
+    "seasonal_mann_kendall",
     "kendall_tau",
 ]
 
@@ -1771,6 +1772,50 @@ def ccf_lags(
     return agg.select(*by, "lag_s", "n_pairs", ccf.alias("ccf"))
 
 
+def _mk_parts(
+    rolled: DataFrame,
+    value_col: str,
+    by: tuple[str, ...],
+    bucket_col: str,
+) -> DataFrame:
+    """Per-key Mann-Kendall building blocks shared by the plain and
+    seasonal (Hirsch-Slack) tests: exact-integer S, n, and the two
+    tie sums. Returns (by..., n, s_stat, __tie3, __tie2)."""
+    t = F.unix_timestamp(F.col(bucket_col).cast("timestamp"))
+    v = F.col(value_col).cast("long")
+    r = rolled.select(*by, t.alias("__t"), v.alias("__v"))
+    r = r.localCheckpoint(eager=False)  # theil_sen convention: the
+    # self-join must not re-run the upstream scan+rollup per branch
+    l = r.select(*by, F.col("__t").alias("__ti"), F.col("__v").alias("__vi"))
+    rr = r.select(*by, F.col("__t").alias("__tj"), F.col("__v").alias("__vj"))
+    s = (
+        l.join(rr, list(by))
+        .where(F.col("__ti") < F.col("__tj"))
+        .groupBy(*by)
+        .agg(
+            F.sum(
+                F.signum((F.col("__vj") - F.col("__vi")).cast("double"))
+                .cast("long")
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        r.groupBy(*by, "__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*by)
+        .agg(
+            F.sum("__t").alias("n"),
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            ).alias("__tie3"),
+            F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__tie2"),
+        )
+    )
+    # single-point series produce no pairs: left join from ties keeps
+    # them with S = 0 so the seasonal sum still counts their n
+    return ties.join(s, list(by), "left").na.fill({"s_stat": 0})
+
+
 def mann_kendall(
     rolled: DataFrame,
     value_col: str,
@@ -1810,38 +1855,7 @@ def mann_kendall(
     n < min_points or zero variance (all values tied: Var = 0) are
     dropped — no trend verdict is emitted rather than a NaN.
     """
-    t = F.unix_timestamp(F.col(bucket_col).cast("timestamp"))
-    v = F.col(value_col).cast("long")
-    r = rolled.select(*by, t.alias("__t"), v.alias("__v"))
-    r = r.localCheckpoint(eager=False)  # theil_sen convention: the
-    # self-join must not re-run the upstream scan+rollup per branch
-    l = r.select(*by, F.col("__t").alias("__ti"), F.col("__v").alias("__vi"))
-    rr = r.select(*by, F.col("__t").alias("__tj"), F.col("__v").alias("__vj"))
-    s = (
-        l.join(rr, list(by))
-        .where(F.col("__ti") < F.col("__tj"))
-        .groupBy(*by)
-        .agg(
-            F.sum(
-                F.signum((F.col("__vj") - F.col("__vi")).cast("double"))
-                .cast("long")
-            ).alias("s_stat")
-        )
-    )
-    ties = (
-        r.groupBy(*by, "__v")
-        .agg(F.count(F.lit(1)).alias("__t"))
-        .groupBy(*by)
-        .agg(
-            F.sum(F.lit(1)).alias("n0"),
-            F.sum("__t").alias("n"),
-            F.sum(
-                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
-            ).alias("__tie3"),
-            F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__tie2"),
-        )
-    )
-    j = s.join(ties, list(by))
+    j = _mk_parts(rolled, value_col, by, bucket_col)
     n = F.col("n")
     var18 = n * (n - 1) * (2 * n + 5) - F.col("__tie3")
     ss = F.col("s_stat")
@@ -1866,6 +1880,68 @@ def mann_kendall(
             tau.alias("tau_b"),
         )
     )
+
+
+def seasonal_mann_kendall(
+    rolled: DataFrame,
+    value_col: str,
+    phase_col: str,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int = 8,
+) -> DataFrame:
+    """Seasonal (Hirsch-Slack 1984) Mann-Kendall: the trend test a
+    SEASONAL series actually needs — plain MK on a weekly-patterned
+    metric reads the Monday/Sunday gap as "trend". Here pairs are
+    formed only WITHIN each season phase (same weekday vs same
+    weekday), and the per-phase statistics sum:
+
+        S = sum_p S_p,   Var(S) = sum_p Var_p(S)   (independent
+        phases under H0), z continuity-corrected as in mann_kendall.
+
+    A phase whose values are all tied contributes S_p = 0, Var_p = 0
+    — INCLUDED, not dropped (dropping would bias the variance); the
+    verdict is only withheld when the TOTAL variance is zero.
+
+    All per-phase parts are exact integers (shared _mk_parts), so the
+    summed S and 18*Var are exact and order-independent; z is one
+    double expression — the module's oracle contract.
+
+    Scale shape: same as mann_kendall with the phase in the key — the
+    (by, phase) exchange feeds pair join and tie scan, then ONE more
+    tiny aggregate collapses phases; pair space shrinks to
+    O(sum_p n_p^2), a factor n_phases below plain MK.
+
+    Returns (by..., n, n_phases, s_stat, var18, z).
+    """
+    parts = _mk_parts(
+        rolled, value_col, tuple(by) + (phase_col,), bucket_col
+    )
+    n = F.col("n")
+    var18_p = n * (n - 1) * (2 * n + 5) - F.col("__tie3")
+    agg = (
+        parts.select(
+            *by,
+            n.alias("__n"),
+            F.col("s_stat").alias("__s"),
+            var18_p.alias("__v18"),
+        )
+        .groupBy(*by)
+        .agg(
+            F.sum("__n").alias("n"),
+            F.count(F.lit(1)).alias("n_phases"),
+            F.sum("__s").alias("s_stat"),
+            F.sum("__v18").alias("var18"),
+        )
+    )
+    ss = F.col("s_stat")
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = F.when(ss > 0, (ss - 1).cast("double") / sd).when(
+        ss < 0, (ss + 1).cast("double") / sd
+    ).otherwise(F.lit(0.0))
+    return agg.where(
+        (F.col("n") >= F.lit(int(min_points))) & (F.col("var18") > 0)
+    ).select(*by, "n", "n_phases", "s_stat", "var18", z.alias("z"))
 
 
 def kendall_tau(

@@ -312,3 +312,62 @@ def test_kmv_rolling_union_validates(spark):
     daily = kmv_sketch_rollup(df, "user_id", bucket_secs=DAY, k=8)
     with pytest.raises(ValueError):
         kmv_rolling_union(daily, 0)
+
+
+# -------------------------------------------- seasonal_mann_kendall
+
+
+def test_seasonal_mk_matches_reference(spark):
+    from go_muse_spark.operators.stats import seasonal_mann_kendall
+
+    rng = random.Random(13)
+    vals = [rng.randint(0, 5) + (i // 7) + (3 if i % 7 in (0, 6) else 0)
+            for i in range(35)]  # weekly shape + trend
+    rows = [("a", T0 + dt.timedelta(days=i), i % 7, int(v))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "bucket_ts", "ph", "v"]),
+        schema="conv_id string, bucket_ts timestamp, ph int, v long",
+    )
+    got = seasonal_mann_kendall(df, "v", "ph").collect()
+    assert len(got) == 1
+    # independent per-phase reference
+    S = V = 0
+    for p in range(7):
+        pv = [v for i, v in enumerate(vals) if i % 7 == p]
+        s, var18, _, _ = _mk_ref(pv)
+        S += s
+        V += var18
+    r = got[0]
+    assert r["s_stat"] == S and r["var18"] == V and r["n"] == 35
+    assert r["n_phases"] == 7
+    sd = math.sqrt(V / 18.0)
+    zexp = (S - 1) / sd if S > 0 else (S + 1) / sd if S < 0 else 0.0
+    assert abs(r["z"] - zexp) < 1e-12
+
+
+def test_seasonal_mk_tied_phase_included_and_pure_seasonal_null(spark):
+    from go_muse_spark.operators.stats import seasonal_mann_kendall
+
+    # phase 0 strictly rises, phase 1 all tied: tied phase adds
+    # Var 0 but its n still counts; total verdict from phase 0 only
+    rows = [("a", T0 + dt.timedelta(days=2 * i), 0, i) for i in range(6)]
+    rows += [("a", T0 + dt.timedelta(days=2 * i + 1), 1, 9) for i in range(6)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "bucket_ts", "ph", "v"]),
+        schema="conv_id string, bucket_ts timestamp, ph int, v long",
+    )
+    got = seasonal_mann_kendall(df, "v", "ph").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 12 and r["n_phases"] == 2
+    assert r["s_stat"] == 15  # 6*5/2 concordant pairs in phase 0
+    # pure weekly pattern with NO trend: every phase all-tied ->
+    # total Var 0 -> no verdict row
+    rows2 = [("b", T0 + dt.timedelta(days=i), i % 7, (i % 7) * 10)
+             for i in range(28)]
+    df2 = spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["conv_id", "bucket_ts", "ph", "v"]),
+        schema="conv_id string, bucket_ts timestamp, ph int, v long",
+    )
+    assert seasonal_mann_kendall(df2, "v", "ph").collect() == []
