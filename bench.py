@@ -44,6 +44,17 @@ from go_muse_spark.session import get_bench_spark  # noqa: E402
 from go_muse_spark.sources.transcripts import write_transcripts  # noqa: E402
 
 BENCH_QUERIES = [
+    # round-5 third sweep (one representative per new family; the
+    # same-shaped siblings — jsd/state_entropy/kendall_xy — track them)
+    "psi_drift_1d",
+    "heavy_change_1d",
+    "ccf_3h",
+    "winsorized_mean_1d",
+    "mann_kendall_1d",
+    "seasonal_mk_1d",
+    "slo_above_1h",
+    "kmv_rolling_7d",
+    "pacf_1d",
     "matrix_profile_1d",
     "matrix_profile_1h",
     "asof_interp_click",
