@@ -87,6 +87,7 @@ from go_muse_spark.operators.sampling import (
     stratified_sample,
 )
 from go_muse_spark.operators.sessions import (
+    interval_intersect,
     alert_episodes,
     report_gaps,
     interval_union,
@@ -3622,6 +3623,37 @@ def q_winsorized_mean_1d(spark, sf_dir):
     )
 
 
+def q_incident_overlap(spark, sf_dir):
+    """AND of two interval sets (sessions.interval_intersect): per
+    user, activity spans (click/view + 30 min) intersected with
+    incident windows (error + 1 h) — "how much activity happened
+    DURING an incident". Boundary sweep with per-time delta
+    aggregation (coincident ends/starts atomic, half-open exact),
+    both running counts in one window, union pass canonicalizes.
+    All-integer microsecond algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    act = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        t.alias("start_us"),
+        (t + F.lit(1800 * 1_000_000)).alias("end_us"),
+    )
+    inc = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        t.alias("start_us"),
+        (t + F.lit(3600 * 1_000_000)).alias("end_us"),
+    )
+    out = interval_intersect(act, inc)
+    return out.select(
+        "user_id",
+        F.col("merge_id").cast("long").alias("merge_id"),
+        "start",
+        "end",
+        F.col("n_merged").cast("long").alias("n_merged"),
+        "covered",
+    )
+
+
 def q_pacf_1d(spark, sf_dir):
     """PACF + Yule-Walker AR(5) per user over daily turn counts
     (arfit.pacf): the Durbin-Levinson recursion unrolled into shared
@@ -3782,6 +3814,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # list. Every entry stays full-sweep green locally
         # (ORACLE_SWEEP_r05.log one-pass + per-addition checks; final
         # full pass in ORACLE_SWEEP_r05_final.log).
+        "incident_overlap": q_incident_overlap,
         "pacf_1d": q_pacf_1d,
         "seasonal_mk_1d": q_seasonal_mk_1d,
         "mann_kendall_1d": q_mann_kendall_1d,
@@ -5267,6 +5300,53 @@ SELECT event_type, bucket_epoch, n, n_wins,
        cast(round(cast(kept + n_wins * lo_cap + n_wins * hi_cap AS double)
             / cast(n AS double)) AS bigint) AS mean_u
 FROM a
+"""
+    # Interval intersection: identical boundary sweep — per-time delta
+    # aggregate, two running counts, lead() spans, union re-merge.
+    d["incident_overlap"] = """
+WITH a AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 1800000000 AS e
+  FROM events WHERE event_type IN ('click', 'view')
+), b AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 3600000000 AS e
+  FROM events WHERE event_type = 'error'
+), pts AS (
+  SELECT user_id, s AS t, 1 AS da, 0 AS db FROM a
+  UNION ALL SELECT user_id, e, -1, 0 FROM a
+  UNION ALL SELECT user_id, s, 0, 1 FROM b
+  UNION ALL SELECT user_id, e, 0, -1 FROM b
+), per_t AS (
+  SELECT user_id, t, sum(da) AS da, sum(db) AS db
+  FROM pts GROUP BY 1, 2
+), run AS (
+  SELECT user_id, t AS sr, lead(t) OVER w AS er,
+         sum(da) OVER (w ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(db) OVER (w ROWS UNBOUNDED PRECEDING) AS cb
+  FROM per_t WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), active AS (
+  SELECT user_id, sr, er FROM run
+  WHERE ca > 0 AND cb > 0 AND er IS NOT NULL AND er > sr
+), flagged AS (
+  SELECT user_id, sr, er,
+         CASE WHEN max(er) OVER wp IS NULL OR sr > max(er) OVER wp
+              THEN 1 ELSE 0 END AS nw
+  FROM active
+  WINDOW wp AS (PARTITION BY user_id ORDER BY sr, er
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), runs2 AS (
+  SELECT user_id, sr, er,
+         sum(nw) OVER (PARTITION BY user_id ORDER BY sr, er
+                       ROWS UNBOUNDED PRECEDING) AS merge_id
+  FROM flagged
+)
+SELECT user_id, cast(merge_id AS bigint) AS merge_id,
+       cast(min(sr) AS bigint) AS start,
+       cast(max(er) AS bigint) AS "end",
+       cast(count(*) AS bigint) AS n_merged,
+       cast(max(er) - min(sr) AS bigint) AS covered
+FROM runs2 GROUP BY 1, 2
 """
     # PACF / AR(5): the oracle splices the SAME generated Durbin-
     # Levinson layer text the Spark operator applies (arfit.dl_layers

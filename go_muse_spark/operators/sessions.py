@@ -38,6 +38,7 @@ __all__ = [
     "sessionize",
     "session_stats",
     "interval_union",
+    "interval_intersect",
     "alert_episodes",
     "report_gaps",
 ]
@@ -245,6 +246,75 @@ def interval_union(
         )
         .withColumn("covered", F.col("end") - F.col("start"))
     )
+
+
+def interval_intersect(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    by: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Intersection of two interval SETS per key — "time the value was
+    above threshold AND inside an incident window", the AND of
+    coverage accounting (interval_union is the OR). Either side may
+    contain overlapping intervals; the result is the canonical
+    disjoint intersection.
+
+    Classic boundary sweep, relationalized: each interval contributes
+    a +1 at start and a -1 at end for its SIDE; deltas are aggregated
+    per distinct boundary time FIRST (so coincident boundaries — an
+    interval ending exactly where another starts — apply atomically;
+    half-open semantics fall out), then two running sums per key give
+    the active-count of each side and every [t_i, t_i+1) span where
+    BOTH counts are positive is intersection. A final interval_union
+    pass coalesces spans split by boundaries that did not change the
+    active state. All-integer comparisons — oracle-exact.
+
+    Scale shape: ONE exchange on the key; the boundary aggregate, the
+    running-sum window, the lead(), and the union pass all reuse that
+    partitioning (the boundary table is 2x the interval count, tiny).
+
+    Returns (by..., merge_id, start, end, n_merged, covered).
+    """
+    def boundaries(df: DataFrame, tag: str) -> DataFrame:
+        s, e = F.col(start_col), F.col(end_col)
+        da = "__da" if tag == "a" else "__db"
+        other = "__db" if tag == "a" else "__da"
+        pts = df.filter(e > s).select(
+            *by,
+            F.explode(
+                F.array(
+                    F.struct(s.alias("__t"), F.lit(1).alias(da)),
+                    F.struct(e.alias("__t"), F.lit(-1).alias(da)),
+                )
+            ).alias("__p"),
+        ).select(*by, "__p.__t", f"__p.{da}")
+        return pts.withColumn(other, F.lit(0))
+
+    pts = boundaries(left, "a").unionByName(boundaries(right, "b"))
+    per_t = pts.groupBy(*by, "__t").agg(
+        F.sum("__da").alias("__da"), F.sum("__db").alias("__db")
+    )
+    w = Window.partitionBy(*by).orderBy("__t")
+    run = per_t.select(
+        *by,
+        F.col("__t").alias("start_raw"),
+        F.lead("__t").over(w).alias("end_raw"),
+        F.sum("__da")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__ca"),
+        F.sum("__db")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cb"),
+    )
+    active = run.filter(
+        (F.col("__ca") > 0)
+        & (F.col("__cb") > 0)
+        & F.col("end_raw").isNotNull()
+        & (F.col("end_raw") > F.col("start_raw"))
+    ).select(*by, F.col("start_raw").alias("__s"), F.col("end_raw").alias("__e"))
+    return interval_union(active, start_col="__s", end_col="__e", by=by)
 
 
 def alert_episodes(
