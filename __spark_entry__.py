@@ -163,6 +163,7 @@ from go_muse_spark.operators.terms import (
     pmi_pairs,
 )
 from go_muse_spark.operators.arfit import dl_sql_ctes, innov_layers, pacf
+from go_muse_spark.operators.ols import ols3_layers, ols_fit3
 from go_muse_spark.operators.dtw import dtw_pairs
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.matrix_profile import (
@@ -3623,6 +3624,40 @@ def q_winsorized_mean_1d(spark, sf_dir):
     )
 
 
+def q_ols_trend_1d(spark, sf_dir):
+    """Seasonal-adjusted trend: per-user OLS of daily turns on
+    [1, day_index, is_weekend] (ols.ols_fit3) — "is usage growing
+    after accounting for weekends?". The 3x3 normal equations solve
+    by Cramer's rule over EXACT integer moments; the determinant /
+    coefficient / R^2 expressions are generated once (ols3_layers)
+    and evaluated verbatim by both engines. Day index is per-series
+    (t - min t) so the moment matrix stays small-integer-conditioned."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("conv_id")
+    daily = daily.select(
+        "conv_id",
+        F.datediff(
+            F.col("bucket_ts"), F.min("bucket_ts").over(w)
+        ).cast("long").alias("t"),
+        F.dayofweek("bucket_ts").isin(1, 7).cast("long").alias("x"),
+        "y",
+    )
+    out = ols_fit3(daily, "y", "t", "x")
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "n",
+        F.round(F.col("b0") * 1e6, 0).cast("long").alias("b0_u"),
+        F.round(F.col("b1") * 1e6, 0).cast("long").alias("b1_u"),
+        F.round(F.col("b2") * 1e6, 0).cast("long").alias("b2_u"),
+        F.round(F.col("sse") * 1e3, 0).cast("long").alias("sse_m"),
+        F.round(F.col("r2") * 1e6, 0).cast("long").alias("r2_u"),
+    )
+
+
 def q_incident_overlap(spark, sf_dir):
     """AND of two interval sets (sessions.interval_intersect): per
     user, activity spans (click/view + 30 min) intersected with
@@ -3814,6 +3849,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # list. Every entry stays full-sweep green locally
         # (ORACLE_SWEEP_r05.log one-pass + per-addition checks; final
         # full pass in ORACLE_SWEEP_r05_final.log).
+        "ols_trend_1d": q_ols_trend_1d,
         "incident_overlap": q_incident_overlap,
         "pacf_1d": q_pacf_1d,
         "seasonal_mk_1d": q_seasonal_mk_1d,
@@ -5300,6 +5336,55 @@ SELECT event_type, bucket_epoch, n, n_wins,
        cast(round(cast(kept + n_wins * lo_cap + n_wins * hi_cap AS double)
             / cast(n AS double)) AS bigint) AS mean_u
 FROM a
+"""
+    # OLS [1, t, weekend]: Cramer determinants over HUGEINT moments,
+    # layer text generated by the SAME ols3_layers the operator uses.
+    _ol = ols3_layers()
+    _ocs = []
+    _oprev = "gf"
+    for _i, _layer in enumerate(_ol, start=1):
+        _cols = ", ".join(f"{e} AS {n}" for n, e in _layer.items())
+        _ocs.append(f", o{_i} AS (SELECT *, {_cols} FROM {_oprev})")
+        _oprev = f"o{_i}"
+        if _i == 1:
+            _ocs.append(f", o1f AS (SELECT * FROM o1 WHERE det != 0)")
+            _oprev = "o1f"
+    d["ols_trend_1d"] = f"""
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('day', ts) AS b,
+         cast(count(*) AS bigint) AS y
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT u,
+         cast(date_diff('day', min(b) OVER (PARTITION BY u), b)
+              AS bigint) AS t,
+         CASE WHEN dayofweek(b) IN (0, 6) THEN 1 ELSE 0 END AS x,
+         y
+  FROM r
+), g AS (
+  SELECT u, cast(count(*) AS HUGEINT) AS m_n,
+         cast(sum(t) AS HUGEINT) AS m_t,
+         cast(sum(x) AS HUGEINT) AS m_x,
+         cast(sum(y) AS HUGEINT) AS m_y,
+         cast(sum(t * t) AS HUGEINT) AS m_tt,
+         cast(sum(t * x) AS HUGEINT) AS m_tx,
+         cast(sum(x * x) AS HUGEINT) AS m_xx,
+         cast(sum(t * y) AS HUGEINT) AS m_ty,
+         cast(sum(x * y) AS HUGEINT) AS m_xy,
+         cast(sum(y * y) AS HUGEINT) AS m_yy
+  FROM f GROUP BY 1
+), gf AS (
+  SELECT * FROM g
+  WHERE m_n >= 6 AND m_n * m_yy - m_y * m_y > 0
+){''.join(_ocs)}
+SELECT u AS user_id, cast(m_n AS bigint) AS n,
+       cast(round(b0 * 1e6) AS bigint) AS b0_u,
+       cast(round(b1 * 1e6) AS bigint) AS b1_u,
+       cast(round(b2 * 1e6) AS bigint) AS b2_u,
+       cast(round(sse * 1e3) AS bigint) AS sse_m,
+       cast(round(r2 * 1e6) AS bigint) AS r2_u
+FROM {_oprev}
 """
     # Interval intersection: identical boundary sweep — per-time delta
     # aggregate, two running counts, lead() spans, union re-merge.
