@@ -115,6 +115,7 @@ from go_muse_spark.operators.drift import (
     dist_drift,
     dist_entropy,
     heavy_change,
+    ks_drift,
 )
 from go_muse_spark.operators.olap import (
     dimensional_rollup,
@@ -3624,6 +3625,33 @@ def q_winsorized_mean_1d(spark, sf_dir):
     )
 
 
+def q_ks_drift_1d(spark, sf_dir):
+    """EXACT two-sample Kolmogorov-Smirnov distance of each day's
+    event-value distribution vs the first-week baseline
+    (drift.ks_drift): no bins to tune — the sup CDF gap is carried as
+    the exact cross-multiplied integer max|i*n - j*m| over every
+    distinct milli-quantized value, with one division (ks) and one
+    sqrt (the scaled test statistic) at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("value").isNotNull()).select(
+        "value",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+    )
+    out = ks_drift(
+        base, "value", "bucket_epoch", baseline_end=1704672000, quant=1000
+    )
+    return out.select(
+        "bucket_epoch",
+        "n",
+        "m",
+        "d_num",
+        F.round(F.col("ks") * 1e6, 0).cast("long").alias("ks_u"),
+        F.round(F.col("ks_stat") * 1e6, 0).cast("long").alias("stat_u"),
+    )
+
+
 def q_ols_trend_1d(spark, sf_dir):
     """Seasonal-adjusted trend: per-user OLS of daily turns on
     [1, day_index, is_weekend] (ols.ols_fit3) — "is usage growing
@@ -3849,6 +3877,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # list. Every entry stays full-sweep green locally
         # (ORACLE_SWEEP_r05.log one-pass + per-addition checks; final
         # full pass in ORACLE_SWEEP_r05_final.log).
+        "ks_drift_1d": q_ks_drift_1d,
         "ols_trend_1d": q_ols_trend_1d,
         "incident_overlap": q_incident_overlap,
         "pacf_1d": q_pacf_1d,
@@ -5336,6 +5365,60 @@ SELECT event_type, bucket_epoch, n, n_wins,
        cast(round(cast(kept + n_wins * lo_cap + n_wins * hi_cap AS double)
             / cast(n AS double)) AS bigint) AS mean_u
 FROM a
+"""
+    # Exact two-sample KS: sup CDF gap as the exact integer
+    # max|i*n - j*m| over the distinct-value grid; one division + one
+    # sqrt replayed with identical text.
+    d["ks_drift_1d"] = """
+WITH raw AS (
+  SELECT cast(floor(epoch(ts) / 86400) * 86400 AS bigint) AS b,
+         cast(round(value * 1000) AS bigint) AS v
+  FROM events WHERE value IS NOT NULL
+), counts AS (
+  SELECT b, v, cast(count(*) AS bigint) AS c FROM raw GROUP BY 1, 2
+), base AS (
+  SELECT v, cast(sum(c) AS bigint) AS cb
+  FROM counts WHERE b < 1704672000 GROUP BY 1
+), bt AS (
+  SELECT cast(sum(cb) AS bigint) AS m FROM base
+), scored AS (
+  SELECT * FROM counts WHERE b >= 1704672000
+), grid AS (
+  SELECT DISTINCT b, v FROM (
+    SELECT d.b, base.v
+    FROM (SELECT DISTINCT b FROM scored) d, base
+    UNION ALL SELECT b, v FROM scored
+  )
+), filled AS (
+  SELECT g.b, g.v, coalesce(s.c, 0) AS c,
+         coalesce(base.cb, 0) AS cb, bt.m
+  FROM grid g
+  LEFT JOIN scored s ON g.b = s.b AND g.v = s.v
+  LEFT JOIN base ON g.v = base.v
+  CROSS JOIN bt
+), run AS (
+  SELECT b, m,
+         sum(c) OVER (PARTITION BY b ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS j,
+         sum(cb) OVER (PARTITION BY b ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS i,
+         sum(c) OVER (PARTITION BY b) AS n
+  FROM filled
+), agg AS (
+  SELECT b, cast(max(n) AS bigint) AS n, cast(max(m) AS bigint) AS m,
+         cast(max(abs(i * n - j * m)) AS bigint) AS d_num
+  FROM run GROUP BY 1
+)
+SELECT b AS bucket_epoch, n, m, d_num,
+       cast(round(cast(d_num AS double)
+            / (cast(m AS double) * cast(n AS double)) * 1e6)
+            AS bigint) AS ks_u,
+       cast(round(sqrt(cast(m AS double) * cast(n AS double)
+                       / cast(m + n AS double))
+            * (cast(d_num AS double)
+               / (cast(m AS double) * cast(n AS double))) * 1e6)
+            AS bigint) AS stat_u
+FROM agg WHERE n >= 10
 """
     # OLS [1, t, weekend]: Cramer determinants over HUGEINT moments,
     # layer text generated by the SAME ols3_layers the operator uses.

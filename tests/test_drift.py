@@ -252,3 +252,65 @@ def test_winsorized_zero_frac_is_plain_mean_and_validates(spark):
     assert r["wins_mean"] == pytest.approx(11.0)
     with pytest.raises(ValueError):
         winsorized_mean(df, "v", ("g",), 0.5)
+
+
+def test_ks_drift_matches_scipy_style_reference(spark):
+    """Exact KS vs a brute-force two-sample reference on the
+    quantized values."""
+    from go_muse_spark.operators.drift import ks_drift
+
+    rng = random.Random(31)
+    rows = []
+    for _ in range(400):  # baseline bucket 0: uniform-ish
+        rows.append((round(rng.uniform(0, 10), 3), 0))
+    for _ in range(300):  # scored bucket 100: shifted
+        rows.append((round(rng.uniform(3, 13), 3), 100))
+    for _ in range(250):  # scored bucket 200: same dist as baseline
+        rows.append((round(rng.uniform(0, 10), 3), 200))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["value", "b"]),
+        schema="value double, b long",
+    )
+    got = {r["b"]: r for r in ks_drift(
+        df, "value", "b", baseline_end=50, quant=1000
+    ).collect()}
+
+    base = sorted(round(v * 1000) for v, b in rows if b == 0)
+    for bucket in (100, 200):
+        cur = sorted(round(v * 1000) for v, b in rows if b == bucket)
+        m, n = len(base), len(cur)
+        vals = sorted(set(base) | set(cur))
+        import bisect
+        d_num = max(
+            abs(bisect.bisect_right(base, v) * n
+                - bisect.bisect_right(cur, v) * m)
+            for v in vals
+        )
+        r = got[bucket]
+        assert (r["m"], r["n"], r["d_num"]) == (m, n, d_num)
+        assert abs(r["ks"] - d_num / (m * n)) < 1e-15
+    # shifted bucket clearly more drifted than the same-dist one
+    assert got[100]["ks"] > 2 * got[200]["ks"]
+
+
+def test_ks_drift_identical_samples_zero(spark):
+    from go_muse_spark.operators.drift import ks_drift
+
+    rows = [(float(v), b) for b in (0, 100) for v in range(50)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["value", "b"]),
+        schema="value double, b long",
+    )
+    r = ks_drift(df, "value", "b", baseline_end=50).collect()
+    assert len(r) == 1 and r[0]["d_num"] == 0 and r[0]["ks"] == 0.0
+
+
+def test_ks_drift_validates(spark):
+    from go_muse_spark.operators.drift import ks_drift
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(1.0, 0)], columns=["value", "b"]),
+        schema="value double, b long",
+    )
+    with pytest.raises(ValueError):
+        ks_drift(df, "value", "b", baseline_end=50, quant=0)
