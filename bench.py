@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "slo_above_1h",
     "kmv_rolling_7d",
     "pacf_1d",
+    "ks_drift_1d",
+    "ols_trend_1d",
+    "incident_overlap",
     "matrix_profile_1d",
     "matrix_profile_1h",
     "asof_interp_click",
