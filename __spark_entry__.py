@@ -3652,6 +3652,32 @@ def q_ks_drift_1d(spark, sf_dir):
     )
 
 
+def q_w1_drift_1d(spark, sf_dir):
+    """Wasserstein-1 (earth-mover) drift of each day's value
+    distribution vs the first-week baseline — same exact CDF-grid
+    pass as ks_drift_1d (drift.ks_drift emits both): W1 integrates
+    the CDF gap weighted by value spacing, so a small shift of the
+    WHOLE mass scores proportionally where KS saturates. w1_num is an
+    exact integer; one division returns to value units."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("value").isNotNull()).select(
+        "value",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_epoch"),
+    )
+    out = ks_drift(
+        base, "value", "bucket_epoch", baseline_end=1704672000, quant=1000
+    )
+    return out.select(
+        "bucket_epoch",
+        "n",
+        "m",
+        "w1_num",
+        F.round(F.col("w1") * 1e6, 0).cast("long").alias("w1_u"),
+    )
+
+
 def q_ols_trend_1d(spark, sf_dir):
     """Seasonal-adjusted trend: per-user OLS of daily turns on
     [1, day_index, is_weekend] (ols.ols_fit3) — "is usage growing
@@ -3878,6 +3904,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ORACLE_SWEEP_r05.log one-pass + per-addition checks; final
         # full pass in ORACLE_SWEEP_r05_final.log).
         "ks_drift_1d": q_ks_drift_1d,
+        "w1_drift_1d": q_w1_drift_1d,
         "ols_trend_1d": q_ols_trend_1d,
         "incident_overlap": q_incident_overlap,
         "pacf_1d": q_pacf_1d,
@@ -5418,6 +5445,57 @@ SELECT b AS bucket_epoch, n, m, d_num,
             * (cast(d_num AS double)
                / (cast(m AS double) * cast(n AS double))) * 1e6)
             AS bigint) AS stat_u
+FROM agg WHERE n >= 10
+"""
+    # W1 drift: same grid/running-sum skeleton as ks_drift_1d, the
+    # gap summed weighted by lead(v)-v instead of maxed.
+    d["w1_drift_1d"] = """
+WITH raw AS (
+  SELECT cast(floor(epoch(ts) / 86400) * 86400 AS bigint) AS b,
+         cast(round(value * 1000) AS bigint) AS v
+  FROM events WHERE value IS NOT NULL
+), counts AS (
+  SELECT b, v, cast(count(*) AS bigint) AS c FROM raw GROUP BY 1, 2
+), base AS (
+  SELECT v, cast(sum(c) AS bigint) AS cb
+  FROM counts WHERE b < 1704672000 GROUP BY 1
+), bt AS (
+  SELECT cast(sum(cb) AS bigint) AS m FROM base
+), scored AS (
+  SELECT * FROM counts WHERE b >= 1704672000
+), grid AS (
+  SELECT DISTINCT b, v FROM (
+    SELECT d.b, base.v
+    FROM (SELECT DISTINCT b FROM scored) d, base
+    UNION ALL SELECT b, v FROM scored
+  )
+), filled AS (
+  SELECT g.b, g.v, coalesce(s.c, 0) AS c,
+         coalesce(base.cb, 0) AS cb, bt.m
+  FROM grid g
+  LEFT JOIN scored s ON g.b = s.b AND g.v = s.v
+  LEFT JOIN base ON g.v = base.v
+  CROSS JOIN bt
+), run AS (
+  SELECT b, m,
+         sum(c) OVER (PARTITION BY b ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS j,
+         sum(cb) OVER (PARTITION BY b ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS i,
+         sum(c) OVER (PARTITION BY b) AS n,
+         lead(v) OVER (PARTITION BY b ORDER BY v) - v AS dv
+  FROM filled
+), agg AS (
+  SELECT b, cast(max(n) AS bigint) AS n, cast(max(m) AS bigint) AS m,
+         cast(sum(CASE WHEN dv IS NOT NULL
+                       THEN abs(i * n - j * m) * dv ELSE 0 END)
+              AS bigint) AS w1_num
+  FROM run GROUP BY 1
+)
+SELECT b AS bucket_epoch, n, m, w1_num,
+       cast(round(cast(w1_num AS double)
+            / (cast(m AS double) * cast(n AS double) * 1000.0) * 1e6)
+            AS bigint) AS w1_u
 FROM agg WHERE n >= 10
 """
     # OLS [1, t, weekend]: Cramer determinants over HUGEINT moments,

@@ -280,8 +280,20 @@ def ks_drift(
     never by row count. The baseline joins back via broadcast; both
     running sums share one window sort per bucket.
 
-    Returns (bucket_col, n, m, d_num, ks, ks_stat) for buckets at or
-    after baseline_end with n >= min_points (m is the baseline size).
+    The same grid pass also yields the Wasserstein-1 (earth-mover)
+    distance for free: on the sorted distinct values v_1 < ... < v_K,
+
+        W1 = sum_k |F_base(v_k) - F_bucket(v_k)| * (v_{k+1} - v_k),
+
+    carried as the exact integer w1_num = sum |i*n - j*m| * dv and
+    divided ONCE by m*n*quant to return to value units. KS is the sup
+    of the CDF gap (tail-blind, scale-free); W1 is its integral
+    (magnitude-aware — a small shift of the whole mass scores small
+    even when KS saturates). Both ride the same two running sums.
+
+    Returns (bucket_col, n, m, d_num, ks, ks_stat, w1_num, w1) for
+    buckets at or after baseline_end with n >= min_points (m is the
+    baseline size).
     """
     if quant < 1:
         raise ValueError("quant must be >= 1")
@@ -324,17 +336,21 @@ def ks_drift(
         F.sum("__cb").over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("__i"),
         F.sum("__c").over(wp).alias("__n"),
+        (F.lead("__v").over(w) - F.col("__v")).alias("__dv"),
+    )
+    gap = F.abs(
+        F.col("__i") * F.col("__n") - F.col("__j") * F.col("__m")
     )
     agg = (
         run.groupBy("__b")
         .agg(
             F.max("__n").alias("n"),
             F.max("__m").alias("m"),
-            F.max(
-                F.abs(
-                    F.col("__i") * F.col("__n") - F.col("__j") * F.col("__m")
-                )
-            ).alias("d_num"),
+            F.max(gap).alias("d_num"),
+            F.sum(
+                F.when(F.col("__dv").isNotNull(), gap * F.col("__dv"))
+                .otherwise(F.lit(0))
+            ).alias("w1_num"),
         )
         .where(F.col("n") >= F.lit(int(min_points)))
     )
@@ -355,4 +371,13 @@ def ks_drift(
             )
             * ks
         ).alias("ks_stat"),
+        "w1_num",
+        (
+            F.col("w1_num").cast("double")
+            / (
+                F.col("m").cast("double")
+                * F.col("n").cast("double")
+                * F.lit(float(quant))
+            )
+        ).alias("w1"),
     )

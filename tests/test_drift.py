@@ -314,3 +314,34 @@ def test_ks_drift_validates(spark):
     )
     with pytest.raises(ValueError):
         ks_drift(df, "value", "b", baseline_end=50, quant=0)
+
+
+def test_w1_drift_matches_wasserstein_reference(spark):
+    """W1 from the same grid pass vs an independent reference: the
+    textbook empirical W1 = integral |F_a - F_b| dv on quantized
+    values (equivalent to mean |sorted-quantile difference| when
+    n == m)."""
+    from go_muse_spark.operators.drift import ks_drift
+
+    rng = random.Random(47)
+    rows = [(round(rng.uniform(0, 10), 3), 0) for _ in range(300)]
+    rows += [(round(rng.uniform(2, 12), 3), 100) for _ in range(200)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["value", "b"]),
+        schema="value double, b long",
+    )
+    r = ks_drift(df, "value", "b", baseline_end=50, quant=1000).collect()[0]
+    base = sorted(round(v * 1000) for v, b in rows if b == 0)
+    cur = sorted(round(v * 1000) for v, b in rows if b == 100)
+    m, n = len(base), len(cur)
+    import bisect
+    vals = sorted(set(base) | set(cur))
+    w1_num = sum(
+        abs(bisect.bisect_right(base, v) * n - bisect.bisect_right(cur, v) * m)
+        * (vals[k + 1] - vals[k])
+        for k, v in enumerate(vals[:-1])
+    )
+    assert r["w1_num"] == w1_num
+    assert abs(r["w1"] - w1_num / (m * n * 1000)) < 1e-12
+    # a +2 location shift of overlapping uniforms has W1 ~ 2
+    assert 1.0 < r["w1"] < 3.0
