@@ -27,6 +27,8 @@ __all__ = [
     "streaming_sessions",
     "streaming_dedup",
     "streaming_search",
+    "streaming_drift",
+    "DriftMonitor",
 ]
 
 
@@ -348,3 +350,99 @@ def streaming_search(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start(), results
+
+
+class DriftMonitor:
+    """Driver-side incremental (bucket, bin) histogram state for the
+    continuous drift monitor. Bin counts are plain sums, so merging
+    each micro-batch's tiny pre-aggregated delta (<= buckets x n_bins
+    rows cross the wire, never raw events) is associative and
+    replay-idempotent per epoch: a snapshot scored with
+    drift_from_counts equals the batch dist_drift answer EXACTLY —
+    the same integer counts feed the same expression tree."""
+
+    def __init__(self, baseline_end: int, n_bins: int, metric: str = "psi"):
+        self.baseline_end = int(baseline_end)
+        self.n_bins = int(n_bins)
+        self.metric = metric
+        self.counts: dict[tuple[int, int], int] = {}
+        self._seen_epochs: set[int] = set()
+
+    def merge(self, rows, epoch_id: int) -> None:
+        if epoch_id in self._seen_epochs:  # replayed epoch: no-op
+            return
+        self._seen_epochs.add(epoch_id)
+        for r in rows:
+            k = (r["__b"], r["__bin"])
+            self.counts[k] = self.counts.get(k, 0) + r["__c"]
+
+    def snapshot(self, spark) -> DataFrame:
+        from go_muse_spark.operators.drift import drift_from_counts
+
+        rows = [
+            (b, bn, c) for (b, bn), c in sorted(self.counts.items())
+        ] or [(0, 0, 0)]
+        counts = spark.createDataFrame(
+            rows, schema="__b long, __bin int, __c long"
+        )
+        return drift_from_counts(
+            counts, self.baseline_end, self.n_bins, self.metric
+        )
+
+
+def streaming_drift(
+    stream: DataFrame,
+    value_col: str,
+    bucket_secs: int,
+    baseline_end: int,
+    width: int,
+    n_bins: int,
+    checkpoint_dir: str,
+    metric: str = "psi",
+    lo: int = 0,
+    ts_col: str = "ts",
+    trigger_seconds: int | None = None,
+):
+    """Continuous distribution-drift monitor: every micro-batch is
+    binned and aggregated ON THE CLUSTER to its (bucket, bin) delta
+    (the same clamp expression as dist_drift), and only that tiny
+    delta reaches the driver state. Call monitor.snapshot(spark) at
+    any time for the current per-bucket PSI/JSD — exactly what batch
+    dist_drift would report over everything ingested so far.
+
+    Returns (query, monitor).
+    """
+    from go_muse_spark.operators.drift import drift_from_counts  # noqa: F401
+    # validate metric BEFORE the query starts, not mid-stream
+    if metric not in ("psi", "jsd"):
+        raise ValueError(f"metric must be 'psi' or 'jsd', got {metric!r}")
+    if n_bins < 2 or width <= 0:
+        raise ValueError("need n_bins >= 2 and width > 0")
+    monitor = DriftMonitor(baseline_end, n_bins, metric)
+    v = F.col(value_col).cast("long")
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / bucket_secs)
+        * bucket_secs
+    ).cast("long")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = (
+            batch_df.select(bucket.alias("__b"), bin_expr.alias("__bin"))
+            .groupBy("__b", "__bin")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        monitor.merge(delta, epoch_id)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start(), monitor

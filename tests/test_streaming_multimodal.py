@@ -515,3 +515,82 @@ def test_streaming_search_matches_batch_topk(spark, tmp_path):
     ]
     assert got == want
     assert mean > 0
+
+
+def test_streaming_drift_parity_with_batch(spark, tmp_path):
+    """Continuous drift monitor == batch dist_drift, exactly: the
+    (bucket, bin) deltas merge associatively across micro-batches, so
+    the snapshot feeds drift_from_counts the same integers the batch
+    path aggregates in one shot."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from go_muse_spark.operators.drift import dist_drift
+    from go_muse_spark.streaming.ingest import streaming_drift
+
+    rng = random.Random(77)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for day in range(10):
+        shift = 0 if day < 5 else 40  # drift begins day 5
+        for _ in range(200):
+            rows.append(
+                (
+                    t0 + dt.timedelta(days=day, seconds=rng.randint(0, 86399)),
+                    float(rng.randint(0, 60) + shift),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["ts", "value"])
+    src = tmp_path / "src"
+    src.mkdir()
+    static = spark.createDataFrame(pdf, schema="ts timestamp, value double")
+    # three files -> three micro-batches
+    static.repartition(3).write.mode("overwrite").parquet(str(src / "p"))
+
+    baseline_end = int(
+        (t0 + dt.timedelta(days=5))
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+    )
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "p"))
+    q, monitor = streaming_drift(
+        stream,
+        "value",
+        bucket_secs=86400,
+        baseline_end=baseline_end,
+        width=10,
+        n_bins=12,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metric="psi",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        map(tuple, monitor.snapshot(spark).collect())
+    )
+    batch_in = static.select(
+        F.col("value").cast("long").alias("v"),
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("b"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            dist_drift(
+                batch_in, "v", "b", baseline_end, width=10, n_bins=12,
+                metric="psi",
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == 5  # only post-baseline days scored
+    # epoch replay is a no-op
+    before = dict(monitor.counts)
+    monitor.merge([{"__b": 0, "__bin": 0, "__c": 5}], epoch_id=0)
+    assert monitor.counts == before
