@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "kmv_rolling_7d",
     "pacf_1d",
     "ks_drift_1d",
+    "w1_drift_1d",
     "ols_trend_1d",
     "incident_overlap",
     "matrix_profile_1d",
