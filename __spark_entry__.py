@@ -193,7 +193,7 @@ from go_muse_spark.operators.similarity import (
 )
 from go_muse_spark.functions import fakepx as PX
 from go_muse_spark.functions import text as X
-from go_muse_spark.labels import label_id_map
+from go_muse_spark.labels import label_id_map, vector_binop
 from go_muse_spark.session import ship_package
 from go_muse_spark.sources.events import events_as_transcripts, load_table
 
@@ -3625,6 +3625,41 @@ def q_winsorized_mean_1d(spark, sf_dir):
     )
 
 
+def q_vector_ratio_1h(spark, sf_dir):
+    """PromQL vector matching (labels.vector_binop): hourly per-user
+    error ratio as `errors / on(user) totals` over real map-typed
+    dims — the inner join on the canonical label-subset signature +
+    bucket, result carrying only the on-labels, exactly PromQL's
+    one-to-one matching output contract."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+
+    def vec(df):
+        return df.select(
+            F.create_map(
+                F.lit("user"), F.col("user_id").cast("string")
+            ).alias("dims"),
+            "bucket_epoch",
+            "value",
+        )
+
+    errors = ev.where(F.col("event_type") == "error").groupBy(
+        "user_id", hour.alias("bucket_epoch")
+    ).agg(F.count(F.lit(1)).alias("value"))
+    totals = ev.groupBy("user_id", hour.alias("bucket_epoch")).agg(
+        F.count(F.lit(1)).alias("value")
+    )
+    out = vector_binop(
+        vec(errors), vec(totals), "/", on=["user"],
+        extra_on_cols=("bucket_epoch",), strict=False,
+    )
+    return out.select(
+        F.element_at(F.col("dims"), F.lit("user")).alias("user"),
+        "bucket_epoch",
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("ratio_u"),
+    )
+
+
 def q_ks_drift_1d(spark, sf_dir):
     """EXACT two-sample Kolmogorov-Smirnov distance of each day's
     event-value distribution vs the first-week baseline
@@ -3903,6 +3938,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # list. Every entry stays full-sweep green locally
         # (ORACLE_SWEEP_r05.log one-pass + per-addition checks; final
         # full pass in ORACLE_SWEEP_r05_final.log).
+        "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
         "ols_trend_1d": q_ols_trend_1d,
@@ -5392,6 +5428,25 @@ SELECT event_type, bucket_epoch, n, n_wins,
        cast(round(cast(kept + n_wins * lo_cap + n_wins * hi_cap AS double)
             / cast(n AS double)) AS bigint) AS mean_u
 FROM a
+"""
+    # PromQL vector matching: the one-to-one inner join on
+    # (on-signature, bucket); ratio is one bigint/bigint -> double
+    # division in both engines.
+    d["vector_ratio_1h"] = """
+WITH e AS (
+  SELECT cast(user_id AS varchar) AS u,
+         cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS b,
+         cast(count(*) AS bigint) AS c
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+), t AS (
+  SELECT cast(user_id AS varchar) AS u,
+         cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS b,
+         cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT e.u AS "user", e.b AS bucket_epoch,
+       cast(round(e.c / t.c * 1e6) AS bigint) AS ratio_u
+FROM e JOIN t ON e.u = t.u AND e.b = t.b
 """
     # Exact two-sample KS: sup CDF gap as the exact integer
     # max|i*n - j*m| over the distinct-value grid; one division + one

@@ -23,6 +23,7 @@ __all__ = [
     "label_id_map",
     "label_join",
     "label_replace",
+    "vector_binop",
     "distinct_groups",
 ]
 
@@ -139,6 +140,122 @@ def label_join(
             joined != "",
             F.map_concat(without_dst, F.create_map(F.lit(dst), joined)),
         ).otherwise(without_dst),
+    )
+
+
+def vector_binop(
+    left,
+    right,
+    op: str,
+    on: list[str],
+    dims_col: str = "dims",
+    value_col: str = "value",
+    extra_on_cols: tuple[str, ...] = (),
+    group: str = "one",
+    carry: tuple[str, ...] = (),
+    strict: bool = True,
+    out_col: str = "value",
+):
+    """PromQL binary operation between two instant vectors with
+    explicit vector matching — ``l <op> on(l1, ...) [group_left(c...)]
+    r`` — over map-typed dims columns. The last big PromQL surface the
+    engine was missing: every ratio panel (errors / on(user) totals)
+    is this operator.
+
+    Matching: series pair up when their label sets RESTRICTED to the
+    ``on`` labels are equal (canonical label_id_map subset identity —
+    the reference's sorted-k:v skip-missing rule, labels.go:54-66),
+    plus any first-class ``extra_on_cols`` (the time bucket, for
+    per-bucket vectors). The join is INNER, as in PromQL: a series
+    present on one side only drops out.
+
+    group="one" (one-to-one): result carries ONLY the on-labels
+    (PromQL's `on` output labels); with strict=True a driver-side
+    check raises ValueError if either side has duplicate signatures
+    (PromQL's many-to-many eval error). group="left" (many-to-one):
+    the left side may repeat a signature, the right must not; result
+    keeps the FULL left label set, plus any ``carry`` labels copied
+    from the right (group_left(c...)), overwriting on collision.
+
+    strict=True runs one tiny aggregation job per checked side at
+    call time; pass strict=False when uniqueness is guaranteed by
+    construction (e.g. the vectors come out of a groupBy on exactly
+    the on-labels) to keep query construction execution-free.
+
+    Scale shape: one exchange per side on (signature, extra cols) —
+    the standard equi-join; broadcast the right side upstream when it
+    is a small dim table. The op itself is a scalar projection.
+
+    Returns (extra_on_cols..., dims, out_col).
+    """
+    if group not in ("one", "left"):
+        raise ValueError(f"group must be 'one' or 'left', got {group!r}")
+    lsig = label_id_map(F.col(dims_col), list(on))
+    keys = ["__sig", *extra_on_cols]
+
+    def prep(df, val_alias, keep_dims):
+        cols = [lsig.alias("__sig"), *[F.col(c) for c in extra_on_cols],
+                F.col(value_col).alias(val_alias)]
+        if keep_dims:
+            cols.append(F.col(dims_col).alias(f"__dims_{val_alias}"))
+        return df.select(*cols)
+
+    def assert_unique(df, side):
+        dup = (
+            df.select(lsig.alias("__sig"), *extra_on_cols)
+            .groupBy(*keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"vector_binop: duplicate series signature on the "
+                f"{side} side for on={sorted(on)} (PromQL matching "
+                f"error); aggregate first or use group='left'"
+            )
+
+    if strict:
+        assert_unique(right, "right")
+        if group == "one":
+            assert_unique(left, "left")
+
+    l = prep(left, "__l", keep_dims=True)
+    r = prep(right, "__r", keep_dims=(group == "left" and bool(carry)))
+    j = l.join(r, keys)
+    result = F.expr(f"__l {op} __r").alias(out_col)
+
+    on_set = sorted(on)
+    if group == "one":
+        out_dims = F.map_filter(
+            F.col("__dims___l"),
+            lambda k, _v: F.array_contains(
+                F.array(*[F.lit(x) for x in on_set]), k
+            ),
+        )
+    else:
+        out_dims = F.col("__dims___l")
+        if carry:
+            carried = F.map_filter(
+                F.col("__dims___r"),
+                lambda k, _v: F.array_contains(
+                    F.array(*[F.lit(x) for x in carry]), k
+                ),
+            )
+            out_dims = F.map_concat(
+                F.map_filter(
+                    out_dims,
+                    lambda k, _v: ~F.array_contains(
+                        F.array(*[F.lit(x) for x in carry]), k
+                    ),
+                ),
+                carried,
+            )
+    return j.select(
+        *extra_on_cols,
+        out_dims.alias(dims_col),
+        result,
     )
 
 

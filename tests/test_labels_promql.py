@@ -161,3 +161,90 @@ def test_moving_aggregate_spread_matches_numpy_population(spark):
         assert r["win_sumsq"] == sum(v * v for v in win)
         assert np.isclose(r["win_var"], np.var(win))  # population (/n)
         assert np.isclose(r["win_std"], np.std(win))
+
+
+# ----------------------------------------------------- vector_binop
+
+
+def _vec(spark, rows):
+    """rows: (labels dict, bucket, value)."""
+    import pandas as pd
+
+    data = [(d, int(b), int(v)) for d, b, v in rows]
+    return spark.createDataFrame(
+        pd.DataFrame(data, columns=["dims", "bucket_epoch", "value"]),
+        schema="dims map<string,string>, bucket_epoch long, value long",
+    )
+
+
+def test_vector_binop_one_to_one_ratio(spark):
+    from go_muse_spark.labels import vector_binop
+
+    errors = _vec(spark, [
+        ({"user": "a", "dc": "eu"}, 0, 2),
+        ({"user": "b", "dc": "us"}, 0, 5),
+    ])
+    totals = _vec(spark, [
+        ({"user": "a", "job": "web"}, 0, 8),
+        ({"user": "b", "job": "web"}, 0, 10),
+        ({"user": "c", "job": "web"}, 0, 7),  # no left partner: drops
+    ])
+    out = vector_binop(
+        errors, totals, "/", on=["user"],
+        extra_on_cols=("bucket_epoch",),
+    ).collect()
+    got = {r["dims"]["user"]: (dict(r["dims"]), r["value"]) for r in out}
+    # result labels = on-labels only; inner-join semantics
+    assert got == {"a": ({"user": "a"}, 0.25), "b": ({"user": "b"}, 0.5)}
+
+
+def test_vector_binop_strict_duplicate_raises(spark):
+    import pytest as _pytest
+
+    from go_muse_spark.labels import vector_binop
+
+    dup = _vec(spark, [
+        ({"user": "a", "dc": "eu"}, 0, 1),
+        ({"user": "a", "dc": "us"}, 0, 2),  # same on-signature
+    ])
+    one = _vec(spark, [({"user": "a"}, 0, 3)])
+    with _pytest.raises(ValueError, match="duplicate series signature"):
+        vector_binop(dup, one, "+", on=["user"],
+                     extra_on_cols=("bucket_epoch",))
+    # many-to-one is legal with group='left' (left may repeat)
+    out = vector_binop(
+        dup, one, "+", on=["user"], extra_on_cols=("bucket_epoch",),
+        group="left",
+    ).collect()
+    assert sorted(r["value"] for r in out) == [4, 5]
+    # full left label set kept
+    assert all("dc" in r["dims"] for r in out)
+
+
+def test_vector_binop_group_left_carry(spark):
+    from go_muse_spark.labels import vector_binop
+
+    reqs = _vec(spark, [
+        ({"user": "a", "path": "/x"}, 0, 6),
+        ({"user": "a", "path": "/y"}, 0, 4),
+    ])
+    quota = _vec(spark, [({"user": "a", "tier": "gold"}, 0, 2)])
+    out = vector_binop(
+        reqs, quota, "*", on=["user"], extra_on_cols=("bucket_epoch",),
+        group="left", carry=("tier",),
+    ).collect()
+    got = {r["dims"]["path"]: (r["dims"].get("tier"), r["value"]) for r in out}
+    assert got == {"/x": ("gold", 12), "/y": ("gold", 8)}
+
+
+def test_vector_binop_bucket_scoped_matching(spark):
+    from go_muse_spark.labels import vector_binop
+
+    l = _vec(spark, [({"user": "a"}, 0, 1), ({"user": "a"}, 3600, 9)])
+    r = _vec(spark, [({"user": "a"}, 0, 2), ({"user": "a"}, 3600, 3)])
+    out = vector_binop(
+        l, r, "-", on=["user"], extra_on_cols=("bucket_epoch",),
+        strict=False,
+    ).collect()
+    got = {r2["bucket_epoch"]: r2["value"] for r2 in out}
+    assert got == {0: -1, 3600: 6}
