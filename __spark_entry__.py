@@ -3681,7 +3681,7 @@ def q_ks_drift_1d(spark, sf_dir):
         "bucket_epoch",
         "n",
         "m",
-        "d_num",
+        F.col("d_num").cast("long").alias("d_num"),
         F.round(F.col("ks") * 1e6, 0).cast("long").alias("ks_u"),
         F.round(F.col("ks_stat") * 1e6, 0).cast("long").alias("stat_u"),
     )
@@ -3708,7 +3708,7 @@ def q_w1_drift_1d(spark, sf_dir):
         "bucket_epoch",
         "n",
         "m",
-        "w1_num",
+        F.col("w1_num").cast("long").alias("w1_num"),
         F.round(F.col("w1") * 1e6, 0).cast("long").alias("w1_u"),
     )
 

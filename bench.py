@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "pacf_1d",
     "ks_drift_1d",
     "w1_drift_1d",
+    "vector_ratio_1h",
     "ols_trend_1d",
     "incident_overlap",
     "matrix_profile_1d",

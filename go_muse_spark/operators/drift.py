@@ -366,8 +366,13 @@ def ks_drift(
         F.sum("__c").over(wp).alias("__n"),
         (F.lead("__v").over(w) - F.col("__v")).alias("__dv"),
     )
+    # cross-multiplied gap in decimal(38,0): i*n reaches 1e24 when both
+    # samples are ~1e12 rows — far past int64, inside the module's
+    # exact-decimal convention (stats._pearson_from_sums)
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     gap = F.abs(
-        F.col("__i") * F.col("__n") - F.col("__j") * F.col("__m")
+        dd(F.col("__i")) * dd(F.col("__n"))
+        - dd(F.col("__j")) * dd(F.col("__m"))
     )
     agg = (
         run.groupBy("__b")
@@ -376,8 +381,9 @@ def ks_drift(
             F.max("__m").alias("m"),
             F.max(gap).alias("d_num"),
             F.sum(
-                F.when(F.col("__dv").isNotNull(), gap * F.col("__dv"))
-                .otherwise(F.lit(0))
+                F.when(
+                    F.col("__dv").isNotNull(), gap * dd(F.col("__dv"))
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
             ).alias("w1_num"),
         )
         .where(F.col("n") >= F.lit(int(min_points)))
