@@ -165,6 +165,12 @@ from go_muse_spark.operators.terms import (
 )
 from go_muse_spark.operators.arfit import dl_sql_ctes, innov_layers, pacf
 from go_muse_spark.operators.ols import ols3_layers, ols_fit3
+from go_muse_spark.operators.dataquality import (
+    dq_profile,
+    dq_report,
+    dq_sequence,
+    dq_unique,
+)
 from go_muse_spark.operators.dtw import dtw_pairs
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.matrix_profile import (
@@ -3625,6 +3631,33 @@ def q_winsorized_mean_1d(spark, sf_dir):
     )
 
 
+def q_dq_events(spark, sf_dir):
+    """Data-quality gate over the raw event feed (dataquality module):
+    six contract checks — four row-local predicates folded into ONE
+    full-scan aggregate, a duplicate-event_id audit (the bulk form of
+    muse.go Group.Add's duplicate-UID rejection), and the transcript
+    ordering invariant (ts must not run backwards along turn order) —
+    all reported as exact integer ppm."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = dq_profile(
+        ev,
+        {
+            "value_null": "value IS NULL",
+            "value_over_400": "value > 400",
+            "bad_event_type": (
+                "event_type NOT IN "
+                "('click','view','purchase','error','signup')"
+            ),
+            "props_missing": "props IS NULL OR length(props) = 0",
+        },
+    )
+    uniq = dq_unique(ev, ("event_id",))
+    seq = dq_sequence(
+        events_as_transcripts(ev), ("conv_id",), "turn_idx"
+    )
+    return dq_report([prof, uniq, seq])
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -3938,6 +3971,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # list. Every entry stays full-sweep green locally
         # (ORACLE_SWEEP_r05.log one-pass + per-addition checks; final
         # full pass in ORACLE_SWEEP_r05_final.log).
+        "dq_events": q_dq_events,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5432,6 +5466,42 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # DQ gate: four one-pass predicates + dup-key audit + order check,
+    # exact integer ppm (n_viol*1e6 integer-div n_rows) in both engines.
+    d["dq_events"] = """
+WITH prof AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS bigint)
+           AS v_null,
+         cast(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS bigint)
+           AS v_over,
+         cast(sum(CASE WHEN event_type NOT IN
+             ('click','view','purchase','error','signup')
+             THEN 1 ELSE 0 END) AS bigint) AS v_type,
+         cast(sum(CASE WHEN props IS NULL OR length(props) = 0
+             THEN 1 ELSE 0 END) AS bigint) AS v_props
+  FROM events
+), uniq AS (
+  SELECT cast(sum(c) AS bigint) AS n, cast(sum(c - 1) AS bigint) AS v
+  FROM (SELECT count(*) AS c FROM events GROUP BY event_id)
+), seq AS (
+  SELECT cast(count(*) AS bigint) AS n,
+         cast(sum(CASE WHEN prev IS NOT NULL AND ts < prev
+             THEN 1 ELSE 0 END) AS bigint) AS v
+  FROM (SELECT ts, lag(ts) OVER (
+          PARTITION BY user_id ORDER BY event_id) AS prev FROM events)
+), allrows AS (
+  SELECT 'value_null' AS "check", n, v_null AS n_viol FROM prof
+  UNION ALL SELECT 'value_over_400', n, v_over FROM prof
+  UNION ALL SELECT 'bad_event_type', n, v_type FROM prof
+  UNION ALL SELECT 'props_missing', n, v_props FROM prof
+  UNION ALL SELECT 'dup_key', n, v FROM uniq
+  UNION ALL SELECT 'ts_order_regression', n, v FROM seq
+)
+SELECT "check", n AS n_rows, n_viol,
+       CASE WHEN n > 0 THEN (n_viol * 1000000) // n ELSE 0 END AS ppm
+FROM allrows
+"""
     d["vector_ratio_1h"] = """
 WITH e AS (
   SELECT cast(user_id AS varchar) AS u,
