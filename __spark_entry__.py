@@ -132,6 +132,7 @@ from go_muse_spark.operators.stats import (
     linear_fit,
     seasonal_anomaly,
     mad_outliers,
+    hampel,
     seasonal_profile,
     cusum_changepoint,
     period_delta,
@@ -3658,6 +3659,22 @@ def q_dq_events(spark, sf_dir):
     return dq_report([prof, uniq, seq])
 
 
+def q_hampel_25_1h(spark, sf_dir):
+    """Hampel despike over per-user hourly traffic (stats.hampel): a
+    centered 25-observation rolling LOW-median + rolling MAD flag
+    |x - med| > 3*1.4826*MAD, the exact-rational 44478/10000 integer
+    comparison — the rolling robust complement to the global
+    mad_outliers. Full windows only; NULL verdicts at series edges."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.groupBy(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    return hampel(
+        r, "turn_cnt", 25, by=("user_id",), quant=1
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -3972,6 +3989,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ORACLE_SWEEP_r05.log one-pass + per-addition checks; final
         # full pass in ORACLE_SWEEP_r05_final.log).
         "dq_events": q_dq_events,
+        "hampel_25_1h": q_hampel_25_1h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5466,6 +5484,38 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Hampel: rolling low-median + rolling MAD over observed hourly
+    # buckets; the list-window + rank-pick convention shared verbatim.
+    d["hampel_25_1h"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT user_id, bucket_ts, v,
+         list_sort(list(v) OVER (
+           PARTITION BY user_id ORDER BY bucket_ts
+           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)) AS w
+  FROM r
+), m AS (
+  SELECT user_id, bucket_ts, v, w,
+         CASE WHEN len(w) = 25 THEN w[(len(w) + 1) // 2] END AS med_q
+  FROM a
+), dd AS (
+  SELECT user_id, bucket_ts, v, med_q,
+         CASE WHEN med_q IS NOT NULL THEN
+           list_sort(list_transform(w, e -> abs(e - med_q)))
+             [(len(w) + 1) // 2]
+         END AS mad_q
+  FROM m
+)
+SELECT user_id, bucket_ts, v AS val_q, med_q, mad_q,
+       CASE WHEN mad_q IS NOT NULL THEN
+         cast(10000 * abs(v - med_q) > 44478 * mad_q AS int)
+       END AS is_outlier
+FROM dd
+"""
     # DQ gate: four one-pass predicates + dup-key audit + order check,
     # exact integer ppm (n_viol*1e6 integer-div n_rows) in both engines.
     d["dq_events"] = """

@@ -43,6 +43,7 @@ __all__ = [
     "autocorr_lags",
     "seasonal_profile",
     "mad_outliers",
+    "hampel",
     "inter_arrival_stats",
     "seasonal_anomaly",
     "linear_fit",
@@ -2035,4 +2036,101 @@ def kendall_tau(
             "s_stat",
             (F.col("s_stat").cast("double") / den).alias("tau_b"),
         )
+    )
+
+
+def hampel(
+    rolled: DataFrame,
+    value_col: str,
+    window_buckets: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    k_num: int = 44478,
+    k_den: int = 10000,
+    quant: int = 1000,
+) -> DataFrame:
+    """Hampel filter: ROLLING robust outlier detection — per series, a
+    centered window of ``window_buckets`` observations yields a rolling
+    low-median and rolling MAD, and the point is an outlier when
+
+        k_den * |x - med| > k_num * MAD
+
+    (default k_num/k_den = 44478/10000 = 3 x 1.4826, the classic
+    "3 sigma" with the Gaussian MAD-to-sigma factor, carried as an
+    exact rational so the comparison is pure int64). This is the
+    despike pass run before gap-fill/decompose on ops series: unlike
+    the global ``mad_outliers`` it adapts to level shifts — a value
+    normal for January but absurd for one quiet Sunday hour flags.
+
+    Median convention: LOW median (1-based rank (n+1) div 2 of the
+    sorted window), the module's standard rank pick — an actual data
+    value, no interpolation, identical in any engine. Values are
+    quantized to 1/``quant`` units (int64); every comparison is
+    integer. Windows are over OBSERVED buckets (rows frame): gap-fill
+    first if strict time adjacency matters (tier convention).
+
+    Only FULL windows judge: the first/last ``window_buckets div 2``
+    points of each series emit NULL med/mad/is_outlier rather than a
+    verdict from a truncated window whose breakdown point collapses.
+
+    Scale shape: ONE exchange on the series key, one window sort; the
+    window materializes per row as a sorted int64 array of length
+    ``window_buckets`` (map-side, O(w log w) per row, w is 25ish —
+    no second shuffle, no self-join, memory bounded by w not series
+    length). The two medians are array element picks on that array.
+
+    Returns (by..., bucket_col, val_q, med_q, mad_q, is_outlier) with
+    *_q in quantized units.
+    """
+    if window_buckets < 3 or window_buckets % 2 == 0:
+        raise ValueError("window_buckets must be odd and >= 3")
+    half = window_buckets // 2
+    vq = (
+        F.expr(f"cast(round({value_col} * {int(quant)}) as bigint)")
+        if quant != 1
+        else F.col(value_col).cast("long")
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(bucket_col))
+        .rowsBetween(-half, half)
+    )
+    base = rolled.select(*by, bucket_col, vq.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    arred = base.select(
+        *by,
+        bucket_col,
+        "__v",
+        F.sort_array(F.collect_list("__v").over(w)).alias("__w"),
+    ).withColumn(
+        "med_q",
+        F.when(
+            F.size("__w") == F.lit(int(window_buckets)),
+            F.expr("element_at(__w, cast((size(__w) + 1) div 2 as int))"),
+        ),
+    )
+    out = arred.withColumn(
+        "mad_q",
+        F.when(
+            F.col("med_q").isNotNull(),
+            F.expr(
+                "element_at(array_sort(transform(__w,"
+                " e -> abs(e - med_q))),"
+                " cast((size(__w) + 1) div 2 as int))"
+            ),
+        ),
+    )
+    dev = F.abs(F.col("__v") - F.col("med_q"))
+    return out.select(
+        *by,
+        bucket_col,
+        F.col("__v").alias("val_q"),
+        "med_q",
+        "mad_q",
+        F.when(
+            F.col("mad_q").isNotNull(),
+            (F.lit(int(k_den)) * dev > F.lit(int(k_num)) * F.col("mad_q"))
+            .cast("int"),
+        ).alias("is_outlier"),
     )
