@@ -164,7 +164,12 @@ from go_muse_spark.operators.terms import (
     unigram_logprob,
     pmi_pairs,
 )
-from go_muse_spark.operators.arfit import dl_sql_ctes, innov_layers, pacf
+from go_muse_spark.operators.arfit import (
+    dl_sql_ctes,
+    dominant_period,
+    innov_layers,
+    pacf,
+)
 from go_muse_spark.operators.ols import ols3_layers, ols_fit3
 from go_muse_spark.operators.dataquality import (
     dq_profile,
@@ -3675,6 +3680,24 @@ def q_hampel_25_1h(spark, sf_dir):
     )
 
 
+def q_period_detect_1h(spark, sf_dir):
+    """Dominant-period hunt (arfit.dominant_period): per user, the
+    hourly-bucket lag in [2, 36] with the largest biased
+    autocovariance — the argmax settled entirely in exact scaled
+    integers (decimal/HUGEINT C_k), ties to the smallest lag; the one
+    double division (rho = C_best/C_0) happens after the winner is
+    decided. A daily-periodic user reads best_lag = 24."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = dominant_period(hourly, "turn_cnt", 2, 36)
+    return out.select(
+        F.col("conv_id").alias("user_id"), "n", "best_lag", "rho_u"
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -3990,6 +4013,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full pass in ORACLE_SWEEP_r05_final.log).
         "dq_events": q_dq_events,
         "hampel_25_1h": q_hampel_25_1h,
+        "period_detect_1h": q_period_detect_1h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5484,6 +5508,60 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Dominant period: same HUGEINT C_k covariances as the pacf
+    # oracle; the argmax is decided by integer ORDER BY (c DESC,
+    # k ASC), division to rho only on the winning row.
+    _pd_lags = ", ".join(
+        f"lag(v, {k}) OVER w AS l{k}" for k in range(2, 37)
+    )
+    _pd_sums = ", ".join(
+        f"cast(sum(cast(x AS HUGEINT) * l{k}) AS HUGEINT) AS s{k}, "
+        f"cast(sum(l{k}) AS HUGEINT) AS a{k}, "
+        f"cast(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS HUGEINT)"
+        f" AS b{k}"
+        for k in range(2, 37)
+    )
+    _pd_cs = ", ".join(
+        f"n*n*s{k} - n*sx*(a{k}+b{k}) + (n-{k})*sx*sx AS c_{k}"
+        for k in range(2, 37)
+    )
+    _pd_unpivot = " UNION ALL ".join(
+        f"SELECT u, n, c_0, cast({k} AS bigint) AS k, c_{k} AS c FROM f"
+        for k in range(2, 37)
+    )
+    d["period_detect_1h"] = f"""
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('hour', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), lg AS (
+  SELECT u, v AS x, {_pd_lags}
+  FROM r WINDOW w AS (PARTITION BY u ORDER BY b)
+), g AS (
+  SELECT u, cast(count(*) AS HUGEINT) AS n,
+         cast(sum(x) AS HUGEINT) AS sx,
+         cast(sum(cast(x AS HUGEINT) * x) AS HUGEINT) AS s0,
+         {_pd_sums}
+  FROM lg GROUP BY 1
+), gc AS (
+  SELECT u, n, sx,
+         n*n*s0 - n*sx*(sx+sx) + n*sx*sx AS c_0, {_pd_cs}
+  FROM g
+), f AS (
+  SELECT * FROM gc WHERE n >= 40 AND c_0 > 0
+), up AS (
+  {_pd_unpivot}
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY u ORDER BY c DESC, k ASC) AS rn
+  FROM up
+)
+SELECT u AS user_id, cast(n AS bigint) AS n, k AS best_lag,
+       cast(round(cast(c AS double) / cast(c_0 AS double) * 1e6)
+         AS bigint) AS rho_u
+FROM ranked WHERE rn = 1
+"""
     # Hampel: rolling low-median + rolling MAD over observed hourly
     # buckets; the list-window + rank-pick convention shared verbatim.
     d["hampel_25_1h"] = """

@@ -59,7 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dl_layers", "dl_sql_ctes", "innov_layers", "pacf"]
+__all__ = ["dl_layers", "dl_sql_ctes", "innov_layers", "pacf", "dominant_period"]
 
 MAX_LAG_CAP = 12
 
@@ -237,4 +237,118 @@ def pacf(
     return out.select(
         *by, "n", "__p.k", "__p.rho", "__p.pacf", "__p.ar_coef",
         "__p.innov_ratio",
+    )
+
+
+def dominant_period(
+    rolled: DataFrame,
+    value_col: str,
+    min_lag: int,
+    max_lag: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int | None = None,
+) -> DataFrame:
+    """Dominant-period detection: per series, the bucket lag in
+    ``[min_lag, max_lag]`` with the LARGEST biased autocovariance —
+    "does this user breathe daily or weekly?" answered as an argmax
+    over the same exact scaled-integer C_k the PACF path carries
+    (module docstring formula), so the winning lag is decided by pure
+    integer comparison: NO float argmax, no cross-engine ulp coin
+    flips at near-ties. Ties break to the SMALLEST lag (the
+    fundamental beats its harmonics when they measure equal).
+
+    ``min_lag`` exists because C_1 (plain persistence) dominates any
+    autocorrelated series; a seasonality hunt starts past the
+    short-lag shoulder (e.g. 2..36 on an hourly tier to find the
+    24-bucket day).
+
+    The reported strength is rho = C_best / C_0 — the one double
+    division, after the argmax is already settled in integers.
+
+    Positional lags over observed buckets (dense-spine convention of
+    this module): gap-fill first if the tier has holes, or adjacent
+    positions splice across gaps.
+
+    Scale shape: identical to pacf — one exchange on the series key,
+    one window sort emitting the K lag columns, one map-side-combined
+    aggregate to a row per series; the argmax is a scalar array_max
+    over K struct literals on that tiny table. No unrolled recursion,
+    so max_lag is NOT capped at 12 here — K only widens one window
+    projection and one aggregate, 3 columns per lag.
+
+    Returns (by..., n, best_lag, rho_u is round(1e6*rho)).
+    """
+    if not 1 <= min_lag <= max_lag:
+        raise ValueError("need 1 <= min_lag <= max_lag")
+    if min_points is None:
+        min_points = max_lag + 4
+    if min_points <= max_lag + 1:
+        raise ValueError("min_points must exceed max_lag + 1")
+
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*by).orderBy(
+        F.col(bucket_col).cast("timestamp")
+    )
+    lags = list(range(min_lag, max_lag + 1))
+    lagged = rolled.select(
+        *by,
+        v.alias("__x"),
+        *[F.lag(v, k).over(w).alias(f"__l{k}") for k in lags],
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    x = F.col("__x")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(d(x) * d(x)).alias("s0"),
+    ]
+    for k in lags:
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.sum(d(x) * d(lk)).alias(f"s{k}"),
+            F.sum(F.when(lk.isNotNull(), x)).alias(f"b{k}"),
+            F.sum(lk).alias(f"a{k}"),
+        ]
+    g = lagged.groupBy(*by).agg(*aggs)
+
+    n, sx = d(F.col("n")), d(F.col("sx"))
+    g = g.withColumn("c_0", n * n * F.col("s0") - n * sx * (sx + sx) + n * sx * sx)
+    for k in lags:
+        g = g.withColumn(
+            f"c_{k}",
+            n * n * F.col(f"s{k}")
+            - n * sx * (d(F.col(f"a{k}")) + d(F.col(f"b{k}")))
+            + (n - F.lit(k)) * sx * sx,
+        )
+    g = g.where(
+        (F.col("n") >= F.lit(int(min_points))) & (F.col("c_0") > F.lit(0))
+    )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"c_{k}").alias("c"),
+                    F.lit(-k).alias("nk"),
+                )
+                for k in lags
+            ]
+        )
+    ).alias("__best")
+    out = g.select(*by, F.col("n").cast("long").alias("n"), "c_0", best)
+    return out.select(
+        *by,
+        "n",
+        (-F.col("__best.nk")).cast("long").alias("best_lag"),
+        F.round(
+            F.col("__best.c").cast("double")
+            / F.col("c_0").cast("double")
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("rho_u"),
     )
