@@ -208,6 +208,7 @@ from go_muse_spark.functions import text as X
 from go_muse_spark.labels import label_id_map, vector_binop
 from go_muse_spark.session import ship_package
 from go_muse_spark.sources.events import events_as_transcripts, load_table
+from go_muse_spark.sources.store import snapshot_diff
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -3698,6 +3699,31 @@ def q_period_detect_1h(spark, sf_dir):
     )
 
 
+def q_cdc_1h_tier(spark, sf_dir):
+    """Row-level CDC between two snapshots of the hourly tier
+    (store.snapshot_diff): the old snapshot is the tier as of a
+    mid-hour watermark, the new is the full span — INSERTs are the
+    post-watermark buckets, UPDATEs the straddled in-flight hour
+    (exactly what a continuous-aggregate MERGE touches), unchanged
+    buckets drop before materializing. One full-outer sort-merge join
+    on the tier's own bucketing key."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 12:30:00").cast("timestamp")
+
+    def tier(df):
+        return df.groupBy(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+
+    return snapshot_diff(
+        tier(ev.where(F.col("ts") < cut)),
+        tier(ev),
+        ("user_id", "bucket_ts"),
+        ("turn_cnt",),
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4014,6 +4040,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_events": q_dq_events,
         "hampel_25_1h": q_hampel_25_1h,
         "period_detect_1h": q_period_detect_1h,
+        "cdc_1h_tier": q_cdc_1h_tier,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5508,6 +5535,32 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # CDC: presence tracked by join-side markers, NULL-safe value
+    # compare (IS DISTINCT FROM), unchanged keys dropped pre-output.
+    d["cdc_1h_tier"] = """
+WITH o AS (
+  SELECT cast(user_id AS varchar) AS u, date_trunc('hour', ts) AS b,
+         cast(count(*) AS bigint) AS c
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 12:30:00' GROUP BY 1, 2
+), n AS (
+  SELECT cast(user_id AS varchar) AS u, date_trunc('hour', ts) AS b,
+         cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(o.u, n.u) AS user_id,
+         coalesce(o.b, n.b) AS bucket_ts,
+         o.c AS oc, n.c AS nc,
+         o.u IS NOT NULL AS op_, n.u IS NOT NULL AS np_
+  FROM o FULL OUTER JOIN n ON o.u = n.u AND o.b = n.b
+)
+SELECT user_id, bucket_ts,
+       CASE WHEN NOT op_ THEN 'I' WHEN NOT np_ THEN 'D'
+            WHEN oc IS DISTINCT FROM nc THEN 'U' END AS op,
+       oc AS old_turn_cnt, nc AS new_turn_cnt
+FROM j
+WHERE (CASE WHEN NOT op_ THEN 'I' WHEN NOT np_ THEN 'D'
+            WHEN oc IS DISTINCT FROM nc THEN 'U' END) IS NOT NULL
+"""
     # Dominant period: same HUGEINT C_k covariances as the pacf
     # oracle; the argmax is decided by integer ORDER BY (c DESC,
     # k ASC), division to rho only on the winning row.

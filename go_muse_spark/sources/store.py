@@ -29,7 +29,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["ParquetTableStore", "iceberg_available", "IcebergTableStore"]
+__all__ = ["ParquetTableStore", "iceberg_available", "IcebergTableStore", "snapshot_diff"]
 
 CHECKPOINT_SCHEMA = (
     "run_id string, table string, part string, watermark_ts timestamp, "
@@ -424,3 +424,65 @@ class IcebergTableStore:
         self.spark.sql(
             self.retention_sql(self._fq(table), cutoff, partition_col)
         )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...],
+    compare_cols: tuple[str, ...],
+) -> DataFrame:
+    """CDC between two snapshots of a keyed table: classify every key
+    as INSERT ('I', in new only), DELETE ('D', in old only), UPDATE
+    ('U', in both with any compare column changed) — unchanged keys
+    are dropped. This is the changelog an Iceberg
+    `changelog`/`create_changelog_view` procedure emits between two
+    snapshot ids, computed here from the snapshots themselves, so the
+    same audit runs against the sandbox ParquetTableStore swaps: "what
+    did last night's MERGE actually do to the 1h tier?" answered as
+    a row-level diff instead of trust.
+
+    Comparison is NULL-SAFE (<=>): NULL -> value and value -> NULL
+    are updates, NULL -> NULL is unchanged. Presence is tracked with
+    explicit marker columns, not key nullness, so NULL key parts
+    behave like groupBy keys rather than silently becoming inserts.
+
+    Scale shape: ONE full-outer sort-merge join on the key columns —
+    both sides shuffle on exactly the tier's bucketing key, so on a
+    bucketed/partitioned tier AQE elides both exchanges; nothing else
+    shuffles. Unchanged keys (the overwhelming majority between
+    adjacent snapshots) are filtered BEFORE the output materializes.
+
+    Returns (keys..., op, old_<c>, new_<c> for each compare col) with
+    the old_/new_ sides NULL on 'I'/'D' rows respectively.
+    """
+    if not keys or not compare_cols:
+        raise ValueError("need key and compare columns")
+    o = old.select(
+        *keys,
+        F.lit(1).alias("__op"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(1).alias("__np"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on=list(keys), how="full_outer")
+    changed = None
+    for c in compare_cols:
+        diff = ~(F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")))
+        changed = diff if changed is None else (changed | diff)
+    op = (
+        F.when(F.col("__op").isNull(), F.lit("I"))
+        .when(F.col("__np").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [f"old_{c}" for c in compare_cols] + [
+        f"new_{c}" for c in compare_cols
+    ]
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(*keys, "op", *out_cols)
+    )
