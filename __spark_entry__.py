@@ -178,6 +178,7 @@ from go_muse_spark.operators.dataquality import (
     dq_unique,
 )
 from go_muse_spark.operators.dtw import dtw_pairs
+from go_muse_spark.operators.layout import layout_audit, layout_audit_sql
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.matrix_profile import (
     matrix_profile,
@@ -3724,6 +3725,26 @@ def q_cdc_1h_tier(spark, sf_dir):
     )
 
 
+def q_zorder_audit(spark, sf_dir):
+    """Z-order vs time-linear file layout, audited as data
+    (layout.layout_audit): Morton-interleave (user, hour) into one
+    sort key via pure-arithmetic shared SQL text, split the key space
+    into 64 'files', and decide per-file pruning for a 2-D probe box
+    from aggregated min/max only — the manifest-stats skipping story
+    a 100 TB tier lives on, made measurable (z prunes on BOTH dims,
+    the time-sorted baseline only on time)."""
+    ev = load_table(spark, sf_dir, "events")
+    sel = ev.select(
+        (F.col("user_id") % 1024).cast("int").alias("a"),
+        (F.floor(F.unix_timestamp("ts") / 3600) - 473352)
+        .cast("int")
+        .alias("b"),
+    )
+    return layout_audit(
+        sel, "a", "b", (100, 300, 200, 400), bits=10, n_files=64
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4041,6 +4062,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel_25_1h": q_hampel_25_1h,
         "period_detect_1h": q_period_detect_1h,
         "cdc_1h_tier": q_cdc_1h_tier,
+        "zorder_audit": q_zorder_audit,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5535,6 +5557,18 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Z-order audit: the Morton key is the same arithmetic text in
+    # both engines (layout.zorder_sql), so file ids and pruning
+    # verdicts replay exactly.
+    d["zorder_audit"] = layout_audit_sql(
+        "SELECT cast(user_id % 1024 AS int) AS a, "
+        "cast(floor(epoch(ts) / 3600) - 473352 AS int) AS b FROM events",
+        "a",
+        "b",
+        (100, 300, 200, 400),
+        bits=10,
+        n_files=64,
+    )
     # CDC: presence tracked by join-side markers, NULL-safe value
     # compare (IS DISTINCT FROM), unchanged keys dropped pre-output.
     d["cdc_1h_tier"] = """
