@@ -158,6 +158,8 @@ from go_muse_spark.operators.freqsketch import (
 )
 from go_muse_spark.operators.freqsketch import cells_sql as _cm_cells_sql
 from go_muse_spark.operators.terms import (
+    bm25_expr,
+    bm25_topk,
     ngram_diversity,
     repetition_ratio,
     tfidf_top_terms,
@@ -3745,6 +3747,24 @@ def q_zorder_audit(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (terms.bm25_topk): top-10 docs for
+    a 4-term query — tf saturation (k1=1.2) + length normalization
+    (b=0.75), the score tree shared as one expression text so both
+    engines produce identical doubles; the per-doc sum folds in TERM
+    order, never shuffle order."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    out = bm25_topk(
+        docs, ("hash", "join", "spark", "vector"), n_docs, k=10
+    )
+    return out.select(
+        "doc_id",
+        "n_hit",
+        F.round(F.col("score") * 1e6, 0).cast("long").alias("score_u"),
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4063,6 +4083,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_detect_1h": q_period_detect_1h,
         "cdc_1h_tier": q_cdc_1h_tier,
         "zorder_audit": q_zorder_audit,
+        "bm25_topk": q_bm25_topk,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5557,6 +5578,38 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # BM25: the scorer is the SAME expression text (terms.bm25_expr
+    # with N symbolic); the per-doc float sum is ordered by term in
+    # both engines, so the ranking floats are bit-identical.
+    _bm25 = bm25_expr("n_docs")
+    d["bm25_topk"] = f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+         text
+  FROM documents
+), tl AS (SELECT sum(dl) AS total_len FROM base),
+tok AS (
+  SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM base
+), tf AS (
+  SELECT doc_id, dl, term, cast(count(*) AS bigint) AS tf
+  FROM tok WHERE term IN ('hash', 'join', 'spark', 'vector')
+  GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1
+), s AS (
+  SELECT tf.doc_id, tf.term, {_bm25} AS s
+  FROM tf JOIN dfq USING (term) CROSS JOIN n CROSS JOIN tl
+), a AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS n_hit,
+         sum(s ORDER BY term) AS score
+  FROM s GROUP BY 1
+)
+SELECT doc_id, n_hit,
+       cast(round(score * 1e6) AS bigint) AS score_u
+FROM a ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     # Z-order audit: the Morton key is the same arithmetic text in
     # both engines (layout.zorder_sql), so file ids and pruning
     # verdicts replay exactly.

@@ -30,6 +30,8 @@ __all__ = [
     "pmi_pairs",
     "ngram_diversity",
     "unigram_logprob",
+    "bm25_expr",
+    "bm25_topk",
     "repetition_ratio",
 ]
 
@@ -297,3 +299,114 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def bm25_expr(n_expr, k1_pct: int = 120, b_pct: int = 75) -> str:
+    """Okapi BM25 per-(doc, term) contribution as ONE dialect-neutral
+    SQL scalar over exact integer inputs (tf, df, dl, total_len) —
+    the Lucene-style idf ln(1 + (N-df+0.5)/(df+0.5)), k1/b carried as
+    exact percent rationals. Both engines evaluate this identical
+    IEEE tree (the pmi/unigram_logprob precedent: ln is the only
+    libm call, divisions on identical operands), so scores replay
+    bit-for-bit and contract queries can round at 1e-6.
+
+    ``n_expr`` is the corpus-size N as SQL text — a literal on the
+    Spark side, a scalar subquery/CTE column in an oracle; identical
+    VALUES give identical trees either way. avgdl never materializes:
+    dl/avgdl is written dl*N/total_len so every operand stays an
+    exact int64 before the one division.
+    """
+    n = str(n_expr)
+    k1 = f"({k1_pct}.0 / 100.0)"
+    b = f"({b_pct}.0 / 100.0)"
+    idf = (
+        f"ln(1.0 + (cast(({n}) - df as double) + 0.5)"
+        f" / (cast(df as double) + 0.5))"
+    )
+    denom = (
+        f"(cast(tf as double) + {k1} * (1.0 - {b}"
+        f" + {b} * cast(dl as double) * cast(({n}) as double)"
+        f" / cast(total_len as double)))"
+    )
+    return (
+        f"{idf} * (cast(tf as double) * ({k1} + 1.0)) / {denom}"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    n_docs: int,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+    k1_pct: int = 120,
+    b_pct: int = 75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval of the top-k documents for a bag of
+    query terms — the lexical-search baseline every training-corpus
+    curation loop runs next to its embedding ANN ("find me documents
+    about X" without a model in the loop). tf saturates via k1 and
+    long documents are penalized via b, which is what separates this
+    from the tf-idf ranker above.
+
+    Scale shape: the token explode filters to the query terms BEFORE
+    aggregating, so the tf table is O(docs containing a query term),
+    not O(corpus tokens); df is a per-term aggregate of that same
+    tiny table, broadcast back; dl (per-doc token count) is a
+    map-side array size, no explode. The final top-k is
+    orderBy(score desc, id).limit(k) — TakeOrderedAndProject, one
+    reduce, no full sort. Ties at equal score break to id ascending.
+
+    Returns (id_col, n_hit, score) — score the summed BM25, n_hit how
+    many distinct query terms matched.
+    """
+    if not query_terms:
+        raise ValueError("need at least one query term")
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    base = docs.select(
+        id_col,
+        F.expr(
+            f"size(filter(split({text_col}, '{sep}'), x -> x != ''))"
+        ).alias("dl"),
+        F.filter(
+            F.split(F.col(text_col), sep),
+            lambda x: F.array_contains(qlit, x),
+        ).alias("__hits"),
+    )
+    tl = base.select(F.sum("dl").alias("total_len"))
+    tf = (
+        base.select(id_col, "dl", F.explode("__hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(tl))
+        .withColumn(
+            "__s", F.expr(bm25_expr(int(n_docs), k1_pct, b_pct))
+        )
+    )
+    # order-deterministic float sum: fold the per-term contributions
+    # in TERM order (sorted struct array), never shuffle-arrival order
+    # — the oracle replays sum(s ORDER BY term), the identical
+    # left-associated chain (0.0 + s1 == s1 exactly)
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("term").alias("t"), F.col("__s").alias("s")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score"),
+    )
+    return agg.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(int(k))
