@@ -3643,29 +3643,30 @@ def q_winsorized_mean_1d(spark, sf_dir):
 
 def q_dq_events(spark, sf_dir):
     """Data-quality gate over the raw event feed (dataquality module):
-    six contract checks — four row-local predicates folded into ONE
-    full-scan aggregate, a duplicate-event_id audit (the bulk form of
-    muse.go Group.Add's duplicate-UID rejection), and the transcript
-    ordering invariant (ts must not run backwards along turn order) —
-    all reported as exact integer ppm."""
+    six contract checks in TWO scans — four row-local predicates
+    fused into the same pass as the transcript ordering invariant
+    (ts must not run backwards along turn order), plus a duplicate-
+    event_id audit (the bulk form of muse.go Group.Add's
+    duplicate-UID rejection) — all reported as exact integer ppm."""
     ev = load_table(spark, sf_dir, "events")
-    prof = dq_profile(
-        ev,
-        {
+    # profile predicates ride the sequence pass (transcript column
+    # names: role=event_type, text=props) — 2 scans total, not 3
+    seq = dq_sequence(
+        events_as_transcripts(ev),
+        ("conv_id",),
+        "turn_idx",
+        extra_checks={
             "value_null": "value IS NULL",
             "value_over_400": "value > 400",
             "bad_event_type": (
-                "event_type NOT IN "
+                "role NOT IN "
                 "('click','view','purchase','error','signup')"
             ),
-            "props_missing": "props IS NULL OR length(props) = 0",
+            "props_missing": "text IS NULL OR length(text) = 0",
         },
     )
     uniq = dq_unique(ev, ("event_id",))
-    seq = dq_sequence(
-        events_as_transcripts(ev), ("conv_id",), "turn_idx"
-    )
-    return dq_report([prof, uniq, seq])
+    return dq_report([seq, uniq])
 
 
 def q_hampel_25_1h(spark, sf_dir):

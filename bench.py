@@ -44,6 +44,14 @@ from go_muse_spark.session import get_bench_spark  # noqa: E402
 from go_muse_spark.sources.transcripts import write_transcripts  # noqa: E402
 
 BENCH_QUERIES = [
+    # round-5 fourth sweep (DQ gate / rolling-robust / period argmax /
+    # snapshot CDC / layout audit / BM25)
+    "dq_events",
+    "hampel_25_1h",
+    "period_detect_1h",
+    "cdc_1h_tier",
+    "zorder_audit",
+    "bm25_topk",
     # round-5 third sweep (one representative per new family; the
     # same-shaped siblings — jsd/state_entropy/kendall_xy — track them)
     "psi_drift_1d",

@@ -148,6 +148,7 @@ def dq_sequence(
     order_col: str,
     ts_col: str = "ts",
     check: str = "ts_order_regression",
+    extra_checks: dict[str, str] | None = None,
 ) -> DataFrame:
     """Count rows whose event time runs backwards relative to the
     declared ordering: within each ``by`` series ordered by
@@ -155,7 +156,15 @@ def dq_sequence(
     timestamps are fine; ties in time at distinct sequence positions
     are legal in the transcript contract). First row per series has
     no predecessor and cannot violate.
+
+    ``extra_checks`` (dq_profile-style row-local predicates) ride the
+    SAME pass: their flags are projected next to the lag window and
+    fold into the same one-row aggregate — at 100 TB the scan is the
+    dominant cost, so a gate that needs both families should pay for
+    it once, not once per family. Output rows: the sequence check
+    first, then the extras in dict order.
     """
+    extra_checks = extra_checks or {}
     w = Window.partitionBy(*by).orderBy(F.col(order_col))
     prev = F.lag(F.col(ts_col)).over(w)
     flagged = df.select(
@@ -163,13 +172,39 @@ def dq_sequence(
             prev.isNotNull() & (F.col(ts_col) < prev), F.lit(1)
         )
         .otherwise(F.lit(0))
-        .alias("__v")
+        .alias("__v0"),
+        *[
+            F.when(F.expr(expr) == F.lit(True), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(f"__v{i + 1}")
+            for i, expr in enumerate(extra_checks.values())
+        ],
     )
-    tot = flagged.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("__v").alias("n_viol"),
-    ).select(F.lit(check).alias("check"), "n_rows", "n_viol")
-    return _finish(tot)
+    names = [check, *extra_checks.keys()]
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(f"__v{i}").alias(f"__s{i}")
+            for i in range(len(names))
+        ],
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        F.col("__n").alias("n_rows"),
+                        F.coalesce(F.col(f"__s{i}"), F.lit(0)).alias(
+                            "n_viol"
+                        ),
+                    )
+                    for i, name in enumerate(names)
+                ]
+            )
+        ).alias("__c")
+    ).select("__c.check", "__c.n_rows", "__c.n_viol")
+    return _finish(rows)
 
 
 def dq_report(parts: list[DataFrame]) -> DataFrame:

@@ -86,49 +86,63 @@ def layout_audit(
 
     The pruned column is decided from the AGGREGATED min/max only —
     the same information a manifest holds — never from row data.
+
+    ONE scan audits both layouts: each row explodes into its two
+    (layout, file_id) assignments map-side, and the single hash
+    aggregate's map-side partials shrink the shuffle to at most
+    2 x n_files rows per task — a union of two per-layout jobs would
+    read the table twice for the same answer.
     """
     a_lo, a_hi, b_lo, b_hi = (int(x) for x in probe)
     z = F.expr(zorder_sql("spark", a_col, b_col, bits))
     # one shared width: both keys live in the same 2*bits space, so
     # both layouts split into the same file count
     w = interleave_width(bits, n_files)
-
-    def audit(layout: str, key) -> DataFrame:
-        keyed = df.select(
-            F.col(a_col).alias("__a"),
-            F.col(b_col).alias("__b"),
-            key.alias("__k"),
-        )
-        per_file = keyed.groupBy(
-            F.expr(f"__k div {w}").cast("long").alias("file_id")
-        ).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("__a").cast("long").alias("min_a"),
-            F.max("__a").cast("long").alias("max_a"),
-            F.min("__b").cast("long").alias("min_b"),
-            F.max("__b").cast("long").alias("max_b"),
-        )
-        pruned = (
-            (F.col("max_a") < F.lit(a_lo))
-            | (F.col("min_a") > F.lit(a_hi))
-            | (F.col("max_b") < F.lit(b_lo))
-            | (F.col("min_b") > F.lit(b_hi))
-        ).cast("int")
-        return per_file.select(
-            F.lit(layout).alias("layout"),
-            "file_id",
-            "n_rows",
-            "min_a",
-            "max_a",
-            "min_b",
-            "max_b",
-            pruned.alias("pruned"),
-        )
-
     # linear baseline: key = b scaled into the same 2*bits space so
     # both layouts split into comparable file counts
     lin_key = F.expr(f"cast({b_col} as bigint) * {1 << bits}")
-    return audit("z", z).unionByName(audit("linear", lin_key))
+
+    both = df.select(
+        F.col(a_col).alias("__a"),
+        F.col(b_col).alias("__b"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("z").alias("layout"), z.alias("__k")
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    lin_key.alias("__k"),
+                ),
+            )
+        ).alias("__l"),
+    ).select("__a", "__b", "__l.layout", "__l.__k")
+    per_file = both.groupBy(
+        "layout",
+        F.expr(f"__k div {w}").cast("long").alias("file_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__a").cast("long").alias("min_a"),
+        F.max("__a").cast("long").alias("max_a"),
+        F.min("__b").cast("long").alias("min_b"),
+        F.max("__b").cast("long").alias("max_b"),
+    )
+    pruned = (
+        (F.col("max_a") < F.lit(a_lo))
+        | (F.col("min_a") > F.lit(a_hi))
+        | (F.col("max_b") < F.lit(b_lo))
+        | (F.col("min_b") > F.lit(b_hi))
+    ).cast("int")
+    return per_file.select(
+        "layout",
+        "file_id",
+        "n_rows",
+        "min_a",
+        "max_a",
+        "min_b",
+        "max_b",
+        pruned.alias("pruned"),
+    )
 
 
 def layout_audit_sql(

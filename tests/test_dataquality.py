@@ -59,6 +59,26 @@ def test_dq_sequence_backward_ts(spark):
     assert row["ppm"] == 200_000
 
 
+def test_dq_sequence_fused_extra_checks(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, _ts(10), None),
+            ("c1", 1, _ts(5), 2.0),  # ts regression + non-null v
+            ("c2", 0, _ts(1), -3.0),
+        ],
+        "conv_id string, turn_idx int, ts timestamp, v double",
+    )
+    rep = dq_sequence(
+        df,
+        ("conv_id",),
+        "turn_idx",
+        extra_checks={"v_null": "v IS NULL", "v_neg": "v < 0"},
+    )
+    rows = {r["check"]: r["n_viol"] for r in rep.collect()}
+    assert rows == {"ts_order_regression": 1, "v_null": 1, "v_neg": 1}
+    assert all(r["n_rows"] == 3 for r in rep.collect())
+
+
 def test_dq_report_union(spark):
     df = spark.createDataFrame([(1, 1.0)], "id int, v double")
     rep = dq_report(
