@@ -160,6 +160,8 @@ from go_muse_spark.operators.freqsketch import cells_sql as _cm_cells_sql
 from go_muse_spark.operators.terms import (
     bm25_expr,
     bm25_topk,
+    g2_expr,
+    keyness_topk,
     ngram_diversity,
     repetition_ratio,
     tfidf_top_terms,
@@ -3766,6 +3768,25 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_keyness_src(spark, sf_dir):
+    """Slice vocabulary fingerprint (terms.keyness_topk): top-5 terms
+    per document source by signed Dunning G^2 keyness vs the rest of
+    the corpus — exact integer contingency cells, the likelihood-
+    ratio evaluated as one shared expression tree (ln the only libm
+    call), overuse only, ties to term ascending."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = keyness_topk(docs, "source", k=5)
+    return out.select(
+        "source",
+        "term",
+        "a",
+        "b",
+        "na",
+        "nb",
+        F.round(F.col("g2") * 1e6, 0).cast("long").alias("g2_u"),
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4085,6 +4106,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_1h_tier": q_cdc_1h_tier,
         "zorder_audit": q_zorder_audit,
         "bm25_topk": q_bm25_topk,
+        "keyness_src": q_keyness_src,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5579,6 +5601,34 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Keyness: cells a/b/na/nb exact bigints from two aggregates of
+    # one tf table; G^2 is the SAME expression text (terms.g2_expr).
+    _g2 = g2_expr()
+    d["keyness_src"] = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT source, term, cast(count(*) AS bigint) AS a
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+), corpus AS (
+  SELECT term, cast(sum(a) AS bigint) AS ct FROM tf GROUP BY 1
+), st AS (
+  SELECT source, cast(sum(a) AS bigint) AS na FROM tf GROUP BY 1
+), at AS (SELECT cast(sum(na) AS bigint) AS nt FROM st),
+s AS (
+  SELECT tf.source, tf.term, a, ct - a AS b, na, nt - na AS nb
+  FROM tf JOIN corpus USING (term) JOIN st USING (source) CROSS JOIN at
+), g AS (
+  SELECT *, {_g2} AS g2 FROM s
+), rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY g2 DESC, term ASC) AS rnk
+  FROM g WHERE g2 > 0
+)
+SELECT source, term, a, b, na, nb,
+       cast(round(g2 * 1e6) AS bigint) AS g2_u
+FROM rk WHERE rnk <= 5
+"""
     # BM25: the scorer is the SAME expression text (terms.bm25_expr
     # with N symbolic); the per-doc float sum is ordered by term in
     # both engines, so the ranking floats are bit-identical.

@@ -32,6 +32,8 @@ __all__ = [
     "unigram_logprob",
     "bm25_expr",
     "bm25_topk",
+    "g2_expr",
+    "keyness_topk",
     "repetition_ratio",
 ]
 
@@ -410,3 +412,96 @@ def bm25_topk(
     return agg.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(int(k))
+
+
+def g2_expr() -> str:
+    """Dunning log-likelihood (G^2) keyness of a term in a slice vs
+    the rest of the corpus, as ONE dialect-neutral SQL scalar over
+    exact integer columns (a = term count in slice, b = in rest,
+    na/nb = slice/rest token totals). Expected counts never
+    materialize as separate rounding sites: each x*ln(x/E) is written
+    x * ln(x * (na+nb) / (total * nx)) so every operand of the one
+    division chain is an exact int64 product (the pmi precedent —
+    ln the only libm call, identical tree in both engines). Zero
+    cells contribute 0 by the x->0 limit. Signed: positive when the
+    slice OVERuses the term.
+    """
+    t = "(cast(a as double) + cast(b as double))"
+    la = (
+        "CASE WHEN a > 0 THEN cast(a as double) * ln("
+        "cast(a as double) * (cast(na as double) + cast(nb as double))"
+        f" / ({t} * cast(na as double))) ELSE 0.0 END"
+    )
+    lb = (
+        "CASE WHEN b > 0 THEN cast(b as double) * ln("
+        "cast(b as double) * (cast(na as double) + cast(nb as double))"
+        f" / ({t} * cast(nb as double))) ELSE 0.0 END"
+    )
+    sign = (
+        "CASE WHEN cast(a as double) * cast(nb as double)"
+        " >= cast(b as double) * cast(na as double)"
+        " THEN 1.0 ELSE -1.0 END"
+    )
+    return f"{sign} * 2.0 * (({la}) + ({lb}))"
+
+
+def keyness_topk(
+    docs: DataFrame,
+    by: str = "source",
+    k: int = 5,
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Top-k terms most CHARACTERISTIC of each corpus slice by Dunning
+    G^2 keyness — "what vocabulary separates this source from the
+    rest?", the corpus-linguistics standard that, unlike raw tf-idf,
+    is calibrated (G^2 is a likelihood-ratio statistic): the per-slice
+    fingerprint a training-data curator reads before up/down-weighting
+    a source. Positive G^2 only (overuse), ties to term ascending.
+
+    Scale shape: one tokenize explode; ONE hash aggregate to
+    (slice, term) counts; corpus-wide term totals re-aggregate that
+    (strictly smaller) table; slice token totals are a tiny broadcast.
+    b = corpus - slice count needs no second scan. Top-k is a ranked
+    window over the slice key.
+
+    Returns (by, term, a, b, na, nb, g2).
+    """
+    from go_muse_spark.operators.dedup import _materialize
+
+    toks = docs.select(
+        F.col(by), F.explode(F.split(F.col(text_col), sep)).alias("term")
+    ).filter(F.col("term") != "")
+    # (slice, term) counts feed THREE consumers (scored join, corpus
+    # totals, slice totals) — materialize the vocab-sized result once
+    # or Catalyst re-tokenizes the corpus per consumer (the
+    # unigram_logprob diamond, verified there in the plan)
+    tf = _materialize(
+        toks.groupBy(by, "term").agg(F.count(F.lit(1)).alias("a"))
+    )
+    corpus = tf.groupBy("term").agg(F.sum("a").alias("__ct"))
+    slice_tot = tf.groupBy(by).agg(F.sum("a").alias("na"))
+    all_tot = slice_tot.agg(F.sum("na").alias("__nt"))
+    scored = (
+        tf.join(F.broadcast(corpus), "term")
+        .join(F.broadcast(slice_tot), by)
+        .crossJoin(F.broadcast(all_tot))
+        .select(
+            by,
+            "term",
+            "a",
+            (F.col("__ct") - F.col("a")).alias("b"),
+            "na",
+            (F.col("__nt") - F.col("na")).alias("nb"),
+        )
+        .withColumn("g2", F.expr(g2_expr()))
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.col("g2").desc(), F.col("term").asc()
+    )
+    return (
+        scored.where(F.col("g2") > 0)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+        .drop("rnk")
+    )
