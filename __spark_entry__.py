@@ -209,6 +209,11 @@ from go_muse_spark.operators.similarity import (
     embedding_near_dups,
 )
 from go_muse_spark.functions import fakepx as PX
+from go_muse_spark.functions.bloom import (
+    bloom_build,
+    bloom_contains_sql,
+    bloom_positions,
+)
 from go_muse_spark.functions import text as X
 from go_muse_spark.labels import label_id_map, vector_binop
 from go_muse_spark.session import ship_package
@@ -3787,6 +3792,45 @@ def q_keyness_src(spark, sf_dir):
     )
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom semi-join prefilter audited as data (functions.bloom):
+    the purchaser set bloomed into a 4096-bit broadcast bitmap with
+    the portable integer hash; every event tested MAP-SIDE (no probe
+    shuffle); per event_type the pass/true/false-positive accounting
+    shows the guarantee (no false negatives) and the cost (FP rate)
+    — every bit replayed by the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    bm = bloom_build(purch, "k", k=5, m_bits=4096)
+    probe = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("k")
+    )
+    test = bloom_contains_sql("spark", "__h", 5, 4096)
+    flagged = (
+        probe.crossJoin(F.broadcast(bm))
+        .withColumn("__h", F.expr(X.char_hash("spark", "k")))
+        .withColumn("bloom_pass", F.expr(test).cast("int"))
+        .join(
+            F.broadcast(purch.withColumn("__t", F.lit(1))), "k", "left"
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bloom_pass").alias("n_pass"),
+        F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0)).alias(
+            "n_true"
+        ),
+        (
+            F.sum("bloom_pass")
+            - F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0))
+        ).alias("n_fp"),
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4107,6 +4151,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_audit": q_zorder_audit,
         "bm25_topk": q_bm25_topk,
         "keyness_src": q_keyness_src,
+        "bloom_prefilter": q_bloom_prefilter,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5601,6 +5646,40 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Bloom prefilter: bitmap words, probe verdicts, and FP counts
+    # all replay from the shared integer hash + position text.
+    _bh = X.char_hash("duck", "k")
+    _bpos = ", ".join(bloom_positions("duck", "h", 5, 4096))
+    _btest = bloom_contains_sql("duck", "h", 5, 4096)
+    d["bloom_prefilter"] = f"""
+WITH purch AS (
+  SELECT DISTINCT cast(user_id AS varchar) AS k
+  FROM events WHERE event_type = 'purchase'
+), bh AS (SELECT {_bh} AS h FROM purch),
+p AS (SELECT unnest([{_bpos}]) AS p FROM bh),
+w AS (
+  SELECT cast(p // 32 AS int) AS w,
+         bit_or(cast(1 AS bigint) << (p % 32)) AS bits
+  FROM p GROUP BY 1
+), bmv AS (
+  SELECT list(coalesce(bits, 0) ORDER BY i) AS bm FROM
+    (SELECT i, bits FROM range(0, 128) r(i) LEFT JOIN w ON w.w = r.i)
+), probe AS (
+  SELECT event_type, cast(user_id AS varchar) AS k FROM events
+), ph AS (
+  SELECT event_type, k, {_bh} AS h FROM probe
+), f AS (
+  SELECT event_type, k,
+         CASE WHEN {_btest} THEN 1 ELSE 0 END AS pass,
+         CASE WHEN k IN (SELECT k FROM purch) THEN 1 ELSE 0 END AS tru
+  FROM ph, bmv
+)
+SELECT event_type, cast(count(*) AS bigint) AS n_rows,
+       cast(sum(pass) AS bigint) AS n_pass,
+       cast(sum(tru) AS bigint) AS n_true,
+       cast(sum(pass) - sum(tru) AS bigint) AS n_fp
+FROM f GROUP BY 1
+"""
     # Keyness: cells a/b/na/nb exact bigints from two aggregates of
     # one tf table; G^2 is the SAME expression text (terms.g2_expr).
     _g2 = g2_expr()
