@@ -133,6 +133,7 @@ from go_muse_spark.operators.stats import (
     seasonal_anomaly,
     mad_outliers,
     hampel,
+    forecast_backtest,
     seasonal_profile,
     cusum_changepoint,
     period_delta,
@@ -3831,6 +3832,27 @@ def q_bloom_prefilter(spark, sf_dir):
     )
 
 
+def q_mase_24h(spark, sf_dir):
+    """Forecast-accuracy gate (stats.forecast_backtest): per user,
+    seasonal-naive(24h) vs persistence on hourly traffic, exact int64
+    absolute-error sums, MASE ratio as one rounded division — the
+    data-driven decision of whether a series deserves the seasonal
+    forecasting path."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = forecast_backtest(hourly, "turn_cnt", 24)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "n_eval",
+        "sae_seasonal",
+        "sae_naive",
+        "mase_u",
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4152,6 +4174,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "keyness_src": q_keyness_src,
         "bloom_prefilter": q_bloom_prefilter,
+        "mase_24h": q_mase_24h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5646,6 +5669,32 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # MASE backtest: both error sums exact bigints over the common
+    # lag support; the ratio is the one rounded division.
+    d["mase_24h"] = """
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('hour', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), lg AS (
+  SELECT u, v AS x,
+         lag(v, 1) OVER w AS p,
+         lag(v, 24) OVER w AS s
+  FROM r WINDOW w AS (PARTITION BY u ORDER BY b)
+), e AS (
+  SELECT u, cast(count(*) AS bigint) AS n_eval,
+         cast(sum(abs(x - s)) AS bigint) AS sae_seasonal,
+         cast(sum(abs(x - p)) AS bigint) AS sae_naive
+  FROM lg WHERE p IS NOT NULL AND s IS NOT NULL GROUP BY 1
+)
+SELECT u AS user_id, n_eval, sae_seasonal, sae_naive,
+       CASE WHEN sae_naive > 0 THEN
+         cast(round(cast(sae_seasonal AS double)
+              / cast(sae_naive AS double) * 1e6) AS bigint)
+       END AS mase_u
+FROM e
+"""
     # Bloom prefilter: bitmap words, probe verdicts, and FP counts
     # all replay from the shared integer hash + position text.
     _bh = X.char_hash("duck", "k")

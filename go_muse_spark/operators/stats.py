@@ -44,6 +44,7 @@ __all__ = [
     "seasonal_profile",
     "mad_outliers",
     "hampel",
+    "forecast_backtest",
     "inter_arrival_stats",
     "seasonal_anomaly",
     "linear_fit",
@@ -2133,4 +2134,63 @@ def hampel(
             (F.lit(int(k_den)) * dev > F.lit(int(k_num)) * F.col("mad_q"))
             .cast("int"),
         ).alias("is_outlier"),
+    )
+
+
+def forecast_backtest(
+    rolled: DataFrame,
+    value_col: str,
+    season_lag: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Forecast-accuracy backtest, exact: per series, compare the
+    SEASONAL-NAIVE predictor (x[t - season_lag]) against PERSISTENCE
+    (x[t-1]) on their common support, reporting summed absolute
+    errors and the MASE-style ratio — "is this series actually
+    seasonal, or does last-value beat last-week?" is the gate that
+    decides whether the seasonal_forecast/holt_winters path earns its
+    keep on a series, per series, from data.
+
+    Numerical contract: both error sums are exact int64 (integer tier
+    values, positional lags over observed buckets — the module's
+    dense-spine convention); mase_u = round(1e6 * seasonal_sum /
+    naive_sum) is the ONE division. A series whose persistence errors
+    sum to 0 (constant on the support) has no defined ratio -> NULL.
+    mase_u < 1e6 means the seasonal forecaster wins.
+
+    Scale shape: one exchange on the series key, one window sort
+    emitting both lags, one map-side-combined aggregate. Nothing else.
+
+    Returns (by..., n_eval, sae_seasonal, sae_naive, mase_u).
+    """
+    if season_lag < 2:
+        raise ValueError("season_lag must be >= 2")
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*by).orderBy(F.col(bucket_col))
+    lagged = rolled.select(
+        *by,
+        v.alias("__x"),
+        F.lag(v, 1).over(w).alias("__p"),
+        F.lag(v, int(season_lag)).over(w).alias("__s"),
+    ).where(F.col("__p").isNotNull() & F.col("__s").isNotNull())
+    agg = lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs(F.col("__x") - F.col("__s"))).alias("sae_seasonal"),
+        F.sum(F.abs(F.col("__x") - F.col("__p"))).alias("sae_naive"),
+    )
+    return agg.select(
+        *by,
+        "n_eval",
+        "sae_seasonal",
+        "sae_naive",
+        F.when(
+            F.col("sae_naive") > 0,
+            F.round(
+                F.col("sae_seasonal").cast("double")
+                / F.col("sae_naive").cast("double")
+                * F.lit(1e6),
+                0,
+            ).cast("long"),
+        ).alias("mase_u"),
     )
