@@ -192,6 +192,7 @@ from go_muse_spark.operators.matrix_profile import (
 )
 from go_muse_spark.operators.timeweight import (
     instant_snapshot,
+    markov_entropy,
     state_transitions,
     state_durations,
     time_above_threshold,
@@ -3853,6 +3854,16 @@ def q_mase_24h(spark, sf_dir):
     )
 
 
+def q_markov_entropy(spark, sf_dir):
+    """Behavior predictability in one row (timeweight.markov_entropy):
+    conditional entropy of the compacted event-type chain vs the
+    stationary entropy, info gain >= 0 by Gibbs — both entropies
+    folded in key order from exact counts, so the nats are
+    bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return markov_entropy(ev, "event_type")
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4175,6 +4186,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_src": q_keyness_src,
         "bloom_prefilter": q_bloom_prefilter,
         "mase_24h": q_mase_24h,
+        "markov_entropy": q_markov_entropy,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5669,6 +5681,45 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Markov entropy: same compacted-chain CTE as markov_transitions;
+    # both entropy sums are ORDERED aggregates (ORDER BY key) matching
+    # the Spark sorted-struct folds term for term.
+    d["markov_entropy"] = """
+WITH p AS (
+  SELECT user_id, event_type AS st,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_type) AS prev
+  FROM events
+), tr AS (
+  SELECT prev AS f, st AS t FROM p
+  WHERE prev IS NOT NULL AND prev <> st
+), c AS (
+  SELECT f, t, cast(count(*) AS bigint) AS n FROM tr GROUP BY 1, 2
+), pf AS (
+  SELECT f, t, n,
+         cast(sum(n) OVER (PARTITION BY f) AS bigint) AS nf
+  FROM c
+), ntot AS (SELECT cast(sum(n) AS bigint) AS nt FROM c),
+hc AS (
+  SELECT max(nt) AS n_transitions,
+         -sum((cast(n AS double) / cast(nt AS double))
+              * ln(cast(n AS double) / cast(nf AS double))
+              ORDER BY f, t) AS h_cond
+  FROM pf, ntot
+), m AS (
+  SELECT t, cast(sum(n) AS bigint) AS nm FROM c GROUP BY 1
+), hm AS (
+  SELECT -sum((cast(nm AS double) / cast(nt AS double))
+              * ln(cast(nm AS double) / cast(nt AS double))
+              ORDER BY t) AS h_marg
+  FROM m, ntot
+)
+SELECT cast(n_transitions AS bigint) AS n_transitions,
+       cast(round(h_cond * 1e6) AS bigint) AS h_cond_u,
+       cast(round(h_marg * 1e6) AS bigint) AS h_marg_u,
+       cast(round((h_marg - h_cond) * 1e6) AS bigint) AS info_gain_u
+FROM hc, hm
+"""
     # MASE backtest: both error sums exact bigints over the common
     # lag support; the ratio is the one rounded division.
     d["mase_24h"] = """
