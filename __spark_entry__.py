@@ -172,6 +172,8 @@ from go_muse_spark.operators.terms import (
 from go_muse_spark.operators.arfit import (
     dl_sql_ctes,
     dominant_period,
+    effective_sample_size,
+    ess_tau_sql,
     innov_layers,
     pacf,
 )
@@ -3864,6 +3866,24 @@ def q_markov_entropy(spark, sf_dir):
     return markov_entropy(ev, "event_type")
 
 
+def q_ess_1h(spark, sf_dir):
+    """Effective sample size under autocorrelation
+    (arfit.effective_sample_size): per user, n / tau with tau the
+    integrated autocorrelation time over lags 1..8 — rho from exact
+    decimal/HUGEINT covariances, tau summed by one fixed-order shared
+    expression (ess_tau_sql), floored at 1. The error-bar honesty
+    factor for every tier aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = effective_sample_size(hourly, "turn_cnt", 8)
+    return out.select(
+        F.col("conv_id").alias("user_id"), "n", "tau_u", "ess_u"
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4187,6 +4207,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": q_bloom_prefilter,
         "mase_24h": q_mase_24h,
         "markov_entropy": q_markov_entropy,
+        "ess_1h": q_ess_1h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5681,6 +5702,50 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # ESS: HUGEINT covariances as in period_detect; tau is the SAME
+    # fixed-order expression text (arfit.ess_tau_sql).
+    _e_lags = ", ".join(f"lag(v, {k}) OVER w AS l{k}" for k in range(1, 9))
+    _e_sums = ", ".join(
+        f"cast(sum(cast(x AS HUGEINT) * l{k}) AS HUGEINT) AS s{k}, "
+        f"cast(sum(l{k}) AS HUGEINT) AS a{k}, "
+        f"cast(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS HUGEINT)"
+        f" AS b{k}"
+        for k in range(1, 9)
+    )
+    _e_rhos = ", ".join(
+        f"cast((n*n*s{k} - n*sx*(a{k}+b{k}) + (n-{k})*sx*sx) AS double)"
+        f" / cast(c_0 AS double) AS rho_{k}"
+        for k in range(1, 9)
+    )
+    _e_tau = ess_tau_sql(8)
+    d["ess_1h"] = f"""
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('hour', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), lg AS (
+  SELECT u, v AS x, {_e_lags}
+  FROM r WINDOW w AS (PARTITION BY u ORDER BY b)
+), g AS (
+  SELECT u, cast(count(*) AS HUGEINT) AS n,
+         cast(sum(x) AS HUGEINT) AS sx,
+         cast(sum(cast(x AS HUGEINT) * x) AS HUGEINT) AS s0,
+         {_e_sums}
+  FROM lg GROUP BY 1
+), gc AS (
+  SELECT *, n*n*s0 - n*sx*(sx+sx) + n*sx*sx AS c_0 FROM g
+), rh AS (
+  SELECT u, n, {_e_rhos}
+  FROM gc WHERE n >= 12 AND c_0 > 0
+), tt AS (
+  SELECT u, n, {_e_tau} AS tau FROM rh
+)
+SELECT u AS user_id, cast(n AS bigint) AS n,
+       cast(round(tau * 1e6) AS bigint) AS tau_u,
+       cast(round(cast(n AS double) / tau * 1e6) AS bigint) AS ess_u
+FROM tt
+"""
     # Markov entropy: same compacted-chain CTE as markov_transitions;
     # both entropy sums are ORDERED aggregates (ORDER BY key) matching
     # the Spark sorted-struct folds term for term.

@@ -59,7 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dl_layers", "dl_sql_ctes", "innov_layers", "pacf", "dominant_period"]
+__all__ = ["dl_layers", "dl_sql_ctes", "innov_layers", "pacf", "dominant_period", "effective_sample_size", "ess_tau_sql"]
 
 MAX_LAG_CAP = 12
 
@@ -240,6 +240,61 @@ def pacf(
     )
 
 
+
+def _cov_table(
+    rolled: DataFrame,
+    value_col: str,
+    lags: list[int],
+    by: tuple[str, ...],
+    bucket_col: str,
+) -> DataFrame:
+    """Shared lag-covariance builder (dominant_period /
+    effective_sample_size): one window emitting the lag columns, one
+    map-combined aggregate, then the module's exact decimal(38,0)
+    C_k = n^2*S_k - n*Sx*(A_k+B_k) + (n-k)*Sx^2 per requested lag,
+    plus c_0. Returns one row per series with (by..., n, c_0,
+    c_<k>...)."""
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*by).orderBy(
+        F.col(bucket_col).cast("timestamp")
+    )
+    lagged = rolled.select(
+        *by,
+        v.alias("__x"),
+        *[F.lag(v, k).over(w).alias(f"__l{k}") for k in lags],
+    )
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    x = F.col("__x")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(d(x) * d(x)).alias("s0"),
+    ]
+    for k in lags:
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.sum(d(x) * d(lk)).alias(f"s{k}"),
+            F.sum(F.when(lk.isNotNull(), x)).alias(f"b{k}"),
+            F.sum(lk).alias(f"a{k}"),
+        ]
+    g = lagged.groupBy(*by).agg(*aggs)
+    n, sx = d(F.col("n")), d(F.col("sx"))
+    g = g.withColumn(
+        "c_0", n * n * F.col("s0") - n * sx * (sx + sx) + n * sx * sx
+    )
+    for k in lags:
+        g = g.withColumn(
+            f"c_{k}",
+            n * n * F.col(f"s{k}")
+            - n * sx * (d(F.col(f"a{k}")) + d(F.col(f"b{k}")))
+            + (n - F.lit(k)) * sx * sx,
+        )
+    return g
+
+
 def dominant_period(
     rolled: DataFrame,
     value_col: str,
@@ -286,44 +341,8 @@ def dominant_period(
     if min_points <= max_lag + 1:
         raise ValueError("min_points must exceed max_lag + 1")
 
-    v = F.col(value_col).cast("long")
-    w = Window.partitionBy(*by).orderBy(
-        F.col(bucket_col).cast("timestamp")
-    )
     lags = list(range(min_lag, max_lag + 1))
-    lagged = rolled.select(
-        *by,
-        v.alias("__x"),
-        *[F.lag(v, k).over(w).alias(f"__l{k}") for k in lags],
-    )
-
-    def d(c):
-        return c.cast("decimal(38,0)")
-
-    x = F.col("__x")
-    aggs = [
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(d(x) * d(x)).alias("s0"),
-    ]
-    for k in lags:
-        lk = F.col(f"__l{k}")
-        aggs += [
-            F.sum(d(x) * d(lk)).alias(f"s{k}"),
-            F.sum(F.when(lk.isNotNull(), x)).alias(f"b{k}"),
-            F.sum(lk).alias(f"a{k}"),
-        ]
-    g = lagged.groupBy(*by).agg(*aggs)
-
-    n, sx = d(F.col("n")), d(F.col("sx"))
-    g = g.withColumn("c_0", n * n * F.col("s0") - n * sx * (sx + sx) + n * sx * sx)
-    for k in lags:
-        g = g.withColumn(
-            f"c_{k}",
-            n * n * F.col(f"s{k}")
-            - n * sx * (d(F.col(f"a{k}")) + d(F.col(f"b{k}")))
-            + (n - F.lit(k)) * sx * sx,
-        )
+    g = _cov_table(rolled, value_col, lags, by, bucket_col)
     g = g.where(
         (F.col("n") >= F.lit(int(min_points))) & (F.col("c_0") > F.lit(0))
     )
@@ -352,3 +371,74 @@ def dominant_period(
         .cast("long")
         .alias("rho_u"),
     )
+
+
+def effective_sample_size(
+    rolled: DataFrame,
+    value_col: str,
+    max_lag: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int | None = None,
+) -> DataFrame:
+    """Effective sample size under autocorrelation: a series of n
+    correlated points carries the statistical information of only
+    n / tau points, tau = 1 + 2*sum_{k<=K} rho_k (the integrated
+    autocorrelation time, truncated at max_lag and floored at 1 —
+    anti-correlated series don't get to claim MORE than n). This is
+    the honesty factor every confidence interval on a tier aggregate
+    needs: hourly averages of a sticky metric are nowhere near
+    independent, and a dashboard that pretends otherwise draws error
+    bars 5x too tight.
+
+    Determinism: rho_k = C_k/C_0 are double divisions of the module's
+    exact decimal(38,0) covariances, and tau's sum is GENERATED as one
+    left-associated scalar expression over the K rho columns — a
+    fixed-order tree, identical text in any engine; no aggregate
+    float sum anywhere.
+
+    Scale shape: identical to dominant_period — one exchange, one
+    window emitting K lag columns, one map-combined aggregate, then
+    scalar math on one row per series.
+
+    Returns (by..., n, tau_u, ess_u) in 1e-6 units.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    if min_points is None:
+        min_points = max_lag + 4
+    if min_points <= max_lag + 1:
+        raise ValueError("min_points must exceed max_lag + 1")
+
+    lags = list(range(1, max_lag + 1))
+    g = _cov_table(rolled, value_col, lags, by, bucket_col)
+    for k in lags:
+        g = g.withColumn(
+            f"rho_{k}",
+            F.col(f"c_{k}").cast("double") / F.col("c_0").cast("double"),
+        )
+    g = g.where(
+        (F.col("n") >= F.lit(int(min_points))) & (F.col("c_0") > F.lit(0))
+    )
+    # fixed-order left-associated sum: identical text in any engine
+    g = g.withColumn("tau", F.expr(ess_tau_sql(max_lag)))
+    return g.select(
+        *by,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("tau") * 1e6, 0).cast("long").alias("tau_u"),
+        F.round(
+            F.col("n").cast("double") / F.col("tau") * 1e6, 0
+        )
+        .cast("long")
+        .alias("ess_u"),
+    )
+
+
+def ess_tau_sql(max_lag: int) -> str:
+    """Integrated autocorrelation time over rho_1..rho_K columns as a
+    fixed-order scalar expression: greatest(1.0, 1.0 + 2.0*(((rho_1)
+    + rho_2) + ...)) — shared text for Spark and any oracle."""
+    chain = "rho_1"
+    for k in range(2, max_lag + 1):
+        chain = f"({chain} + rho_{k})"
+    return f"greatest(cast(1.0 as double), 1.0 + 2.0 * ({chain}))"
