@@ -134,6 +134,8 @@ from go_muse_spark.operators.stats import (
     mad_outliers,
     hampel,
     forecast_backtest,
+    rolling_shape,
+    shape_exprs,
     seasonal_profile,
     cusum_changepoint,
     period_delta,
@@ -3884,6 +3886,30 @@ def q_ess_1h(spark, sf_dir):
     )
 
 
+def q_shape_24h(spark, sf_dir):
+    """Rolling distribution shape (stats.rolling_shape): trailing-24h
+    skewness + excess kurtosis of each user's hourly traffic — four
+    exact decimal/HUGEINT power sums in ONE window frame, each
+    statistic a single division of integer combinations via the
+    shared shape_exprs text. The tail-growth early-warning next to
+    stddev_over_time."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = rolling_shape(
+        hourly, "turn_cnt", 86400, by=("user_id",), min_points=8
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "n_win",
+        F.round(F.col("skew") * 1e6, 0).cast("long").alias("skew_u"),
+        F.round(F.col("kurt") * 1e6, 0).cast("long").alias("kurt_u"),
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4208,6 +4234,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mase_24h": q_mase_24h,
         "markov_entropy": q_markov_entropy,
         "ess_1h": q_ess_1h,
+        "shape_24h": q_shape_24h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5702,6 +5729,34 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Rolling shape: four HUGEINT power sums in one RANGE frame; the
+    # skew/kurt finals are the SAME text (stats.shape_exprs).
+    _sh = shape_exprs()
+    d["shape_24h"] = f"""
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         date_trunc('hour', ts) AS bucket_ts,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT user_id, bucket_ts,
+         cast(count(*) OVER w AS HUGEINT) AS n,
+         cast(sum(cast(v AS HUGEINT)) OVER w AS HUGEINT) AS s1,
+         cast(sum(cast(v AS HUGEINT) * v) OVER w AS HUGEINT) AS s2,
+         cast(sum(cast(v AS HUGEINT) * v * v) OVER w AS HUGEINT) AS s3,
+         cast(sum(cast(v AS HUGEINT) * v * v * v) OVER w AS HUGEINT)
+           AS s4
+  FROM r
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(bucket_ts)
+               RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, bucket_ts, cast(n AS bigint) AS n_win,
+       CASE WHEN n >= 8 AND n*s2 - s1*s1 > 0 THEN
+         cast(round(({_sh["skew"]}) * 1e6) AS bigint) END AS skew_u,
+       CASE WHEN n >= 8 AND n*s2 - s1*s1 > 0 THEN
+         cast(round(({_sh["kurt"]}) * 1e6) AS bigint) END AS kurt_u
+FROM h
+"""
     # ESS: HUGEINT covariances as in period_detect; tau is the SAME
     # fixed-order expression text (arfit.ess_tau_sql).
     _e_lags = ", ".join(f"lag(v, {k}) OVER w AS l{k}" for k in range(1, 9))

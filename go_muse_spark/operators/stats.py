@@ -45,6 +45,8 @@ __all__ = [
     "mad_outliers",
     "hampel",
     "forecast_backtest",
+    "shape_exprs",
+    "rolling_shape",
     "inter_arrival_stats",
     "seasonal_anomaly",
     "linear_fit",
@@ -2193,4 +2195,85 @@ def forecast_backtest(
                 0,
             ).cast("long"),
         ).alias("mase_u"),
+    )
+
+
+def shape_exprs() -> dict[str, str]:
+    """Skewness / excess-kurtosis final expressions over exact integer
+    moment columns (n, s1..s4), shared text for Spark and any oracle.
+    The central-moment algebra is pre-multiplied so each statistic is
+    ONE division of exact integers:
+
+        A2 = n*s2 - s1^2            (n^2 * variance numerator)
+        A3 = n^2*s3 - 3n*s1*s2 + 2*s1^3
+        A4 = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4
+        skew = A3 / A2^(3/2)        kurt_excess = n*A4 / A2^2 - 3
+
+    x^(3/2) is written x*sqrt(x) — one sqrt, no pow()."""
+    a2 = "(n*s2 - s1*s1)"
+    a3 = "(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1)"
+    a4 = "(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1)"
+    a2d = f"cast({a2} as double)"
+    return {
+        "skew": f"cast({a3} as double) / ({a2d} * sqrt({a2d}))",
+        "kurt": (
+            f"cast(n as double) * cast({a4} as double)"
+            f" / ({a2d} * {a2d}) - 3.0"
+        ),
+    }
+
+
+def rolling_shape(
+    rolled: DataFrame,
+    value_col: str,
+    window_secs: int,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+    min_points: int = 8,
+) -> DataFrame:
+    """Rolling distribution SHAPE per series: skewness and excess
+    kurtosis over a trailing event-time window — the two moments that
+    move FIRST when a latency or traffic distribution grows a tail,
+    long before mean/stddev dashboards notice. A kurtosis step on a
+    stable mean is the classic "rare huge values appeared" signature.
+
+    Numerics: values cast to int64, the four power sums carried in
+    decimal(38,0) over a RANGE frame (gaps count as absent), and both
+    statistics are single divisions of exact integer combinations
+    (see shape_exprs — shared text, so any engine replays the same
+    doubles). NULL when the window has < min_points rows or zero
+    variance.
+
+    Scale shape: ONE exchange on the series key, one window sort, four
+    running sums in the same frame — identical cost class as
+    stddev_over_time, no extra pass for the higher moments.
+
+    Returns (by..., bucket_col, n_win, skew, kurt).
+    """
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.unix_timestamp(F.col(bucket_col).cast("timestamp")))
+        .rangeBetween(-(int(window_secs) - 1), 0)
+    )
+
+    v = F.col(value_col).cast("long").cast("decimal(38,0)")
+    base = rolled.select(
+        *by,
+        bucket_col,
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("n"),
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("s2"),
+        F.sum(v * v * v).over(w).alias("s3"),
+        F.sum(v * v * v * v).over(w).alias("s4"),
+    )
+    ex = shape_exprs()
+    guard = (F.col("n") >= F.lit(int(min_points))) & (
+        F.expr("n*s2 - s1*s1") > F.lit(0)
+    )
+    return base.select(
+        *by,
+        bucket_col,
+        F.col("n").cast("long").alias("n_win"),
+        F.when(guard, F.expr(ex["skew"])).alias("skew"),
+        F.when(guard, F.expr(ex["kurt"])).alias("kurt"),
     )
