@@ -92,7 +92,9 @@ from go_muse_spark.operators.sessions import (
     report_gaps,
     interval_union,
     session_stats,
+    sessionize,
 )
+from go_muse_spark.operators.survival import survival_km
 from go_muse_spark.operators.cardinality import (
     distinct_rollup,
     hll_sketch_reagg,
@@ -3910,6 +3912,45 @@ def q_shape_24h(spark, sf_dir):
     )
 
 
+def q_survival_sessions(spark, sf_dir):
+    """Kaplan-Meier session-lifetime curve (survival.survival_km):
+    2h-gap sessions per user, durations quantized to minutes (the
+    grid bound that keeps the final ordered pass clock-sized, not
+    subject-sized), sessions still open within 2h of the corpus edge
+    CENSORED — they hold the risk set without counting as endings, so
+    the curve is unbiased at the observation boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, ["user_id"], gap_s=7200.0)
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "__s_us"
+        ),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "__e_us"
+        ),
+    )
+    obs = ev.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "__obs_us"
+        )
+    )
+    subj = per.crossJoin(F.broadcast(obs)).select(
+        F.expr("(__e_us - __s_us) div 60000000").alias("dur_min"),
+        (
+            (F.col("__obs_us") - F.col("__e_us"))
+            < F.lit(7200 * 1_000_000)
+        ).alias("cen"),
+    )
+    out = survival_km(subj, "dur_min", "cen")
+    return out.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(F.col("surv") * 1e6, 0).cast("long").alias("surv_u"),
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4235,6 +4276,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_entropy": q_markov_entropy,
         "ess_1h": q_ess_1h,
         "shape_24h": q_shape_24h,
+        "survival_sessions": q_survival_sessions,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5729,6 +5771,61 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # KM survival: the sessionize fixpoint CTE, exact µs duration
+    # quantization, then the product-limit curve as exp of an ordered
+    # ln cumsum (identical sequential chain both engines), with the
+    # dead-risk-set flag pinning S to exact 0.
+    d["survival_sessions"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 7200.0
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per AS (
+  SELECT user_id, session_id,
+         min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+  FROM sess GROUP BY 1, 2
+), obs AS (SELECT max(epoch_us(ts)) AS obs_us FROM events),
+subj AS (
+  SELECT (e_us - s_us) // 60000000 AS t,
+         (obs_us - e_us) < 7200000000 AS c
+  FROM per, obs
+), grid AS (
+  SELECT t, cast(count(*) AS bigint) AS alln,
+         cast(sum(CASE WHEN NOT c THEN 1 ELSE 0 END) AS bigint)
+           AS n_events,
+         cast(sum(CASE WHEN c THEN 1 ELSE 0 END) AS bigint)
+           AS n_censored
+  FROM subj GROUP BY 1
+), risky AS (
+  SELECT t, n_events, n_censored,
+         cast(sum(alln) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+           AND UNBOUNDED FOLLOWING) AS bigint) AS n_risk
+  FROM grid
+), curve AS (
+  SELECT t, n_risk, n_events, n_censored,
+         CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                OVER cum = 1 THEN 0.0
+              ELSE exp(sum(
+                CASE WHEN n_events > 0 AND n_events < n_risk THEN
+                  ln(cast(n_risk - n_events AS double)
+                     / cast(n_risk AS double))
+                ELSE 0.0 END) OVER cum)
+         END AS surv
+  FROM risky
+  WINDOW cum AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+)
+SELECT cast(t AS bigint) AS t, n_risk, n_events, n_censored,
+       cast(round(surv * 1e6) AS bigint) AS surv_u
+FROM curve WHERE n_events > 0
+"""
     # Rolling shape: four HUGEINT power sums in one RANGE frame; the
     # skew/kurt finals are the SAME text (stats.shape_exprs).
     _sh = shape_exprs()
