@@ -189,7 +189,11 @@ from go_muse_spark.operators.dataquality import (
     dq_unique,
 )
 from go_muse_spark.operators.dtw import dtw_pairs
-from go_muse_spark.operators.layout import layout_audit, layout_audit_sql
+from go_muse_spark.operators.layout import (
+    layout_audit,
+    layout_audit_sql,
+    skew_advisor,
+)
 from go_muse_spark.operators.funnels import cohort_retention, funnel_steps
 from go_muse_spark.operators.matrix_profile import (
     matrix_profile,
@@ -3951,6 +3955,21 @@ def q_survival_sessions(spark, sf_dir):
     )
 
 
+def q_skew_advisor(spark, sf_dir):
+    """Shuffle-skew profile + salt plan (layout.skew_advisor): top-20
+    heaviest users with exact row shares and the ceil-division salt
+    factor capping any (key, salt) partition at 100 rows — the number
+    the conv_id-salted muse scorer consumes. One partial-agged
+    aggregate + TakeOrdered; all integer."""
+    ev = load_table(spark, sf_dir, "events")
+    return skew_advisor(
+        ev.select(F.col("user_id").cast("string").alias("user_id")),
+        ("user_id",),
+        target_rows_per_task=100,
+        top_k=20,
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4277,6 +4296,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ess_1h": q_ess_1h,
         "shape_24h": q_shape_24h,
         "survival_sessions": q_survival_sessions,
+        "skew_advisor": q_skew_advisor,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5771,6 +5791,19 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Skew advisor: integer shares + ceil-division salt factors.
+    d["skew_advisor"] = """
+WITH pk AS (
+  SELECT cast(user_id AS varchar) AS user_id,
+         cast(count(*) AS bigint) AS n_rows
+  FROM events GROUP BY 1
+), t AS (SELECT cast(sum(n_rows) AS bigint) AS tot FROM pk)
+SELECT user_id, n_rows,
+       cast((n_rows * 1000000) // tot AS bigint) AS share_ppm,
+       cast((n_rows + 99) // 100 AS bigint) AS salt_factor
+FROM pk, t
+ORDER BY n_rows DESC, user_id ASC LIMIT 20
+"""
     # KM survival: the sessionize fixpoint CTE, exact µs duration
     # quantization, then the product-limit curve as exp of an ordered
     # ln cumsum (identical sequential chain both engines), with the

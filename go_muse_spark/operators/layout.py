@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_sql", "interleave_width", "layout_audit"]
+__all__ = ["zorder_sql", "interleave_width", "layout_audit", "skew_advisor"]
 
 
 def _div(dialect: str) -> str:
@@ -180,3 +180,50 @@ FROM src GROUP BY 2"""
         + "\nUNION ALL\n"
         + one("linear", lin_key, width)
     )
+
+
+def skew_advisor(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    target_rows_per_task: int,
+    top_k: int = 20,
+) -> DataFrame:
+    """Partition-skew profile + salt plan for a shuffle key: the top-k
+    heaviest keys with their row share and the SALT FACTOR that caps
+    any single (key, salt) partition at ``target_rows_per_task`` rows
+    — the number the muse search path (conv_id-salted scoring) and
+    every per-series window operator need BEFORE the hot conversation
+    melts one task. The north-rule skew story, emitted as data from
+    the data instead of hand-tuned.
+
+        salt_factor = ceil(n_key / target)   (1 for well-behaved keys)
+
+    All integer: counts exact, share in ppm by integer division,
+    ceil as (n + target - 1) div target.
+
+    Scale shape: ONE hash aggregate on the key (map-side partials
+    shrink each task to its distinct keys), then TakeOrdered top-k —
+    no full sort, no second pass. The advisor output is tiny and
+    broadcastable straight into a salting expression.
+
+    Returns (key..., n_rows, share_ppm, salt_factor), heaviest first,
+    ties to key ascending.
+    """
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    if target_rows_per_task < 1:
+        raise ValueError("target_rows_per_task must be >= 1")
+    per_key = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = per_key.agg(F.sum("n_rows").alias("__tot"))
+    t = int(target_rows_per_task)
+    scored = per_key.crossJoin(F.broadcast(tot)).select(
+        *key_cols,
+        "n_rows",
+        F.expr("(n_rows * 1000000) div __tot").alias("share_ppm"),
+        F.expr(f"(n_rows + {t - 1}) div {t}").alias("salt_factor"),
+    )
+    return scored.orderBy(
+        F.col("n_rows").desc(), *[F.col(k).asc() for k in key_cols]
+    ).limit(int(top_k))
