@@ -52,6 +52,14 @@ BENCH_QUERIES = [
     "cdc_1h_tier",
     "zorder_audit",
     "bm25_topk",
+    "keyness_src",
+    "bloom_prefilter",
+    "mase_24h",
+    "markov_entropy",
+    "ess_1h",
+    "shape_24h",
+    "survival_sessions",
+    "skew_advisor",
     # round-5 third sweep (one representative per new family; the
     # same-shaped siblings — jsd/state_entropy/kendall_xy — track them)
     "psi_drift_1d",
