@@ -28,6 +28,8 @@ __all__ = [
     "streaming_dedup",
     "streaming_search",
     "streaming_drift",
+    "streaming_dq",
+    "DQMonitor",
     "DriftMonitor",
 ]
 
@@ -437,6 +439,85 @@ def streaming_drift(
             .collect()
         )
         monitor.merge(delta, epoch_id)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start(), monitor
+
+
+class DQMonitor:
+    """Driver-side incremental state for the continuous data-quality
+    gate: per-check violation counts + the row total. Counts are
+    plain sums, so each micro-batch's ONE pre-aggregated row merges
+    associatively and replay-idempotently per epoch; a snapshot is
+    bit-equal to batch dq_profile over everything ingested so far
+    (identical integers, identical integer-division ppm)."""
+
+    def __init__(self, checks: dict[str, str]):
+        if not checks:
+            raise ValueError("need at least one check")
+        self.checks = dict(checks)
+        self.n_rows = 0
+        self.viol = {name: 0 for name in checks}
+        self._seen_epochs: set[int] = set()
+
+    def merge(self, row, epoch_id: int) -> None:
+        if epoch_id in self._seen_epochs:  # replayed epoch: no-op
+            return
+        self._seen_epochs.add(epoch_id)
+        self.n_rows += row["__n"] or 0
+        for i, name in enumerate(self.checks):
+            self.viol[name] += row[f"__v{i}"] or 0
+
+    def snapshot(self, spark) -> DataFrame:
+        rows = [
+            (
+                name,
+                self.n_rows,
+                self.viol[name],
+                (self.viol[name] * 1_000_000) // self.n_rows
+                if self.n_rows
+                else 0,
+            )
+            for name in self.checks
+        ]
+        return spark.createDataFrame(
+            rows, schema="check string, n_rows long, n_viol long, ppm long"
+        )
+
+
+def streaming_dq(
+    stream: DataFrame,
+    checks: dict[str, str],
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Continuous data-quality gate: every micro-batch evaluates the
+    dq_profile predicates ON THE CLUSTER and reduces to ONE row of
+    counts (map-side combined — raw rows never reach the driver);
+    the driver state is a handful of integers per check. Call
+    monitor.snapshot(spark) at any time for the same
+    (check, n_rows, n_viol, ppm) contract as batch dq_profile —
+    exactly equal on identical input, the streaming face of the
+    ingest gate. Returns (query, monitor)."""
+    monitor = DQMonitor(checks)
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(
+            F.when(F.expr(expr) == F.lit(True), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias(f"__v{i}")
+        for i, (_, expr) in enumerate(checks.items())
+    ]
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        row = batch_df.agg(*aggs).collect()[0]
+        monitor.merge(row, epoch_id)
 
     writer = (
         stream.writeStream.outputMode("update")
