@@ -3970,6 +3970,28 @@ def q_skew_advisor(spark, sf_dir):
     )
 
 
+def q_pivot_types_1d(spark, sf_dir):
+    """Wide-format export: daily counts pivoted to one column per
+    event type (`groupBy().pivot(values=...).count()` with the value
+    list EXPLICIT, so the plan is a single deterministic hash
+    aggregate — no extra distinct-scan job, no column-order
+    nondeterminism; absent cells coalesce to 0). The BI-export face
+    of dimensional_rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "error", "signup"]
+    out = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket_ts")
+        )
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return out.select(
+        "bucket_ts",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds],
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4297,6 +4319,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_24h": q_shape_24h,
         "survival_sessions": q_survival_sessions,
         "skew_advisor": q_skew_advisor,
+        "pivot_types_1d": q_pivot_types_1d,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5791,6 +5814,21 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Pivot: explicit value list -> plain conditional-sum aggregate.
+    d["pivot_types_1d"] = """
+SELECT date_trunc('day', ts) AS bucket_ts,
+       cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS bigint) AS click,
+       cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         AS bigint) AS view,
+       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS bigint) AS purchase,
+       cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         AS bigint) AS error,
+       cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         AS bigint) AS signup
+FROM events GROUP BY 1
+"""
     # Skew advisor: integer shares + ceil-division salt factors.
     d["skew_advisor"] = """
 WITH pk AS (
