@@ -3992,6 +3992,27 @@ def q_pivot_types_1d(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality measured as a first-class query: recall@10 of the
+    multi-probe LSH path against the exact brute-force cosine top-10
+    over the same table — the accept/reject number an embedding-dedup
+    rollout reads before trading scan cost for recall. Exact: both
+    rankings are already bit-replayable, so the overlap count (and
+    the ppm recall) is an integer fact, not a sampled estimate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, 0, 10).select("vec_id")
+    approx = ann_lsh_topk(
+        emb, query_vec_id=0, k=10, planes=4, multi_probe=True
+    ).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) * F.lit(100_000)).cast("long").alias(
+            "recall_ppm"
+        ),
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4320,6 +4341,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_sessions": q_survival_sessions,
         "skew_advisor": q_skew_advisor,
         "pivot_types_1d": q_pivot_types_1d,
+        "ann_recall": q_ann_recall,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5814,6 +5836,20 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # ANN recall: compose the two already-exact rankings (their
+    # oracles verbatim as derived tables) and count the overlap.
+    d["ann_recall"] = f"""
+WITH exact10 AS (
+  SELECT vec_id FROM ({d["cosine_topk"]}) t
+  ORDER BY cosine DESC, vec_id LIMIT 10
+), approx10 AS (
+  SELECT vec_id FROM ({d["ann_multiprobe_topk"]}) t2
+)
+SELECT cast(10 AS bigint) AS k,
+       cast(count(*) AS bigint) AS n_overlap,
+       cast(count(*) * 100000 AS bigint) AS recall_ppm
+FROM exact10 JOIN approx10 USING (vec_id)
+"""
     # Pivot: explicit value list -> plain conditional-sum aggregate.
     d["pivot_types_1d"] = """
 SELECT date_trunc('day', ts) AS bucket_ts,
