@@ -4013,6 +4013,34 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_absent_1h(spark, sf_dir):
+    """PromQL absent_over_time() over the tier grid: every
+    (user, hour) cell of the corpus span with NO samples — the alert
+    primitive for 'this series stopped reporting', the inverse of
+    coverage. Dense spine = one sequence() explode over the span
+    bounds (a broadcast 1-row aggregate), observed cells anti-joined
+    away; output-sensitive like gap reports."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    observed = ev.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        hour.alias("bucket_epoch"),
+    ).distinct()
+    span = ev.agg(
+        F.min(hour).alias("__lo"), F.max(hour).alias("__hi")
+    )
+    users = observed.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(3600))
+        ).alias("bucket_epoch"),
+    )
+    return spine.join(
+        observed, ["user_id", "bucket_epoch"], "left_anti"
+    ).select("user_id", "bucket_epoch", F.lit(1).alias("absent"))
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4342,6 +4370,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_advisor": q_skew_advisor,
         "pivot_types_1d": q_pivot_types_1d,
         "ann_recall": q_ann_recall,
+        "absent_1h": q_absent_1h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5836,6 +5865,29 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # absent(): dense spine minus observed cells, pure anti-join.
+    d["absent_1h"] = """
+WITH obs AS (
+  SELECT DISTINCT cast(user_id AS varchar) AS user_id,
+         cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS bucket_epoch
+  FROM events
+), span AS (
+  SELECT min(bucket_epoch) AS lo, max(bucket_epoch) AS hi FROM obs
+), spine AS (
+  SELECT u.user_id, g.bucket_epoch
+  FROM (SELECT DISTINCT user_id FROM obs) u,
+       span,
+       LATERAL (SELECT unnest(range(span.lo, span.hi + 3600, 3600))
+                AS bucket_epoch) g
+)
+SELECT s.user_id, cast(s.bucket_epoch AS bigint) AS bucket_epoch,
+       1 AS absent
+FROM spine s
+WHERE NOT EXISTS (
+  SELECT 1 FROM obs o
+  WHERE o.user_id = s.user_id AND o.bucket_epoch = s.bucket_epoch
+)
+"""
     # ANN recall: compose the two already-exact rankings (their
     # oracles verbatim as derived tables) and count the overlap.
     d["ann_recall"] = f"""
