@@ -227,7 +227,7 @@ from go_muse_spark.functions.bloom import (
     bloom_positions,
 )
 from go_muse_spark.functions import text as X
-from go_muse_spark.labels import label_id_map, vector_binop
+from go_muse_spark.labels import label_id_map, vector_binop, vector_setop
 from go_muse_spark.session import ship_package
 from go_muse_spark.sources.events import events_as_transcripts, load_table
 from go_muse_spark.sources.store import snapshot_diff
@@ -4041,6 +4041,45 @@ def q_absent_1h(spark, sf_dir):
     ).select("user_id", "bucket_epoch", F.lit(1).alias("absent"))
 
 
+def q_vector_unless_1h(spark, sf_dir):
+    """PromQL set matching (labels.vector_setop): hourly per-user
+    traffic `unless on(user)` error vectors — the left-anti gate that
+    keeps only clean hours, values and labels strictly from the left
+    side. Completes the vector-matching surface next to
+    vector_ratio_1h's arithmetic ops."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+
+    def vec(df):
+        return df.select(
+            F.create_map(
+                F.lit("user"), F.col("user_id").cast("string")
+            ).alias("dims"),
+            "bucket_epoch",
+            "value",
+        )
+
+    totals = vec(
+        ev.groupBy("user_id", hour.alias("bucket_epoch")).agg(
+            F.count(F.lit(1)).cast("double").alias("value")
+        )
+    )
+    errors = vec(
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", hour.alias("bucket_epoch"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    out = vector_setop(
+        totals, errors, "unless", ["user"],
+        extra_on_cols=("bucket_epoch",),
+    )
+    return out.select(
+        F.element_at(F.col("dims"), F.lit("user")).alias("user"),
+        "bucket_epoch",
+        F.col("value").cast("long").alias("n_events"),
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching (labels.vector_binop): hourly per-user
     error ratio as `errors / on(user) totals` over real map-typed
@@ -4371,6 +4410,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_types_1d": q_pivot_types_1d,
         "ann_recall": q_ann_recall,
         "absent_1h": q_absent_1h,
+        "vector_unless_1h": q_vector_unless_1h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5865,6 +5905,23 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # unless: left-anti on the signature; values strictly left.
+    d["vector_unless_1h"] = """
+WITH t AS (
+  SELECT cast(user_id AS varchar) AS u,
+         cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS b,
+         cast(count(*) AS bigint) AS c
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT DISTINCT cast(user_id AS varchar) AS u,
+         cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS b
+  FROM events WHERE event_type = 'error'
+)
+SELECT t.u AS "user", t.b AS bucket_epoch, t.c AS n_events
+FROM t WHERE NOT EXISTS (
+  SELECT 1 FROM e WHERE e.u = t.u AND e.b = t.b
+)
+"""
     # absent(): dense spine minus observed cells, pure anti-join.
     d["absent_1h"] = """
 WITH obs AS (

@@ -24,6 +24,7 @@ __all__ = [
     "label_join",
     "label_replace",
     "vector_binop",
+    "vector_setop",
     "distinct_groups",
 ]
 
@@ -269,3 +270,64 @@ def distinct_groups(df, keys: list[str]):
     if not keys:
         return df.select("series_key").distinct()
     return df.select(*sorted(keys)).distinct()
+
+
+def vector_setop(
+    left,
+    right,
+    op: str,
+    on: list[str],
+    dims_col: str = "dims",
+    value_col: str = "value",
+    extra_on_cols: tuple[str, ...] = (),
+):
+    """PromQL logical set operators between instant vectors —
+    ``l and on(...) r`` / ``l unless on(...) r`` / ``l or on(...) r``
+    — the filtering complement of vector_binop's arithmetic: "users
+    with errors AND high traffic", "traffic UNLESS in maintenance".
+
+    Semantics (PromQL exactly): matching is on the canonical
+    label-subset signature (label_id_map over ``on``) plus
+    ``extra_on_cols``; values and labels always come from the LEFT
+    side for `and`/`unless` — the right side only gates.
+      and:    left rows whose signature exists on the right
+              (LeftSemi join)
+      unless: left rows whose signature does NOT exist on the right
+              (LeftAnti join)
+      or:     all left rows, plus right rows whose signature has no
+              left counterpart (anti + union; right VALUES survive
+              only for those orphan signatures)
+
+    Scale shape: semi/anti joins shuffle only the signature columns
+    of the right side after partial dedup — the right side never
+    carries values through the exchange; `or` adds one anti-join and
+    a union, no extra scan of the left. Broadcast the right side
+    upstream when it is small.
+
+    Returns (extra_on_cols..., dims, value) rows, same contract as
+    the vectors that went in.
+    """
+    if op not in ("and", "unless", "or"):
+        raise ValueError(f"op must be 'and'/'unless'/'or', got {op!r}")
+    sig = label_id_map(F.col(dims_col), list(on))
+    keys = ["__sig", *extra_on_cols]
+
+    def prep(df):
+        return df.select(
+            sig.alias("__sig"),
+            *[F.col(c) for c in extra_on_cols],
+            F.col(dims_col).alias("dims"),
+            F.col(value_col).alias("value"),
+        )
+
+    lp, rp = prep(left), prep(right)
+    rkeys = rp.select(*keys).distinct()
+    if op == "and":
+        out = lp.join(rkeys, keys, "left_semi")
+    elif op == "unless":
+        out = lp.join(rkeys, keys, "left_anti")
+    else:  # or
+        lkeys = lp.select(*keys).distinct()
+        orphans = rp.join(lkeys, keys, "left_anti")
+        out = lp.unionByName(orphans)
+    return out.select(*extra_on_cols, "dims", "value")
