@@ -4041,6 +4041,24 @@ def q_absent_1h(spark, sf_dir):
     ).select("user_id", "bucket_epoch", F.lit(1).alias("absent"))
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """recall@10 of the 2-probe IVF path vs exact cosine — the
+    data-dependent index's accept/reject number next to ann_recall's
+    LSH reading; same exact-overlap composition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, 0, 10).select("vec_id")
+    approx = ann_ivf_topk(
+        emb, query_vec_id=0, k=10, n_centroids=8, n_probe=2
+    ).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) * F.lit(100_000)).cast("long").alias(
+            "recall_ppm"
+        ),
+    )
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4411,6 +4429,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "absent_1h": q_absent_1h,
         "vector_unless_1h": q_vector_unless_1h,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5905,6 +5924,19 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # IVF recall twin of ann_recall.
+    d["ann_ivf_recall"] = f"""
+WITH exact10 AS (
+  SELECT vec_id FROM ({d["cosine_topk"]}) t
+  ORDER BY cosine DESC, vec_id LIMIT 10
+), approx10 AS (
+  SELECT vec_id FROM ({d["ann_ivf_topk"]}) t2
+)
+SELECT cast(10 AS bigint) AS k,
+       cast(count(*) AS bigint) AS n_overlap,
+       cast(count(*) * 100000 AS bigint) AS recall_ppm
+FROM exact10 JOIN approx10 USING (vec_id)
+"""
     # unless: left-anti on the signature; values strictly left.
     d["vector_unless_1h"] = """
 WITH t AS (
