@@ -4402,15 +4402,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Evidence-rotation order: the driver's correctness gate
         # samples the FIRST 50 entries, so the newest queries lead —
-        # round-5 third sweep (pacf / mann_kendall / kendall_xy /
-        # slo_above / kmv_rolling / the drift+ccf+winsorized batch),
-        # then the round-5 second sweep (fleet_decorr / DTW /
-        # changepoint / theilsen / rolling-corr / trimmed / spearman)
-        # — none driver-checked yet — followed by the oldest-evidence
-        # (round-2-dated) greens; round-3/4 driver-greens close the
-        # list. Every entry stays full-sweep green locally
-        # (ORACLE_SWEEP_r05.log one-pass + per-addition checks; final
-        # full pass in ORACLE_SWEEP_r05_final.log).
+        # the round-5 fourth/fifth/sixth sweeps (DQ gate, Hampel,
+        # period/ESS, CDC, z-order + skew advisor, BM25, keyness,
+        # bloom, MASE, Markov entropy, shape, KM survival, pivot,
+        # ANN recalls, absent, vector set ops), then the third sweep
+        # (pacf / mann_kendall / drift+ccf batch) — none
+        # driver-checked yet — followed by the oldest-evidence greens;
+        # round-3/4 driver-greens close the list. Every entry stays
+        # full-sweep green locally (one-pass logs
+        # ORACLE_SWEEP_r05_final.log 165/165, r05d 173/173,
+        # r05e 181/181, plus per-addition checks for the newest 3).
         "dq_events": q_dq_events,
         "hampel_25_1h": q_hampel_25_1h,
         "period_detect_1h": q_period_detect_1h,
