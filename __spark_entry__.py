@@ -4059,6 +4059,28 @@ def q_ann_ivf_recall(spark, sf_dir):
     )
 
 
+def q_cardinality_trend(spark, sf_dir):
+    """Label-cardinality explosion detector: per event_type, the
+    Mann-Kendall trend test over the DAILY DISTINCT-USER count — the
+    ops alarm for 'this metric's label space is growing' (the thing
+    that melts a time-series store), built by composing the exact
+    distinct rollup with the exact-integer MK machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    out = mann_kendall(daily, "n_users", by=("event_type",))
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var18"),
+        F.round(F.col("z") * 1e6, 0).cast("long").alias("z_u"),
+        F.round(F.col("tau_b") * 1e6, 0).cast("long").alias("tau_u"),
+    )
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4431,6 +4453,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absent_1h": q_absent_1h,
         "vector_unless_1h": q_vector_unless_1h,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "cardinality_trend": q_cardinality_trend,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5925,6 +5948,41 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Cardinality trend: exact distinct counts feed the same MK SQL.
+    d["cardinality_trend"] = """
+WITH r AS (
+  SELECT event_type AS u, date_trunc('day', ts) AS b,
+         cast(count(DISTINCT user_id) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.u,
+         cast(sum(cast(sign(c.v - a.v) AS bigint)) AS bigint) AS s_stat
+  FROM r a JOIN r c ON a.u = c.u AND a.b < c.b
+  GROUP BY 1
+), ties AS (
+  SELECT u, cast(sum(t) AS bigint) AS n,
+         cast(sum(t * (t - 1) * (2 * t + 5)) AS bigint) AS tie3,
+         cast(sum(t * (t - 1)) AS bigint) AS tie2
+  FROM (SELECT u, v, cast(count(*) AS bigint) AS t FROM r GROUP BY 1, 2)
+  GROUP BY 1
+), j AS (
+  SELECT s.u, ties.n, s.s_stat,
+         ties.n * (ties.n - 1) * (2 * ties.n + 5) - tie3 AS var18,
+         tie2
+  FROM s JOIN ties ON s.u = ties.u
+)
+SELECT u AS event_type, n, s_stat, cast(var18 AS bigint) AS var18,
+       cast(round(CASE
+             WHEN s_stat > 0
+               THEN (s_stat - 1) / sqrt(cast(var18 AS double) / 18.0)
+             WHEN s_stat < 0
+               THEN (s_stat + 1) / sqrt(cast(var18 AS double) / 18.0)
+             ELSE 0.0 END * 1e6) AS bigint) AS z_u,
+       cast(round(s_stat / sqrt((n * (n - 1) / 2)
+                  * (n * (n - 1) / 2 - tie2 / 2)) * 1e6) AS bigint)
+         AS tau_u
+FROM j WHERE n >= 4 AND var18 > 0
+"""
     # IVF recall twin of ann_recall.
     d["ann_ivf_recall"] = f"""
 WITH exact10 AS (
