@@ -25,8 +25,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_muse_spark.operators.compress import (
+    bitlen_sql,
     compact_chunks,
     decode_chunks,
+    dod_cost,
     encode_chunks,
     encode_chunks_windowed,
 )
@@ -4081,6 +4083,29 @@ def q_cardinality_trend(spark, sf_dir):
     )
 
 
+def q_dod_cost_1h(spark, sf_dir):
+    """Storage-cost model of the DoD timestamp codec
+    (compress.dod_cost): per user, the EXACT byte size the hourly
+    tier's timestamp column will occupy — sectioned layout replayed
+    relationally (zigzag branch form + shared bitlen indicator
+    chain), pinned byte-for-byte to functions/codecs
+    .encode_timestamps by pytest. Capacity planning as a query."""
+    ev = load_table(spark, sf_dir, "events")
+    tier = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    out = dod_cost(tier)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "n_points",
+        "k_nonzero",
+        "width_bits",
+        "ts_bytes",
+        "bits_per_point_u",
+    )
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4454,6 +4479,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_unless_1h": q_vector_unless_1h,
         "ann_ivf_recall": q_ann_ivf_recall,
         "cardinality_trend": q_cardinality_trend,
+        "dod_cost_1h": q_dod_cost_1h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5948,6 +5974,50 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # DoD cost model: same lag algebra + the SAME bitlen indicator
+    # chain text (compress.bitlen_sql); all-integer byte formula.
+    _bl = bitlen_sql("z")
+    d["dod_cost_1h"] = f"""
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('hour', ts) AS b
+  FROM events GROUP BY 1, 2
+), dts AS (
+  SELECT u, epoch_us(b) AS t,
+         epoch_us(b) - lag(epoch_us(b)) OVER w AS d
+  FROM r WINDOW w AS (PARTITION BY u ORDER BY b)
+), dz AS (
+  SELECT u, d,
+         d - coalesce(lag(d) OVER (PARTITION BY u ORDER BY t), 0)
+           AS dod
+  FROM dts
+), zz AS (
+  SELECT u,
+         CASE WHEN d IS NULL THEN NULL
+              WHEN dod >= 0 THEN 2 * dod
+              ELSE -2 * dod - 1 END AS z
+  FROM dz
+), agg AS (
+  SELECT u, cast(count(*) AS bigint) AS n_points,
+         cast(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS bigint)
+           AS k_nonzero,
+         cast(coalesce(max(CASE WHEN z > 0 THEN {_bl} END), 0)
+           AS bigint) AS width_bits
+  FROM zz GROUP BY 1
+), sized AS (
+  SELECT u, n_points, k_nonzero, width_bits,
+         CASE WHEN n_points <= 1 THEN 10 * n_points
+              ELSE 10 + (n_points + 6) // 8
+                   + (k_nonzero * width_bits + 7) // 8
+         END AS ts_bytes
+  FROM agg
+)
+SELECT u AS user_id, n_points, k_nonzero, width_bits,
+       cast(ts_bytes AS bigint) AS ts_bytes,
+       cast((ts_bytes * 8000000) // n_points AS bigint)
+         AS bits_per_point_u
+FROM sized
+"""
     # Cardinality trend: exact distinct counts feed the same MK SQL.
     d["cardinality_trend"] = """
 WITH r AS (

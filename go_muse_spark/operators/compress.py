@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from go_muse_spark.functions.codecs import (
@@ -37,6 +37,8 @@ __all__ = [
     "decode_chunks",
     "compact_chunks",
     "CHUNK_SCHEMA",
+    "bitlen_sql",
+    "dod_cost",
 ]
 
 CHUNK_SCHEMA = (
@@ -567,4 +569,92 @@ def compact_chunks(
         value_col,
         chunk_size=chunk_size,
         parallelism=parallelism,
+    )
+
+
+def bitlen_sql(x: str, max_bits: int = 63) -> str:
+    """Bit length of a non-negative bigint as portable SQL — the sum
+    of (x >= 2^j) indicators, left-associated; 0 -> 0. Shared text
+    for Spark and any oracle (no engine clz/bit_length builtins,
+    whose type rules differ)."""
+    terms = [
+        f"(CASE WHEN ({x}) >= {1 << j} THEN 1 ELSE 0 END)"
+        for j in range(max_bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def dod_cost(
+    rolled: DataFrame,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """EXACT storage-cost model of the delta-of-delta timestamp codec
+    (functions/codecs.encode_timestamps), computed relationally — no
+    encoder in the loop: per series, the sectioned layout's byte size
+
+        n <= 1 : 10*n bytes  (version + width + first ts)
+        n >= 2 : 2 + 8 + ceil((n-1)/8) + ceil(k*W/8)
+
+    with k = nonzero zigzag(dod) count and W = max bit length of
+    those zigzags. This is the capacity-planning query — "what will
+    this tier cost on disk, per series, BEFORE we encode it" — and a
+    live cross-check of the codec itself: pytest asserts this model
+    equals len(encode_timestamps(ts)) byte for byte, and the DuckDB
+    oracle replays the same lag algebra, so the storage claim in the
+    module docstring (~1 bit/point on dense regular tiers) is a
+    verified number, not prose.
+
+    Zigzag is the branch form 2d / -2d-1 (== (d<<1) XOR (d>>63) for
+    every |dod| < 2^62 — microsecond tiers are orders of magnitude
+    inside that); bit length is the shared bitlen_sql indicator
+    chain. All integers, no doubles anywhere.
+
+    Scale shape: ONE exchange on the series key; two stacked lag()
+    frames over one window sort; one map-combined aggregate. Returns
+    (by..., n_points, k_nonzero, width_bits, ts_bytes,
+    bits_per_point_u).
+    """
+    t = F.unix_micros(F.col(bucket_col).cast("timestamp"))
+    w = Window.partitionBy(*by).orderBy(t)
+    delta = t - F.lag(t).over(w)
+    base = rolled.select(*by, t.alias("__t"), delta.alias("__d"))
+    w2 = Window.partitionBy(*by).orderBy("__t")
+    dod = F.col("__d") - F.coalesce(
+        F.lag(F.col("__d")).over(w2), F.lit(0)
+    )
+    zig = F.when(
+        F.col("__d").isNull(), F.lit(None)
+    ).otherwise(
+        F.when(dod >= 0, 2 * dod).otherwise(-2 * dod - 1)
+    )
+    flagged = base.select(*by, zig.alias("__z"))
+    bl = F.expr(bitlen_sql("__z"))
+    agg = flagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            F.when(F.col("__z") > 0, 1).otherwise(0)
+        ).alias("k_nonzero"),
+        F.coalesce(
+            F.max(F.when(F.col("__z") > 0, bl)), F.lit(0)
+        ).alias("width_bits"),
+    )
+    n = F.col("n_points")
+    ts_bytes = F.when(n <= 1, 10 * n).otherwise(
+        F.lit(10)
+        + F.expr("(n_points + 6) div 8")  # ceil((n-1)/8)
+        + F.expr("(k_nonzero * width_bits + 7) div 8")
+    )
+    sized = agg.select(
+        *by,
+        "n_points",
+        "k_nonzero",
+        "width_bits",
+        ts_bytes.cast("long").alias("ts_bytes"),
+    )
+    return sized.select(
+        "*",
+        F.expr("(ts_bytes * 8000000) div n_points")
+        .cast("long")
+        .alias("bits_per_point_u"),
     )

@@ -1,0 +1,64 @@
+"""dod_cost model == len(encode_timestamps(ts)) byte for byte."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from go_muse_spark.functions.codecs import encode_timestamps
+from go_muse_spark.operators.compress import dod_cost
+
+
+def _df(spark, series):
+    rows = []
+    for conv, ts_list in series.items():
+        for t in ts_list:
+            rows.append((conv, dt.datetime(2025, 1, 1) + dt.timedelta(seconds=t)))
+    return spark.createDataFrame(rows, "conv_id string, bucket_ts timestamp")
+
+
+def _actual_bytes(ts_list):
+    us = (np.asarray(sorted(ts_list), dtype=np.int64)) * 1_000_000 + int(
+        dt.datetime(2025, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000
+    return len(encode_timestamps(us))
+
+
+@pytest.mark.parametrize(
+    "series",
+    [
+        # regular cadence: dods all zero after the first delta
+        {"reg": list(range(0, 3600 * 50, 3600))},
+        # irregular gaps
+        {"irr": [0, 10, 25, 26, 100, 5000, 5003, 9000]},
+        # shrinking deltas (negative dods exercise zigzag)
+        {"neg": [0, 100, 190, 270, 340, 400, 450, 490]},
+        # single point and pair
+        {"one": [0], "two": [0, 3600]},
+        # mixed several series at once
+        {
+            "a": list(range(0, 3600 * 30, 3600)),
+            "b": [0, 7, 9, 400, 401, 402],
+        },
+    ],
+)
+def test_model_matches_encoder(spark, series):
+    out = {
+        r["conv_id"]: r for r in dod_cost(_df(spark, series)).collect()
+    }
+    assert set(out) == set(series)
+    for conv, ts_list in series.items():
+        want = _actual_bytes(ts_list)
+        got = out[conv]["ts_bytes"]
+        assert got == want, (conv, got, want)
+        assert out[conv]["n_points"] == len(ts_list)
+
+
+def test_dense_regular_tier_near_one_bit(spark):
+    # 200 perfectly regular hourly points: bitmap dominates -> ~1.4
+    # bits/point incl. header at this length, asymptotically -> 1
+    out = dod_cost(
+        _df(spark, {"r": list(range(0, 3600 * 200, 3600))})
+    ).collect()[0]
+    assert out["k_nonzero"] <= 1  # only the first delta's dod
+    assert out["bits_per_point_u"] < 2_000_000
