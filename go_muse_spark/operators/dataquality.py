@@ -78,6 +78,40 @@ def _finish(df: DataFrame) -> DataFrame:
     )
 
 
+def _flag_aggs(names_exprs, first_alias="__n"):
+    """Shared one-pass aggregate: row count + one null-proof violation
+    sum per predicate (NULL predicate results count as OK)."""
+    return [F.count(F.lit(1)).alias(first_alias)] + [
+        F.sum(
+            F.when(F.expr(expr) == F.lit(True), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias(f"__v{i}")
+        for i, expr in enumerate(names_exprs)
+    ]
+
+
+def _explode_checks(one, names, count_col="__n", first_sum=0):
+    """Unpivot a 1-row aggregate of flag sums into the output rows,
+    one per check name; __v<first_sum+i> pairs with names[i]."""
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        F.col(count_col).alias("n_rows"),
+                        F.coalesce(
+                            F.col(f"__v{first_sum + i}"), F.lit(0)
+                        ).alias("n_viol"),
+                    )
+                    for i, name in enumerate(names)
+                ]
+            )
+        ).alias("__c")
+    ).select("__c.check", "__c.n_rows", "__c.n_viol")
+
+
 def dq_profile(
     df: DataFrame, checks: dict[str, str]
 ) -> DataFrame:
@@ -94,32 +128,8 @@ def dq_profile(
     """
     if not checks:
         raise ValueError("need at least one check")
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(
-            F.when(F.expr(expr) == F.lit(True), F.lit(1)).otherwise(
-                F.lit(0)
-            )
-        ).alias(f"__v{i}")
-        for i, (_, expr) in enumerate(checks.items())
-    ]
-    one = df.agg(*aggs)
-    rows = one.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("check"),
-                        F.col("__n").alias("n_rows"),
-                        F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias(
-                            "n_viol"
-                        ),
-                    )
-                    for i, name in enumerate(checks)
-                ]
-            )
-        ).alias("__c")
-    ).select("__c.check", "__c.n_rows", "__c.n_viol")
-    return _finish(rows)
+    one = df.agg(*_flag_aggs(checks.values()))
+    return _finish(_explode_checks(one, list(checks)))
 
 
 def dq_unique(
@@ -167,12 +177,15 @@ def dq_sequence(
     extra_checks = extra_checks or {}
     w = Window.partitionBy(*by).orderBy(F.col(order_col))
     prev = F.lag(F.col(ts_col)).over(w)
-    flagged = df.select(
+    seq_flag = (
         F.when(
             prev.isNotNull() & (F.col(ts_col) < prev), F.lit(1)
         )
         .otherwise(F.lit(0))
-        .alias("__v0"),
+        .alias("__s")
+    )
+    flagged = df.select(
+        seq_flag,
         *[
             F.when(F.expr(expr) == F.lit(True), F.lit(1))
             .otherwise(F.lit(0))
@@ -180,31 +193,16 @@ def dq_sequence(
             for i, expr in enumerate(extra_checks.values())
         ],
     )
-    names = [check, *extra_checks.keys()]
-    agg = flagged.agg(
+    one = flagged.agg(
         F.count(F.lit(1)).alias("__n"),
+        F.sum("__s").alias("__v0"),
         *[
-            F.sum(f"__v{i}").alias(f"__s{i}")
-            for i in range(len(names))
+            F.sum(f"__v{i + 1}").alias(f"__v{i + 1}")
+            for i in range(len(extra_checks))
         ],
     )
-    rows = agg.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("check"),
-                        F.col("__n").alias("n_rows"),
-                        F.coalesce(F.col(f"__s{i}"), F.lit(0)).alias(
-                            "n_viol"
-                        ),
-                    )
-                    for i, name in enumerate(names)
-                ]
-            )
-        ).alias("__c")
-    ).select("__c.check", "__c.n_rows", "__c.n_viol")
-    return _finish(rows)
+    names = [check, *extra_checks.keys()]
+    return _finish(_explode_checks(one, names))
 
 
 def dq_report(parts: list[DataFrame]) -> DataFrame:
