@@ -29,6 +29,8 @@ from go_muse_spark.operators.compress import (
     compact_chunks,
     decode_chunks,
     dod_cost,
+    ieee_bits_sql,
+    xor_cost,
     encode_chunks,
     encode_chunks_windowed,
 )
@@ -4106,6 +4108,37 @@ def q_dod_cost_1h(spark, sf_dir):
     )
 
 
+def q_chunk_cost_1h(spark, sf_dir):
+    """Whole-chunk storage price from SQL (compress.dod_cost +
+    xor_cost): per user, the exact bytes the hourly tier costs under
+    the sectioned DoD + XOR codecs — IEEE bit patterns rebuilt by
+    integer arithmetic, both models pinned byte-for-byte to the numpy
+    encoders by pytest. The capacity-planning twin of
+    chunks_roundtrip_1h's correctness check."""
+    ev = load_table(spark, sf_dir, "events")
+    tier = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+    ts_side = dod_cost(tier).select(
+        "conv_id", "n_points", "ts_bytes"
+    )
+    val_side = xor_cost(tier, "turn_cnt").select(
+        "conv_id", F.col("val_bytes")
+    )
+    out = ts_side.join(val_side, "conv_id")
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "n_points",
+        "ts_bytes",
+        "val_bytes",
+        (F.col("ts_bytes") + F.col("val_bytes")).alias("total_bytes"),
+        F.expr("((ts_bytes + val_bytes) * 8000000) div n_points")
+        .cast("long")
+        .alias("bits_per_point_u"),
+    )
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4480,6 +4513,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "cardinality_trend": q_cardinality_trend,
         "dod_cost_1h": q_dod_cost_1h,
+        "chunk_cost_1h": q_chunk_cost_1h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -5974,6 +6008,79 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Chunk cost: DoD model + XOR model (ieee bits by arithmetic,
+    # DuckDB xor() for the chain) joined per series.
+    _ib = ieee_bits_sql("v")
+    _blx = bitlen_sql("x", 64)
+    _bll = bitlen_sql("(x & (-x))", 64)
+    d["chunk_cost_1h"] = f"""
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('hour', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), dts AS (
+  SELECT u, epoch_us(b) AS t,
+         epoch_us(b) - lag(epoch_us(b)) OVER w AS d
+  FROM r WINDOW w AS (PARTITION BY u ORDER BY b)
+), dz AS (
+  SELECT u,
+         CASE WHEN d IS NULL THEN NULL ELSE
+           CASE WHEN d - coalesce(lag(d)
+                  OVER (PARTITION BY u ORDER BY t), 0) >= 0
+                THEN 2 * (d - coalesce(lag(d)
+                  OVER (PARTITION BY u ORDER BY t), 0))
+                ELSE -2 * (d - coalesce(lag(d)
+                  OVER (PARTITION BY u ORDER BY t), 0)) - 1 END
+         END AS z
+  FROM dts
+), tsagg AS (
+  SELECT u, cast(count(*) AS bigint) AS n_points,
+         cast(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS bigint) AS k,
+         cast(coalesce(max(CASE WHEN z > 0
+           THEN {bitlen_sql("z", 63)} END), 0) AS bigint) AS wd
+  FROM dz GROUP BY 1
+), tsz AS (
+  SELECT u, n_points,
+         CASE WHEN n_points <= 1 THEN 10 * n_points
+              ELSE 10 + (n_points + 6) // 8 + (k * wd + 7) // 8
+         END AS ts_bytes
+  FROM tsagg
+), fb AS (
+  SELECT u, b, {_ib} AS fbits FROM r
+), xr AS (
+  SELECT u,
+         xor(fbits, lag(fbits) OVER (PARTITION BY u ORDER BY b)) AS x
+  FROM fb
+), xflag AS (
+  SELECT u, x, {_blx} AS bl,
+         CASE WHEN x > 0 THEN {_bll} - 1 END AS tz
+  FROM xr
+), xagg AS (
+  SELECT u,
+         cast(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bigint) AS k,
+         cast(coalesce(max(CASE WHEN x > 0 THEN bl END), 0) AS bigint)
+           AS maxbl,
+         cast(coalesce(min(tz), 0) AS bigint) AS mintz,
+         cast(count(*) AS bigint) AS n_points
+  FROM xflag GROUP BY 1
+), xz AS (
+  SELECT u,
+         CASE WHEN n_points <= 1 THEN 11 * n_points
+              ELSE 11 + (n_points + 6) // 8
+                   + (k * (CASE WHEN k > 0 THEN maxbl - mintz
+                           ELSE 0 END) + 7) // 8
+         END AS val_bytes
+  FROM xagg
+)
+SELECT tsz.u AS user_id, tsz.n_points, cast(ts_bytes AS bigint)
+         AS ts_bytes,
+       cast(val_bytes AS bigint) AS val_bytes,
+       cast(ts_bytes + val_bytes AS bigint) AS total_bytes,
+       cast(((ts_bytes + val_bytes) * 8000000) // tsz.n_points
+         AS bigint) AS bits_per_point_u
+FROM tsz JOIN xz ON tsz.u = xz.u
+"""
     # DoD cost model: same lag algebra + the SAME bitlen indicator
     # chain text (compress.bitlen_sql); all-integer byte formula.
     _bl = bitlen_sql("z")

@@ -39,6 +39,8 @@ __all__ = [
     "CHUNK_SCHEMA",
     "bitlen_sql",
     "dod_cost",
+    "ieee_bits_sql",
+    "xor_cost",
 ]
 
 CHUNK_SCHEMA = (
@@ -657,4 +659,96 @@ def dod_cost(
         F.expr("(ts_bytes * 8000000) div n_points")
         .cast("long")
         .alias("bits_per_point_u"),
+    )
+
+
+def ieee_bits_sql(v: str) -> str:
+    """Raw IEEE-754 float64 bit pattern of a NON-NEGATIVE integer
+    value, as portable int64 SQL arithmetic (0 -> 0): with
+    e = bitlen(v)-1, bits = (1022+e)*2^52 + v*2^(52-e) — the biased
+    exponent and mantissa reconstructed without any float cast, so
+    the XOR-codec cost model below never touches engine-specific
+    float-to-bits builtins. Exact for 0 <= v < 2^52."""
+    e = f"({bitlen_sql(v, 52)} - 1)"
+    shifted = f"((cast({v} as bigint)) * cast(pow(2, 52 - {e}) as bigint))"
+    return (
+        f"(CASE WHEN ({v}) = 0 THEN cast(0 as bigint)"
+        f" ELSE (1022 + {e}) * cast(pow(2, 52) as bigint) + {shifted}"
+        f" END)"
+    )
+
+
+def xor_cost(
+    rolled: DataFrame,
+    value_col: str,
+    by: tuple[str, ...] = ("conv_id",),
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """EXACT storage-cost model of the XOR float codec
+    (functions/codecs.encode_floats) for INTEGER-valued tiers,
+    computed relationally — the value-column twin of dod_cost: per
+    series, the sectioned layout's byte size
+
+        n == 1 : 11 bytes      n >= 2 :
+        3 + 8 + ceil((n-1)/8) + ceil(k*W/8)
+
+    with k = nonzero XOR count, W = 64 - lz - tz for the chunk-shared
+    leading/trailing-zero window (lz from the max XOR bit length, tz
+    from the min trailing-zero count, tz(x) = bitlen(x & -x) - 1).
+    The IEEE bit patterns come from ieee_bits_sql — pure integer
+    arithmetic, so Spark and the oracle replay the identical XOR
+    chain, and pytest pins the model byte-for-byte to the numpy
+    encoder. Together with dod_cost this prices a whole chunk table
+    from SQL before anything is encoded.
+
+    Scale shape: one exchange on the series key, one lag frame, one
+    map-combined aggregate. Returns (by..., n_points, k_nonzero,
+    width_bits, val_bytes).
+    """
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*by).orderBy(F.col(bucket_col))
+    base = rolled.select(*by, bucket_col, v.alias("__v")).withColumn(
+        "__fb", F.expr(ieee_bits_sql("__v"))
+    )
+    xr = F.col("__fb").bitwiseXOR(F.lag(F.col("__fb")).over(w))
+    flagged = base.select(*by, xr.alias("__x")).withColumn(
+        "__bl", F.expr(bitlen_sql("__x", 64))
+    ).withColumn(
+        "__tz",
+        F.when(
+            F.col("__x") > 0,
+            F.expr(bitlen_sql("(__x & -__x)", 64)) - 1,
+        ),
+    )
+    agg = flagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.when(F.col("__x") > 0, 1).otherwise(0)).alias(
+            "k_nonzero"
+        ),
+        F.coalesce(
+            F.max(F.when(F.col("__x") > 0, F.col("__bl"))), F.lit(0)
+        ).alias("__maxbl"),
+        F.coalesce(F.min("__tz"), F.lit(0)).alias("__mintz"),
+    )
+    n = F.col("n_points")
+    width = F.when(
+        F.col("k_nonzero") > 0, F.col("__maxbl") - F.col("__mintz")
+    ).otherwise(F.lit(0))
+    sized = agg.select(
+        *by,
+        "n_points",
+        "k_nonzero",
+        width.alias("width_bits"),
+    )
+    val_bytes = F.when(n <= 1, 11 * n).otherwise(
+        F.lit(11)
+        + F.expr("(n_points + 6) div 8")  # ceil((n-1)/8)
+        + F.expr("(k_nonzero * width_bits + 7) div 8")
+    )
+    return sized.select(
+        *by,
+        "n_points",
+        "k_nonzero",
+        "width_bits",
+        val_bytes.cast("long").alias("val_bytes"),
     )
