@@ -4139,6 +4139,48 @@ def q_chunk_cost_1h(spark, sf_dir):
     )
 
 
+def q_tier_cost(spark, sf_dir):
+    """Storage price of the whole retention ladder (1m/1h/1d tiers)
+    in one query: per tier, total exact bytes under the DoD + XOR
+    codecs and the fleet-wide bits/point — the capacity table behind
+    the north rule's rolled-up-and-compressed headline, priced from
+    SQL before anything encodes. Coarser tiers show the ladder's
+    point: fewer points AND denser spines (cheaper bits/point)."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = []
+    for tier, unit in (("1m", "minute"), ("1h", "hour"), ("1d", "day")):
+        t = ev.groupBy(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+        ).agg(F.count(F.lit(1)).alias("turn_cnt"))
+        ts_side = dod_cost(t).select("conv_id", "n_points", "ts_bytes")
+        val_side = xor_cost(t, "turn_cnt").select(
+            "conv_id", "val_bytes"
+        )
+        per = ts_side.join(val_side, "conv_id")
+        parts.append(
+            per.agg(
+                F.lit(tier).alias("tier"),
+                F.sum("n_points").alias("n_points"),
+                F.sum("ts_bytes").alias("ts_bytes"),
+                F.sum("val_bytes").alias("val_bytes"),
+                (F.sum("ts_bytes") + F.sum("val_bytes")).alias(
+                    "total_bytes"
+                ),
+                F.expr(
+                    "((sum(ts_bytes) + sum(val_bytes)) * 8000000)"
+                    " div sum(n_points)"
+                )
+                .cast("long")
+                .alias("bits_per_point_u"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4514,6 +4556,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_trend": q_cardinality_trend,
         "dod_cost_1h": q_dod_cost_1h,
         "chunk_cost_1h": q_chunk_cost_1h,
+        "tier_cost": q_tier_cost,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -6008,6 +6051,89 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Tier ladder cost: the chunk-cost chain per trunc unit, summed.
+    def _tier_cost_sql(tier: str, unit: str) -> str:
+        return f"""
+SELECT '{tier}' AS tier,
+       cast(sum(n_points) AS bigint) AS n_points,
+       cast(sum(ts_bytes) AS bigint) AS ts_bytes,
+       cast(sum(val_bytes) AS bigint) AS val_bytes,
+       cast(sum(ts_bytes) + sum(val_bytes) AS bigint) AS total_bytes,
+       cast(((sum(ts_bytes) + sum(val_bytes)) * 8000000)
+            // sum(n_points) AS bigint) AS bits_per_point_u
+FROM (
+WITH r AS (
+  SELECT cast(user_id AS varchar) AS u,
+         date_trunc('{unit}', ts) AS b,
+         cast(count(*) AS bigint) AS v
+  FROM events GROUP BY 1, 2
+), dts AS (
+  SELECT u, epoch_us(b) AS t,
+         epoch_us(b) - lag(epoch_us(b)) OVER w AS d
+  FROM r WINDOW w AS (PARTITION BY u ORDER BY b)
+), dz AS (
+  SELECT u,
+         CASE WHEN d IS NULL THEN NULL ELSE
+           CASE WHEN d - coalesce(lag(d)
+                  OVER (PARTITION BY u ORDER BY t), 0) >= 0
+                THEN 2 * (d - coalesce(lag(d)
+                  OVER (PARTITION BY u ORDER BY t), 0))
+                ELSE -2 * (d - coalesce(lag(d)
+                  OVER (PARTITION BY u ORDER BY t), 0)) - 1 END
+         END AS z
+  FROM dts
+), tsagg AS (
+  SELECT u, cast(count(*) AS bigint) AS n_points,
+         cast(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS bigint) AS k,
+         cast(coalesce(max(CASE WHEN z > 0
+           THEN {bitlen_sql("z", 63)} END), 0) AS bigint) AS wd
+  FROM dz GROUP BY 1
+), tsz AS (
+  SELECT u, n_points,
+         CASE WHEN n_points <= 1 THEN 10 * n_points
+              ELSE 10 + (n_points + 6) // 8 + (k * wd + 7) // 8
+         END AS ts_bytes
+  FROM tsagg
+), fb AS (
+  SELECT u, b, {ieee_bits_sql("v")} AS fbits FROM r
+), xr AS (
+  SELECT u,
+         xor(fbits, lag(fbits) OVER (PARTITION BY u ORDER BY b)) AS x
+  FROM fb
+), xflag AS (
+  SELECT u, x, {bitlen_sql("x", 64)} AS bl,
+         CASE WHEN x > 0 THEN {bitlen_sql("(x & (-x))", 64)} - 1 END
+           AS tz
+  FROM xr
+), xagg AS (
+  SELECT u,
+         cast(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bigint) AS k,
+         cast(coalesce(max(CASE WHEN x > 0 THEN bl END), 0) AS bigint)
+           AS maxbl,
+         cast(coalesce(min(tz), 0) AS bigint) AS mintz,
+         cast(count(*) AS bigint) AS n_points
+  FROM xflag GROUP BY 1
+), xz AS (
+  SELECT u,
+         CASE WHEN n_points <= 1 THEN 11 * n_points
+              ELSE 11 + (n_points + 6) // 8
+                   + (k * (CASE WHEN k > 0 THEN maxbl - mintz
+                           ELSE 0 END) + 7) // 8
+         END AS val_bytes
+  FROM xagg
+)
+SELECT tsz.u, tsz.n_points, ts_bytes, val_bytes
+FROM tsz JOIN xz ON tsz.u = xz.u
+) per_user
+"""
+
+    d["tier_cost"] = (
+        _tier_cost_sql("1m", "minute")
+        + "\nUNION ALL\n"
+        + _tier_cost_sql("1h", "hour")
+        + "\nUNION ALL\n"
+        + _tier_cost_sql("1d", "day")
+    )
     # Chunk cost: DoD model + XOR model (ieee bits by arithmetic,
     # DuckDB xor() for the chain) joined per series.
     _ib = ieee_bits_sql("v")
