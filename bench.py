@@ -60,6 +60,14 @@ BENCH_QUERIES = [
     "shape_24h",
     "survival_sessions",
     "skew_advisor",
+    "pivot_types_1d",
+    "ann_recall",
+    "absent_1h",
+    "vector_unless_1h",
+    "cardinality_trend",
+    "dod_cost_1h",
+    "chunk_cost_1h",
+    "tier_cost",
     # round-5 third sweep (one representative per new family; the
     # same-shaped siblings — jsd/state_entropy/kendall_xy — track them)
     "psi_drift_1d",
