@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-__all__ = ["dq_profile", "dq_unique", "dq_sequence", "dq_report"]
+__all__ = ["dq_profile", "dq_unique", "dq_sequence", "dq_report", "schema_diff"]
 
 
 _OUT_COLS = ("check", "n_rows", "n_viol", "ppm")
@@ -214,4 +214,57 @@ def dq_report(parts: list[DataFrame]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def schema_diff(old, new) -> list[tuple[str, str, str | None, str | None]]:
+    """Schema-evolution audit between two table schemas (StructType or
+    DDL string): the ingest gate's metadata half — a column appearing,
+    vanishing, or changing type is a contract change that must be
+    DECIDED (evolve the tier / reject the batch), never silently
+    absorbed by a cast. Position changes are ignored (columnar formats
+    address by name); nullability tightening is reported because a
+    writer that starts emitting NULLs breaks exact-integer operators
+    downstream.
+
+    Returns [(change, column, old_type, new_type)] with change in
+    {'added', 'dropped', 'type_changed', 'now_nullable'}, ordered by
+    column name — deterministic, driver-side, no Spark job.
+    """
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    def fields(s):
+        if isinstance(s, str):
+            s = _parse_datatype_string(s)
+        if not isinstance(s, StructType):
+            raise ValueError("need a StructType or DDL struct string")
+        return {f.name: f for f in s.fields}
+
+    o, n = fields(old), fields(new)
+    out: list[tuple[str, str, str | None, str | None]] = []
+    for name in sorted(o.keys() | n.keys()):
+        fo, fn = o.get(name), n.get(name)
+        if fo is None:
+            out.append(("added", name, None, fn.dataType.simpleString()))
+        elif fn is None:
+            out.append(("dropped", name, fo.dataType.simpleString(), None))
+        else:
+            if fo.dataType != fn.dataType:
+                out.append(
+                    (
+                        "type_changed",
+                        name,
+                        fo.dataType.simpleString(),
+                        fn.dataType.simpleString(),
+                    )
+                )
+            if (not fo.nullable) and fn.nullable:
+                out.append(
+                    (
+                        "now_nullable",
+                        name,
+                        fo.dataType.simpleString(),
+                        fn.dataType.simpleString(),
+                    )
+                )
     return out

@@ -95,3 +95,30 @@ def test_dq_empty_table_zero_ppm(spark):
     assert rows[0]["n_rows"] == 0 and rows[0]["ppm"] == 0
     row = dq_unique(df, ("id",)).collect()[0]
     assert row["n_rows"] == 0 and row["ppm"] == 0
+
+
+def test_schema_diff_changes(spark):
+    from go_muse_spark.operators.dataquality import schema_diff
+
+    old = "conv_id string not null, turn_idx int, ts timestamp"
+    new = "conv_id string, turn_idx bigint, ts timestamp, tool string"
+    got = schema_diff(old, new)
+    assert ("added", "tool", None, "string") in got
+    assert ("type_changed", "turn_idx", "int", "bigint") in got
+    assert ("now_nullable", "conv_id", "string", "string") in got
+    assert all(c[0] != "dropped" for c in got)
+    # identical schemas -> empty
+    assert schema_diff(new, new) == []
+    # dropped column
+    assert ("dropped", "ts", "timestamp", None) in schema_diff(
+        new, "conv_id string"
+    )
+
+
+def test_schema_diff_rejects_non_struct(spark):
+    import pytest as _pytest
+
+    from go_muse_spark.operators.dataquality import schema_diff
+
+    with _pytest.raises(Exception):
+        schema_diff("int", "int")
