@@ -321,12 +321,52 @@ def run_dtw(spark) -> tuple[float, int]:
     return wall, DTW_SERIES * (DTW_SERIES - 1) // 2
 
 
+COV_SERIES = int(os.environ.get("SPARK_GRAFT_PS_COV_SERIES", "4000"))
+COV_LEN = int(os.environ.get("SPARK_GRAFT_PS_COV_LEN", "4096"))
+
+
+def cov_path(spark) -> str:
+    """Synthetic series corpus for the wide-covariance leg
+    (dominant_period / effective_sample_size): COV_SERIES series x
+    COV_LEN hourly points, hash-derived small ints — the 35-lag
+    window + 105-term decimal aggregate is a distinct plan shape from
+    the GEMM/FFT/DP legs: shuffle-light, codegen/aggregate-heavy."""
+    path = os.path.join(CACHE, f"ps_cov_{COV_SERIES}x{COV_LEN}.parquet")
+    if not os.path.exists(path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(COV_SERIES * COV_LEN).select(
+            F.concat(F.lit("c"), (F.col("id") / COV_LEN).cast("long")).alias(
+                "conv_id"
+            ),
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("id") % COV_LEN) * 3600
+            ).alias("bucket_ts"),
+            F.pmod(F.hash(F.col("id")), F.lit(97)).alias("v"),
+        )
+        df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_cov(spark) -> tuple[float, int]:
+    from go_muse_spark.operators.arfit import dominant_period
+
+    df = spark.read.parquet(cov_path(spark))
+    wall = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop(dominant_period(df, "v", 2, 36))
+        wall = min(wall, time.time() - t0)
+    return wall, COV_SERIES
+
+
 PATHS = {
     "muse": run_muse,
     "minhash": run_minhash,
     "embedding": run_embedding,
     "mp": run_mp,
     "dtw": run_dtw,
+    "cov": run_cov,
 }
 
 
