@@ -62,7 +62,7 @@ def main() -> int:
             # tolerate float jitter below the rounding we applied
             try:
                 ok_vals = all(
-                    np.allclose(a[c], b[c], atol=1e-9)
+                    np.allclose(a[c], b[c], rtol=0, atol=1e-9)
                     if pd.api.types.is_float_dtype(a[c])
                     else (a[c] == b[c]).all()
                     for c in a.columns
