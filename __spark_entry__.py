@@ -8735,16 +8735,24 @@ WITH b AS MATERIALIZED (
   SELECT vec_id, q, xor(bucket, f.flip) AS probe
   FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(({X.dot_product_q('duck', 'a.q', 'b.q', 64)})
-             / (sqrt({X.dot_product_q('duck', 'a.q', 'a.q', 64)})
-                * sqrt({X.dot_product_q('duck', 'b.q', 'b.q', 64)})),
-             6) AS cosine
-FROM probes a JOIN b b ON a.probe = b.bucket AND a.vec_id < b.vec_id
-WHERE round(({X.dot_product_q('duck', 'a.q', 'b.q', 64)})
-            / (sqrt({X.dot_product_q('duck', 'a.q', 'a.q', 64)})
-               * sqrt({X.dot_product_q('duck', 'b.q', 'b.q', 64)})),
-            6) >= 0.3
+-- rounding replays numpy's trunc(x*1e6 + copysign(.5, x))/1e6
+-- EXACTLY (an engine round(x, 6) builtin may disagree within 1 ulp
+-- of a 5e-7 boundary; the strict rtol=0 gate caught 3 such rows)
+SELECT vec_a, vec_b,
+       trunc(raw * 1000000.0
+             + CASE WHEN raw >= 0 THEN 0.5 ELSE -0.5 END)
+         / 1000000.0 AS cosine
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ({X.dot_product_q('duck', 'a.q', 'b.q', 64)})
+           / (sqrt({X.dot_product_q('duck', 'a.q', 'a.q', 64)})
+              * sqrt({X.dot_product_q('duck', 'b.q', 'b.q', 64)}))
+           AS raw
+  FROM probes a JOIN b b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+) t
+WHERE trunc(raw * 1000000.0
+            + CASE WHEN raw >= 0 THEN 0.5 ELSE -0.5 END)
+        / 1000000.0 >= 0.3
 """,
         "chunks_roundtrip_1h": """
 WITH r AS (
@@ -9173,12 +9181,18 @@ WITH q AS (
   SELECT vec_id, {X.quantized_vec('duck', 'embedding')} AS e_q
   FROM embeddings WHERE vec_id <> 0
 )
-SELECT e.vec_id,
-       round(({X.dot_product_q('duck', 'e.e_q', 'q.q_q', 64)})
-             / (sqrt({X.dot_product_q('duck', 'e.e_q', 'e.e_q', 64)})
-                * sqrt({X.dot_product_q('duck', 'q.q_q', 'q.q_q', 64)})), 6)
-         AS cosine
-FROM e, q
-ORDER BY cosine DESC, e.vec_id LIMIT 20
+SELECT vec_id,
+       trunc(raw * 1000000.0
+             + CASE WHEN raw >= 0 THEN 0.5 ELSE -0.5 END)
+         / 1000000.0 AS cosine
+FROM (
+  SELECT e.vec_id,
+         ({X.dot_product_q('duck', 'e.e_q', 'q.q_q', 64)})
+           / (sqrt({X.dot_product_q('duck', 'e.e_q', 'e.e_q', 64)})
+              * sqrt({X.dot_product_q('duck', 'q.q_q', 'q.q_q', 64)}))
+           AS raw
+  FROM e, q
+) t
+ORDER BY cosine DESC, vec_id LIMIT 20
 """,
     }

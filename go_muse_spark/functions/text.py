@@ -219,7 +219,8 @@ def hyperplane_bucket(
         else:
             prods = (
                 f"list_transform(generate_series(1, {dims}), "
-                f"d -> {emb_col}[d] * {lcg_weight(dialect, str(p), '(d - 1)')})"
+                f"d -> cast({emb_col}[d] as double)"
+                f" * {lcg_weight(dialect, str(p), '(d - 1)')})"
             )
         dot = fold_double(dialect, prods)
         terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
@@ -253,7 +254,13 @@ def dot_product(dialect: str, a: str, b: str, dims: int = 64) -> str:
     if dialect == "spark":
         prods = f"zip_with({a}, {b}, (u, v) -> u * v)"
     else:
-        prods = f"list_transform(generate_series(1, {dims}), i -> {a}[i] * {b}[i])"
+        # explicit double widen: DuckDB evaluates FLOAT * FLOAT/DOUBLE in
+        # float32 (see quantized_vec), which would diverge from Spark's
+        # widened-double products at the 1e-7 level
+        prods = (
+            f"list_transform(generate_series(1, {dims}),"
+            f" i -> cast({a}[i] as double) * cast({b}[i] as double))"
+        )
     return fold_double(dialect, prods)
 
 
@@ -268,7 +275,15 @@ def quantized_vec(dialect: str, v: str) -> str:
     no binary float can represent, so half-up (SQL) and half-even
     (numpy rint) agree on every representable input."""
     t = _d(dialect)
-    return f"{t['transform']}({v}, x -> cast(round(x * 1000000.0) as bigint))"
+    # cast BEFORE the multiply: DuckDB evaluates FLOAT * 1000000.0 in
+    # float32 (typeof = FLOAT), where the product can round exactly
+    # onto a .5 (observed: -0.1319035f * 1e6 -> -131903.5f vs the
+    # true -131903.49936...) and the tie-impossibility argument below
+    # collapses; an explicit double widen restores the shared grid.
+    return (
+        f"{t['transform']}({v},"
+        f" x -> cast(round(cast(x as double) * 1000000.0) as bigint))"
+    )
 
 
 def dot_product_q(dialect: str, a: str, b: str, dims: int = 64) -> str:

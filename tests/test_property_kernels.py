@@ -67,10 +67,14 @@ def test_circular_shift_recovery(data, n):
     k = data.draw(st.integers(min_value=0, max_value=n - 1))
     spec = kernels.prepare_ref(x)
     lags, scores = kernels.batch_xcorr(spec, np.roll(x, k)[None, :])
-    # ties between equal-scoring lags possible on structured inputs;
-    # require the score to be a true maximum (==1) and the lag to undo
-    # the roll whenever the max is unique
-    assert scores[0] > 1.0 - 1e-9
+    # ties between equal-scoring lags possible on structured inputs —
+    # including a SIGN tie: an antiperiodic series (e.g. the square
+    # wave 0,0,0,0,1,1,1,1) correlates exactly -1 at the antiphase
+    # lag, and the reference's maxAbsIndex first-max scan may return
+    # the -1 before the +1 (hypothesis found exactly this). The law
+    # that always holds is |score| == 1; the lag check applies only
+    # when the max is unique (all-distinct values, positive score).
+    assert abs(scores[0]) > 1.0 - 1e-9
     cc_equal_one = scores[0] >= 1.0 - 1e-12
     if cc_equal_one and np.unique(np.round(x, 12)).size == n:
         assert (int(lags[0]) - (-k)) % n == 0
