@@ -4181,6 +4181,46 @@ def q_tier_cost(spark, sf_dir):
     return out
 
 
+def q_fleet_quantile_1h(spark, sf_dir):
+    """PromQL quantile(q, metric) ACROSS series: per hour, the exact
+    rank-picked p50/p95 of the per-user traffic distribution — the
+    fleet percentile dashboard, orthogonal to rollup_1h_quantiles'
+    within-series axis. Rank picks (low median (n+1) div 2, p95 at
+    ceil(95n/100)) are actual data values, deterministic in any
+    engine; one exchange on the bucket, two window passes sharing it
+    (the mad_outliers convention — no unbounded collect per bucket,
+    so a 10^6-series fleet streams through)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        F.col("user_id").cast("string").alias("user_id"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy("bucket_ts")
+    w_rank = Window.partitionBy("bucket_ts").orderBy("cnt", "user_id")
+    ranked = counts.select(
+        "bucket_ts",
+        "cnt",
+        F.row_number().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    hit50 = F.col("__r") == F.expr("(__n + 1) div 2")
+    hit95 = F.col("__r") == F.expr("(__n * 95 + 99) div 100")
+    picked = ranked.select(
+        "bucket_ts",
+        "__n",
+        F.max(F.when(hit50, F.col("cnt"))).over(w_all).alias("p50"),
+        F.max(F.when(hit95, F.col("cnt"))).over(w_all).alias("p95"),
+    )
+    return (
+        picked.groupBy("bucket_ts")
+        .agg(
+            F.max("__n").cast("long").alias("n_series"),
+            F.max("p50").cast("long").alias("p50"),
+            F.max("p95").cast("long").alias("p95"),
+        )
+    )
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4557,6 +4597,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dod_cost_1h": q_dod_cost_1h,
         "chunk_cost_1h": q_chunk_cost_1h,
         "tier_cost": q_tier_cost,
+        "fleet_quantile_1h": q_fleet_quantile_1h,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -6051,6 +6092,27 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Fleet quantiles: identical rank-pick arithmetic per bucket.
+    d["fleet_quantile_1h"] = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS b,
+         cast(user_id AS varchar) AS u,
+         cast(count(*) AS bigint) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT b, cnt,
+         row_number() OVER (PARTITION BY b ORDER BY cnt, u) AS rn,
+         count(*) OVER (PARTITION BY b) AS n
+  FROM c
+)
+SELECT b AS bucket_ts,
+       cast(max(n) AS bigint) AS n_series,
+       cast(max(CASE WHEN rn = (n + 1) // 2 THEN cnt END) AS bigint)
+         AS p50,
+       cast(max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cnt END)
+         AS bigint) AS p95
+FROM r GROUP BY 1
+"""
     # Tier ladder cost: the chunk-cost chain per trunc unit, summed.
     def _tier_cost_sql(tier: str, unit: str) -> str:
         return f"""
