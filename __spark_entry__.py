@@ -207,6 +207,7 @@ from go_muse_spark.operators.matrix_profile import (
 from go_muse_spark.operators.timeweight import (
     instant_snapshot,
     markov_entropy,
+    markov_memory,
     state_transitions,
     state_durations,
     time_above_threshold,
@@ -4221,6 +4222,16 @@ def q_fleet_quantile_1h(spark, sf_dir):
     )
 
 
+def q_markov_memory(spark, sf_dir):
+    """Memory-length test (timeweight.markov_memory): H(X|prev) vs
+    H(X|prev2,prev) on the common full-context support — gain2 >= 0
+    by Gibbs; near-zero certifies the first-order model. Both
+    entropies key-ordered folds from one materialized alphabet^3
+    count table."""
+    ev = load_table(spark, sf_dir, "events")
+    return markov_memory(ev, "event_type")
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4598,6 +4609,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_cost_1h": q_chunk_cost_1h,
         "tier_cost": q_tier_cost,
         "fleet_quantile_1h": q_fleet_quantile_1h,
+        "markov_memory": q_markov_memory,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -6092,6 +6104,53 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Markov memory: the same compacted chain, one more lag for the
+    # 2-step context; both entropies as ORDER BY-keyed sums.
+    d["markov_memory"] = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type AS st,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_type) AS prev
+  FROM events
+), tr AS (
+  SELECT user_id, t, prev AS f1, st AS t3 FROM p
+  WHERE prev IS NOT NULL AND prev <> st
+), tri AS (
+  SELECT lag(f1) OVER (PARTITION BY user_id ORDER BY t, t3) AS f2,
+         f1, t3
+  FROM tr
+), c3 AS (
+  SELECT f2, f1, t3, cast(count(*) AS bigint) AS n
+  FROM tri WHERE f2 IS NOT NULL GROUP BY 1, 2, 3
+), ntot AS (SELECT cast(sum(n) AS bigint) AS nt FROM c3),
+h2r AS (
+  SELECT f2, f1, t3, n,
+         cast(sum(n) OVER (PARTITION BY f2, f1) AS bigint) AS nf
+  FROM c3
+), h2 AS (
+  SELECT max(nt) AS n_transitions,
+         -sum((cast(n AS double) / cast(nt AS double))
+              * ln(cast(n AS double) / cast(nf AS double))
+              ORDER BY f2, f1, t3) AS h2
+  FROM h2r, ntot
+), c2 AS (
+  SELECT f1, t3, cast(sum(n) AS bigint) AS n FROM c3 GROUP BY 1, 2
+), h1r AS (
+  SELECT f1, t3, n,
+         cast(sum(n) OVER (PARTITION BY f1) AS bigint) AS nf
+  FROM c2
+), h1 AS (
+  SELECT -sum((cast(n AS double) / cast(nt AS double))
+              * ln(cast(n AS double) / cast(nf AS double))
+              ORDER BY f1, t3) AS h1
+  FROM h1r, ntot
+)
+SELECT cast(n_transitions AS bigint) AS n_transitions,
+       cast(round(h1 * 1e6) AS bigint) AS h1_u,
+       cast(round(h2 * 1e6) AS bigint) AS h2_u,
+       cast(round((h1 - h2) * 1e6) AS bigint) AS gain2_u
+FROM h2, h1
+"""
     # Fleet quantiles: identical rank-pick arithmetic per bucket.
     d["fleet_quantile_1h"] = """
 WITH c AS (

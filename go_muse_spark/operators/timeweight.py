@@ -46,6 +46,7 @@ __all__ = [
     "instant_snapshot",
     "state_transitions",
     "markov_entropy",
+    "markov_memory",
     "time_above_threshold",
 ]
 
@@ -505,4 +506,95 @@ def markov_entropy(
         F.round((F.col("h_marg") - F.col("h_cond")) * 1e6, 0)
         .cast("long")
         .alias("info_gain_u"),
+    )
+
+
+def markov_memory(
+    events: DataFrame,
+    state_col: str,
+    by: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Memory-length test for the behavior chain: does knowing TWO
+    previous states beat knowing one? Compares H(X | X_prev) against
+    H(X | X_prev2, X_prev) over the compacted transition chain — the
+    Box-Jenkins order question asked of a categorical stream. Both
+    entropies are computed on the SAME event set (transitions with a
+    full 2-step context), so gain2 = H1 - H2 >= 0 by Gibbs and a
+    near-zero gain certifies the first-order model
+    (markov_transitions / markov_entropy) as sufficient.
+
+    Numerics: one alphabet^3-sized count table (materialized once)
+    feeds every marginal; both entropy sums fold in key order —
+    the markov_entropy discipline, bit-identical across engines.
+
+    Scale shape: state_transitions' exchange, one lag window on the
+    SAME series key (reused partitioning), a triple-count aggregate,
+    then scalar folds on tiny tables.
+
+    Returns (n_transitions, h1_u, h2_u, gain2_u) in 1e-6 nats.
+    """
+    from go_muse_spark.operators.dedup import _materialize
+
+    tr = state_transitions(events, state_col, by=by, ts_col=ts_col).where(
+        F.col("from_state").isNotNull()
+    )
+    w = Window.partitionBy(*by).orderBy("trans_idx")
+    tri = tr.select(
+        F.lag(F.col("from_state")).over(w).alias("f2"),
+        F.col("from_state").alias("f1"),
+        F.col("to_state").alias("t"),
+    ).where(F.col("f2").isNotNull())
+    c3 = _materialize(
+        tri.groupBy("f2", "f1", "t").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c3.agg(F.sum("n").alias("nt"))
+    w_ctx2 = Window.partitionBy("f2", "f1")
+    h2_rows = c3.select(
+        "f2", "f1", "t", "n", F.sum("n").over(w_ctx2).alias("nf")
+    )
+    term = (
+        "(cast(n as double) / cast(nt as double))"
+        " * ln(cast(n as double) / cast(nf as double))"
+    )
+
+    def fold_h(rows, keys):
+        return (
+            rows.crossJoin(F.broadcast(tot))
+            .withColumn("__t", F.expr(term))
+            .agg(
+                F.max("nt").alias("n_transitions"),
+                (
+                    -F.aggregate(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    *[F.col(k) for k in keys],
+                                    F.col("__t").alias("v"),
+                                )
+                            )
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["v"],
+                    )
+                ).alias("h"),
+            )
+        )
+
+    h2 = fold_h(h2_rows, ["f2", "f1", "t"]).select(
+        "n_transitions", F.col("h").alias("h2")
+    )
+    c2 = c3.groupBy("f1", "t").agg(F.sum("n").alias("n"))
+    w_ctx1 = Window.partitionBy("f1")
+    h1_rows = c2.select(
+        "f1", "t", "n", F.sum("n").over(w_ctx1).alias("nf")
+    )
+    h1 = fold_h(h1_rows, ["f1", "t"]).select(F.col("h").alias("h1"))
+    return h2.crossJoin(h1).select(
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(F.col("h1") * 1e6, 0).cast("long").alias("h1_u"),
+        F.round(F.col("h2") * 1e6, 0).cast("long").alias("h2_u"),
+        F.round((F.col("h1") - F.col("h2")) * 1e6, 0)
+        .cast("long")
+        .alias("gain2_u"),
     )

@@ -63,3 +63,58 @@ def test_deterministic_chain_zero_cond_entropy(spark):
     assert row["h_marg_u"] == round(hm * 1e6)
     assert abs(hm - math.log(2)) < 0.01
     assert row["info_gain_u"] == row["h_marg_u"]
+
+
+def _ref_memory(seqs):
+    from collections import Counter
+
+    tris = []
+    for states in seqs.values():
+        comp = [states[0]]
+        for s in states[1:]:
+            if s != comp[-1]:
+                comp.append(s)
+        tris += list(zip(comp, comp[1:], comp[2:]))
+    n = len(tris)
+    c3 = Counter(tris)
+    c2ctx = Counter((a, b) for a, b, _ in tris)
+    c2 = Counter((b, c) for _, b, c in tris)
+    c1ctx = Counter(b for _, b, _ in tris)
+    h2 = -sum(
+        (v / n) * math.log(v / c2ctx[(a, b)])
+        for (a, b, c), v in sorted(c3.items())
+    )
+    h1 = -sum(
+        (v / n) * math.log(v / c1ctx[b])
+        for (b, c), v in sorted(c2.items())
+    )
+    return n, h1, h2
+
+
+def test_markov_memory_matches_reference(spark):
+    from go_muse_spark.operators.timeweight import markov_memory
+
+    seqs = {
+        "u1": list("abcabcabcabca"),
+        "u2": list("abacabadabacabad"),
+        "u3": list("cabcabcabc"),
+    }
+    row = markov_memory(_df(spark, seqs), "st").collect()[0]
+    n, h1, h2 = _ref_memory(seqs)
+    assert row["n_transitions"] == n
+    assert row["h1_u"] == round(h1 * 1e6)
+    assert row["h2_u"] == round(h2 * 1e6)
+    assert row["gain2_u"] == round((h1 - h2) * 1e6)
+    assert row["gain2_u"] >= 0  # Gibbs on common support
+    # u2's pattern needs 2-state memory (aba->c vs aba->d context) ->
+    # real positive gain
+    assert row["gain2_u"] > 50_000
+
+
+def test_markov_memory_order1_chain_zero_gain(spark):
+    from go_muse_spark.operators.timeweight import markov_memory
+
+    # strict cycle: next state fully determined by ONE previous state
+    seqs = {"u": list("abcabcabcabcabc")}
+    row = markov_memory(_df(spark, seqs), "st").collect()[0]
+    assert row["h2_u"] == 0 and row["h1_u"] == 0 and row["gain2_u"] == 0
