@@ -142,6 +142,7 @@ from go_muse_spark.operators.stats import (
     forecast_backtest,
     rolling_shape,
     shape_exprs,
+    burstiness,
     seasonal_profile,
     cusum_changepoint,
     period_delta,
@@ -4232,6 +4233,23 @@ def q_markov_memory(spark, sf_dir):
     return markov_memory(ev, "event_type")
 
 
+def q_burstiness(spark, sf_dir):
+    """Goh-Barabasi burstiness per user (stats.burstiness): the
+    (sigma-mu)/(sigma+mu) of inter-event gaps from exact decimal
+    moment sums — metronome -1, Poisson ~0, avalanche +1; decides
+    whether rate alerting on the series means anything."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"), "ts"
+    )
+    out = burstiness(ev)
+    return out.select(
+        "user_id",
+        "n_gaps",
+        F.round(F.col("mean_us"), 0).cast("long").alias("mean_us_r"),
+        "b_u",
+    )
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4610,6 +4628,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_cost": q_tier_cost,
         "fleet_quantile_1h": q_fleet_quantile_1h,
         "markov_memory": q_markov_memory,
+        "burstiness": q_burstiness,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -6104,6 +6123,28 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Burstiness: exact HUGEINT gap moments, the reduced one-division
+    # B formula replayed verbatim.
+    d["burstiness"] = """
+WITH g AS (
+  SELECT cast(user_id AS varchar) AS u,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)) AS g
+  FROM events
+), a AS (
+  SELECT u, cast(count(*) AS bigint) AS n,
+         cast(sum(g) AS HUGEINT) AS s1,
+         cast(sum(cast(g AS HUGEINT) * g) AS HUGEINT) AS s2
+  FROM g WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT u AS user_id, n AS n_gaps,
+       cast(round(cast(s1 AS double) / n) AS bigint) AS mean_us_r,
+       cast(round(
+         (sqrt(cast(n * s2 - s1 * s1 AS double)) - cast(s1 AS double))
+         / (sqrt(cast(n * s2 - s1 * s1 AS double)) + cast(s1 AS double))
+         * 1e6) AS bigint) AS b_u
+FROM a WHERE n >= 4
+"""
     # Markov memory: the same compacted chain, one more lag for the
     # 2-step context; both entropies as ORDER BY-keyed sums.
     d["markov_memory"] = """

@@ -47,6 +47,7 @@ __all__ = [
     "forecast_backtest",
     "shape_exprs",
     "rolling_shape",
+    "burstiness",
     "inter_arrival_stats",
     "seasonal_anomaly",
     "linear_fit",
@@ -2276,4 +2277,57 @@ def rolling_shape(
         F.col("n").cast("long").alias("n_win"),
         F.when(guard, F.expr(ex["skew"])).alias("skew"),
         F.when(guard, F.expr(ex["kurt"])).alias("kurt"),
+    )
+
+
+def burstiness(
+    events: DataFrame,
+    by: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    min_gaps: int = 4,
+) -> DataFrame:
+    """Goh-Barabasi burstiness of the inter-event gap distribution,
+    per series: B = (sigma - mu) / (sigma + mu) over the gaps —
+    B -> -1 metronome-regular, B ~ 0 Poisson, B -> 1 heavy-tailed
+    bursts. The single number that says whether a conversation's
+    activity is clockwork or avalanches, and therefore whether
+    rate-based alerting on it means anything.
+
+    Numerics: gaps in exact integer microseconds; n, sum(g), sum(g^2)
+    carried in decimal(38,0) (a 30-day span in us squares to ~1e25,
+    past int64); sigma uses the POPULATION form sqrt((n*S2 - S1^2))
+    / n, and B is algebraically reduced so the ONE division is
+    (sqrt(n*S2 - S1^2) - S1) / (sqrt(n*S2 - S1^2) + S1) — exact
+    integer operands into two sqrt/sub/add, then one divide:
+    engine-identical.
+
+    Scale shape: one exchange on the series key, one lag, one
+    map-combined aggregate. Returns (by..., n_gaps, mean_us, b_u).
+    """
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*by).orderBy(t)
+    g = (t - F.lag(t).over(w)).alias("__g")
+    base = events.select(*by, g).where(F.col("__g").isNotNull())
+
+    def d(c):
+        return c.cast("decimal(38,0)")
+
+    agg = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(d(F.col("__g"))).alias("s1"),
+        F.sum(d(F.col("__g")) * d(F.col("__g"))).alias("s2"),
+    )
+    n, s1, s2 = (
+        d(F.col("n_gaps")),
+        F.col("s1"),
+        F.col("s2"),
+    )
+    # sqrt(n*S2 - S1^2) = n*sigma; B = (n*sigma - S1)/(n*sigma + S1)
+    root = F.sqrt((n * s2 - s1 * s1).cast("double"))
+    b = (root - s1.cast("double")) / (root + s1.cast("double"))
+    return agg.where(F.col("n_gaps") >= F.lit(int(min_gaps))).select(
+        *by,
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.expr("cast(s1 as double) / n_gaps").alias("mean_us"),
+        F.round(b * 1e6, 0).cast("long").alias("b_u"),
     )
