@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "dod_cost_1h",
     "chunk_cost_1h",
     "tier_cost",
+    "fleet_quantile_1h",
+    "markov_memory",
+    "burstiness",
     # round-5 third sweep (one representative per new family; the
     # same-shaped siblings — jsd/state_entropy/kendall_xy — track them)
     "psi_drift_1d",
