@@ -75,3 +75,23 @@ def test_km_beats_naive_under_censoring(spark):
     got = _run(spark, subs)
     assert got[1][2] == pytest.approx(0.8, rel=1e-12)  # 8/10 survive
     # naive on uncensored only would say S(1) = 0
+
+
+def test_random_censoring_matches_reference(spark):
+    import random
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        subs = [
+            (rng.randint(1, 30), rng.random() < 0.3) for _ in range(120)
+        ]
+        got = _run(spark, subs)
+        ref = _ref_km(subs)
+        assert set(got) == set(ref)
+        for t in ref:
+            assert got[t][0] == ref[t][0] and got[t][1] == ref[t][1]
+            assert got[t][2] == pytest.approx(ref[t][2], rel=1e-12)
+        # survival is non-increasing along t
+        ts = sorted(got)
+        for a, b in zip(ts, ts[1:]):
+            assert got[b][2] <= got[a][2] + 1e-15
