@@ -65,6 +65,7 @@ from go_muse_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_near_dups,
+    source_overlap,
 )
 from go_muse_spark.operators.downsample import (
     brown_trend,
@@ -4250,6 +4251,15 @@ def q_burstiness(spark, sf_dir):
     )
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (dedup.source_overlap):
+    directed 4-gram shingle containment + Jaccard for every source
+    pair — "who mirrors whom" at the slice level, with per-key join
+    fan-out bounded by the source count, never by documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap(docs, n=4, by="source")
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4629,6 +4639,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleet_quantile_1h": q_fleet_quantile_1h,
         "markov_memory": q_markov_memory,
         "burstiness": q_burstiness,
+        "source_overlap": q_source_overlap,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -6123,6 +6134,31 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Source overlap: distinct (slice, shingle-hash) sets with the
+    # shared dual-dialect hashing; integer containments, one division.
+    _so_sh = X.shingle_hashes("duck", 4)
+    d["source_overlap"] = f"""
+WITH sh AS (
+  SELECT DISTINCT source AS s, h FROM (
+    SELECT source, unnest({_so_sh}) AS h FROM documents
+  )
+), sizes AS (
+  SELECT s, cast(count(*) AS bigint) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.s AS src_a, b.s AS src_b,
+         cast(count(*) AS bigint) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.s < b.s GROUP BY 1, 2
+)
+SELECT src_a, src_b, na.n AS n_a, nb.n AS n_b, n_shared,
+       (n_shared * 1000000) // na.n AS a_in_b_ppm,
+       (n_shared * 1000000) // nb.n AS b_in_a_ppm,
+       cast(round(cast(n_shared AS double)
+            / cast(na.n + nb.n - n_shared AS double) * 1e6) AS bigint)
+         AS jaccard_u
+FROM pairs
+JOIN sizes na ON na.s = src_a
+JOIN sizes nb ON nb.s = src_b
+"""
     # Burstiness: exact HUGEINT gap moments, the reduced one-division
     # B formula replayed verbatim.
     d["burstiness"] = """

@@ -32,6 +32,7 @@ __all__ = [
     "minhash_near_dups",
     "simhash_fingerprints",
     "simhash_near_dups",
+    "source_overlap",
     "ngram_jaccard_pairs",
     "dedup_clusters",
     "contamination_check",
@@ -415,4 +416,85 @@ def contamination_check(
         t.join(F.broadcast(b), "__h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 4,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-slice duplication matrix: for every pair of corpus
+    slices, how much of slice A's distinct word n-gram shingle
+    vocabulary also appears in slice B — the corpus-health table that
+    says WHICH sources are copying which (mirrors, scrapes of
+    scrapes, shared boilerplate) before any per-doc dedup runs. Both
+    directed containments and the symmetric Jaccard are emitted; a
+    high a-in-b with low b-in-a reads "A is a subset mirror of B".
+
+    Scale shape: one tokenize/shingle pass -> DISTINCT (slice, hash)
+    pairs (the heavy dedup happens map-side per partition first, and
+    the exchange carries slice-count x vocab rows at most); the
+    self-join keys on the shingle hash, where each hash matches at
+    most #slices rows per side — so the pair fan-out per key is
+    bounded by slices^2, NEVER by document count. One aggregate to
+    slices^2 rows. The same shape at 20 sources or 20,000.
+
+    Exact: shared-vocab counts are integers; containments in ppm by
+    integer division; jaccard_u rounded from one double division.
+
+    Returns (src_a, src_b, n_a, n_b, n_shared, a_in_b_ppm,
+    b_in_a_ppm, jaccard_u) for src_a < src_b.
+    """
+    from go_muse_spark.functions import text as X
+
+    staged = _widen(docs).select(
+        F.col(by).alias("__s"),
+        F.expr(X.tokens("spark", text_col)).alias("__toks"),
+    )
+    sh = staged.select(
+        "__s",
+        F.explode(
+            F.expr(X.shingle_hashes("spark", n, toks_src="__toks"))
+        ).alias("__h"),
+    ).distinct()
+    sh = _materialize(sh)
+    sizes = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.__h") == F.col("b.__h"))
+        .where(F.col("a.__s") < F.col("b.__s"))
+        .groupBy(
+            F.col("a.__s").alias("src_a"), F.col("b.__s").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(
+        F.col("__s").alias("src_a"), F.col("__n").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("__s").alias("src_b"), F.col("__n").alias("n_b")
+    )
+    out = pairs.join(F.broadcast(na), "src_a").join(
+        F.broadcast(nb), "src_b"
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_shared",
+        F.expr("(n_shared * 1000000) div n_a").alias("a_in_b_ppm"),
+        F.expr("(n_shared * 1000000) div n_b").alias("b_in_a_ppm"),
+        F.round(
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                "double"
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("jaccard_u"),
     )
