@@ -171,6 +171,7 @@ from go_muse_spark.operators.freqsketch import cells_sql as _cm_cells_sql
 from go_muse_spark.operators.terms import (
     bm25_expr,
     bm25_topk,
+    cross_entropy_matrix,
     g2_expr,
     keyness_topk,
     ngram_diversity,
@@ -4260,6 +4261,16 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(docs, n=4, by="source")
 
 
+def q_cross_entropy_matrix(spark, sf_dir):
+    """Domain-mismatch matrix (terms.cross_entropy_matrix): smoothed
+    unigram cross-entropy of every (model source, data source) pair +
+    diagonal-adjusted KL — which slices' language a given slice
+    already covers; the curation complement of source_overlap's
+    verbatim-shingle view."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_entropy_matrix(docs, "source")
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4640,6 +4651,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_memory": q_markov_memory,
         "burstiness": q_burstiness,
         "source_overlap": q_source_overlap,
+        "cross_entropy_matrix": q_cross_entropy_matrix,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -6134,6 +6146,41 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Cross-entropy matrix: identical smoothing arithmetic; per-pair
+    # float sums (unigram_logprob precedent, 1e-6 grid).
+    d["cross_entropy_matrix"] = """
+WITH toks AS (
+  SELECT source AS s, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT s, term, cast(count(*) AS bigint) AS n
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+), tot AS (
+  SELECT s, cast(sum(n) AS bigint) AS tot FROM tf GROUP BY 1
+), voc AS (
+  SELECT cast(count(DISTINCT term) AS bigint) AS v FROM tf
+), grid AS (
+  SELECT tm.s AS model_src, d.s AS data_src, d.term,
+         d.n AS n_b, td.tot AS tot_b, tm.tot AS tot_a,
+         coalesce(a.n, 0) AS n_a
+  FROM tf d
+  JOIN tot td ON td.s = d.s
+  CROSS JOIN tot tm
+  LEFT JOIN tf a ON a.s = tm.s AND a.term = d.term
+), h AS (
+  SELECT model_src, data_src,
+         cast(count(*) AS bigint) AS n_terms_b,
+         sum(-(cast(n_b AS double) / cast(tot_b AS double))
+             * ln(cast(n_a + 1 AS double)
+                  / cast(tot_a + v AS double))) AS h_cross
+  FROM grid, voc GROUP BY 1, 2
+)
+SELECT h.model_src, h.data_src, h.n_terms_b,
+       cast(round(h.h_cross * 1e6) AS bigint) AS h_cross_u,
+       cast(round((h.h_cross - s.h_cross) * 1e6) AS bigint) AS kl_u
+FROM h JOIN h s
+  ON s.data_src = h.data_src AND s.model_src = s.data_src
+"""
     # Source overlap: distinct (slice, shingle-hash) sets with the
     # shared dual-dialect hashing; integer containments, one division.
     _so_sh = X.shingle_hashes("duck", 4)

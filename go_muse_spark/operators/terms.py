@@ -34,6 +34,7 @@ __all__ = [
     "bm25_topk",
     "g2_expr",
     "keyness_topk",
+    "cross_entropy_matrix",
     "repetition_ratio",
 ]
 
@@ -504,4 +505,103 @@ def keyness_topk(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= int(k))
         .drop("rnk")
+    )
+
+
+def cross_entropy_matrix(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mismatch matrix: for every ordered slice pair (model A,
+    data B), the unigram cross-entropy H(B; A) = -sum_t p_B(t) ln
+    q_A(t) with add-one smoothing over the corpus vocabulary — "how
+    surprised is source A's language model by source B's text". The
+    diagonal-adjusted kl_u = H(B; A) - H(B; B) reads directly as
+    domain distance (0 on the diagonal by construction); the curation
+    use is spotting sources whose text another source already covers
+    (low KL both ways) vs genuinely novel slices.
+
+    Numerics: all counts exact int64; q_A(t) = (cnt_A(t)+1) /
+    (tot_A + V) with V the corpus vocabulary size, so every term —
+    including those A never saw — has positive mass and the sum is
+    finite. p_B uses B's exact empirical distribution. ln on
+    identical operands; the per-pair sum is a plain float aggregate
+    over vocabulary terms (the unigram_logprob precedent: ~1e-16/op
+    jitter, far inside the 1e-6 contract grid).
+
+    Scale shape: ONE tokenize pass -> (slice, term) counts
+    (materialized, feeds everything); data-side rows join the
+    slice list (S rows, broadcast) and left-join model counts on
+    (term, model) — V x S^2 join rows, bounded by vocabulary x
+    slice-pair count, never by documents. One aggregate to S^2 rows.
+
+    Returns (model_src, data_src, n_terms_b, h_cross_u, kl_u).
+    """
+    from go_muse_spark.operators.dedup import _materialize
+
+    toks = docs.select(
+        F.col(by).alias("__s"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = _materialize(
+        toks.groupBy("__s", "term").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tf.groupBy("__s").agg(F.sum("n").alias("tot"))
+    vocab = tf.select("term").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    slices = tot.select(
+        F.col("__s").alias("model_src"), F.col("tot").alias("tot_a")
+    )
+    data = tf.select(
+        F.col("__s").alias("data_src"), "term", F.col("n").alias("n_b")
+    ).join(
+        tot.select(
+            F.col("__s").alias("data_src"), F.col("tot").alias("tot_b")
+        ),
+        "data_src",
+    )
+    grid = data.crossJoin(F.broadcast(slices)).join(
+        F.broadcast(
+            tf.select(
+                F.col("__s").alias("model_src"),
+                "term",
+                F.col("n").alias("n_a"),
+            )
+        ),
+        ["model_src", "term"],
+        "left",
+    )
+    term_expr = (
+        "-(cast(n_b as double) / cast(tot_b as double))"
+        " * ln(cast(coalesce(n_a, 0) + 1 as double)"
+        " / cast(tot_a + v as double))"
+    )
+    scored = grid.crossJoin(F.broadcast(vocab)).withColumn(
+        "__t", F.expr(term_expr)
+    )
+    h = scored.groupBy("model_src", "data_src").agg(
+        F.count(F.lit(1)).alias("n_terms_b"),
+        F.sum("__t").alias("h_cross"),
+    )
+    self_h = h.where(
+        F.col("model_src") == F.col("data_src")
+    ).select(
+        F.col("data_src").alias("__ds"),
+        F.col("h_cross").alias("__h_self"),
+    )
+    return (
+        h.join(F.broadcast(self_h), h["data_src"] == F.col("__ds"))
+        .select(
+            "model_src",
+            "data_src",
+            "n_terms_b",
+            F.round(F.col("h_cross") * 1e6, 0)
+            .cast("long")
+            .alias("h_cross_u"),
+            F.round((F.col("h_cross") - F.col("__h_self")) * 1e6, 0)
+            .cast("long")
+            .alias("kl_u"),
+        )
     )
