@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "fleet_quantile_1h",
     "markov_memory",
     "burstiness",
+    "source_overlap",
+    "cross_entropy_matrix",
     # round-5 third sweep (one representative per new family; the
     # same-shaped siblings — jsd/state_entropy/kendall_xy — track them)
     "psi_drift_1d",
