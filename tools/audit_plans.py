@@ -32,6 +32,12 @@ DEFAULT = [
     "rollquant_24h", "seasonal_anomaly", "mixture_sample", "predict_1h",
     "burn_rate", "changes_24h", "repetition_ratio", "funnel_latency",
     "markov_transitions", "muse_multi_1h",
+    # round-5 continuation families
+    "dq_events", "hampel_25_1h", "period_detect_1h", "cdc_1h_tier",
+    "zorder_audit", "bm25_topk", "keyness_src", "bloom_prefilter",
+    "mase_24h", "markov_entropy", "ess_1h", "shape_24h",
+    "survival_sessions", "skew_advisor", "fleet_quantile_1h",
+    "dod_cost_1h", "burstiness", "source_overlap",
 ]
 
 
