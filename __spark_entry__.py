@@ -4271,6 +4271,64 @@ def q_cross_entropy_matrix(spark, sf_dir):
     return cross_entropy_matrix(docs, "source")
 
 
+def q_fleet_shape_1d(spark, sf_dir):
+    """Fleet robust shape per day: exact rank-picked quartiles of
+    the cross-series traffic distribution + Bowley skewness
+    (q3+q1-2*q2)/(q3-q1) — the outlier-proof asymmetry gauge, decided
+    entirely in integers (values are counts; the one ratio is an
+    integer-scaled division). Same two-window one-exchange shape as
+    fleet_quantile_1h."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        F.col("user_id").cast("string").alias("user_id"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy("bucket_ts")
+    w_rank = Window.partitionBy("bucket_ts").orderBy("cnt", "user_id")
+    ranked = counts.select(
+        "bucket_ts",
+        "cnt",
+        F.row_number().over(w_rank).alias("__r"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    hits = {
+        "q1": "(__n * 25 + 99) div 100",
+        "q2": "(__n + 1) div 2",
+        "q3": "(__n * 75 + 99) div 100",
+    }
+    picked = ranked.select(
+        "bucket_ts",
+        "__n",
+        *[
+            F.max(
+                F.when(F.col("__r") == F.expr(rk), F.col("cnt"))
+            )
+            .over(w_all)
+            .alias(name)
+            for name, rk in hits.items()
+        ],
+    )
+    agg = picked.groupBy("bucket_ts").agg(
+        F.max("__n").cast("long").alias("n_series"),
+        F.max("q1").cast("long").alias("q1"),
+        F.max("q2").cast("long").alias("q2"),
+        F.max("q3").cast("long").alias("q3"),
+    )
+    return agg.select(
+        "bucket_ts",
+        "n_series",
+        "q1",
+        "q2",
+        "q3",
+        F.when(
+            F.col("q3") > F.col("q1"),
+            F.expr("((q3 + q1 - 2 * q2) * 1000000) div (q3 - q1)"),
+        )
+        .cast("long")
+        .alias("bowley_u"),
+    )
+
+
 def q_vector_unless_1h(spark, sf_dir):
     """PromQL set matching (labels.vector_setop): hourly per-user
     traffic `unless on(user)` error vectors — the left-anti gate that
@@ -4652,6 +4710,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "source_overlap": q_source_overlap,
         "cross_entropy_matrix": q_cross_entropy_matrix,
+        "fleet_shape_1d": q_fleet_shape_1d,
         "vector_ratio_1h": q_vector_ratio_1h,
         "ks_drift_1d": q_ks_drift_1d,
         "w1_drift_1d": q_w1_drift_1d,
@@ -6146,6 +6205,35 @@ FROM a
     # PromQL vector matching: the one-to-one inner join on
     # (on-signature, bucket); ratio is one bigint/bigint -> double
     # division in both engines.
+    # Fleet shape: rank-pick quartiles, integer Bowley ratio.
+    d["fleet_shape_1d"] = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS b,
+         cast(user_id AS varchar) AS u,
+         cast(count(*) AS bigint) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT b, cnt,
+         row_number() OVER (PARTITION BY b ORDER BY cnt, u) AS rn,
+         count(*) OVER (PARTITION BY b) AS n
+  FROM c
+), q AS (
+  SELECT b AS bucket_ts,
+         cast(max(n) AS bigint) AS n_series,
+         cast(max(CASE WHEN rn = (n * 25 + 99) // 100 THEN cnt END)
+           AS bigint) AS q1,
+         cast(max(CASE WHEN rn = (n + 1) // 2 THEN cnt END)
+           AS bigint) AS q2,
+         cast(max(CASE WHEN rn = (n * 75 + 99) // 100 THEN cnt END)
+           AS bigint) AS q3
+  FROM r GROUP BY 1
+)
+SELECT bucket_ts, n_series, q1, q2, q3,
+       CASE WHEN q3 > q1 THEN
+         ((q3 + q1 - 2 * q2) * 1000000) // (q3 - q1)
+       END AS bowley_u
+FROM q
+"""
     # Cross-entropy matrix: identical smoothing arithmetic; per-pair
     # float sums (unigram_logprob precedent, 1e-6 grid).
     d["cross_entropy_matrix"] = """
