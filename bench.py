@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "burstiness",
     "source_overlap",
     "cross_entropy_matrix",
+    "fleet_shape_1d",
     # round-5 third sweep (one representative per new family; the
     # same-shaped siblings — jsd/state_entropy/kendall_xy — track them)
     "psi_drift_1d",
